@@ -1,0 +1,516 @@
+"""NN building blocks — TPU-first (NHWC, bf16-friendly, XLA-fusable).
+
+Reference parity: /root/reference/src/deepcv/meta/nn.py. The central unit is
+:class:`Layer`, the rebuild of the reference ``layer()`` block
+(nn.py:519-554): dropout -> op -> act -> norms (post-activation) or
+dropout -> norms -> act -> op (pre-activation). On TPU the op is an XLA conv/
+matmul hitting the MXU and everything else fuses into it; a Pallas fused
+norm+act path covers the cases XLA doesn't fuse (see deepcv_tpu.ops.pallas).
+
+Layout conventions (TPU-native, differs from the torch reference):
+  * images are NHWC (torch reference is NCHW) — channel-last is the layout XLA
+    tiles best on TPU (lane dim = channels);
+  * "channel dim" in reference semantics (e.g. dense_link concat at dim=1,
+    base_module.py:285-289) maps to axis=-1 here.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as fnn
+
+from deepcv_tpu.utils import register, GLOBAL_REGISTRY, get_by_identifier
+
+__all__ = [
+    "ACTIVATION_FNS", "XAVIER_GAINS", "get_activation", "get_gain",
+    "xavier_uniform_with_gain", "Layer", "NormTechnique", "normalization_techniques",
+    "Flatten", "Identity", "MultiHeadConcat", "ConcatCoords", "ConcatHilbertCoords",
+    "concat_coords_maps", "concat_hilbert_coords_map", "interpolate",
+    "get_padding_from_kernel", "get_model_capacity", "get_out_features_shape",
+    "ensure_mean_batch_loss", "func_to_module", "avg_pool_nd", "max_pool_nd",
+]
+
+# --------------------------------------------------------------------------- #
+# Activations & init gains
+# --------------------------------------------------------------------------- #
+
+#: name -> activation callable (XAVIER_INIT_SUPPORTED_ACT_FN parity, nn.py:46)
+ACTIVATION_FNS: Dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+    "elu": jax.nn.elu,
+    "softmax": jax.nn.softmax,
+    "log_softmax": jax.nn.log_softmax,
+    "identity": lambda x: x,
+    "linear": lambda x: x,
+}
+
+#: torch.nn.init.calculate_gain parity — per-activation Xavier gain
+XAVIER_GAINS: Dict[str, float] = {
+    "relu": math.sqrt(2.0),
+    "leaky_relu": math.sqrt(2.0 / (1.0 + 0.01 ** 2)),
+    "sigmoid": 1.0,
+    "tanh": 5.0 / 3.0,
+    "gelu": math.sqrt(2.0),
+    "silu": math.sqrt(2.0),
+    "elu": 1.0,
+    "identity": 1.0,
+    "linear": 1.0,
+    "softmax": 1.0,
+    "log_softmax": 1.0,
+}
+
+for _n, _f in ACTIVATION_FNS.items():
+    register(_n, _f)
+
+
+def get_activation(act: Union[None, str, Callable]) -> Optional[Callable]:
+    """Resolve an activation spec (name / callable / TaggedFactory / None)."""
+    if act is None:
+        return None
+    resolve = getattr(act, "resolve", None)
+    if resolve is not None:  # TaggedFactory from YAML
+        return resolve()
+    if callable(act) and not isinstance(act, str):
+        return act
+    return get_by_identifier(str(act))
+
+
+def get_gain(act: Union[None, str, Callable]) -> float:
+    """Xavier gain for an activation (reference ``get_gain_name``, nn.py:585-605)."""
+    if act is None:
+        return 1.0
+    name = act if isinstance(act, str) else getattr(act, "identifier", None) or getattr(act, "__name__", "")
+    name = str(name).rsplit(".", 1)[-1].lower()
+    # normalize lambda wrappers registered under canonical names
+    for known, fn in ACTIVATION_FNS.items():
+        if act is fn:
+            name = known
+            break
+    return XAVIER_GAINS.get(name, 1.0)
+
+
+def xavier_uniform_with_gain(gain: float = 1.0):
+    """Xavier/Glorot uniform initializer scaled by ``gain``.
+
+    Reference ``DeepcvModule._initialize_parameters`` applies
+    ``torch.nn.init.xavier_uniform_(w, gain=calculate_gain(act))``
+    (base_module.py:230-264). limit = gain * sqrt(6 / (fan_in + fan_out)).
+    """
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) >= 2:
+            receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+            fan_in = shape[-2] * receptive
+            fan_out = shape[-1] * receptive
+        else:
+            fan_in = fan_out = shape[0]
+        limit = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+    return init
+
+
+# --------------------------------------------------------------------------- #
+# Shape / padding helpers
+# --------------------------------------------------------------------------- #
+
+def get_padding_from_kernel(kernel_size: Sequence[int]) -> Tuple[int, ...]:
+    """'same'-padding from odd kernel sizes (reference nn.py:393-399)."""
+    if any(k % 2 == 0 for k in kernel_size):
+        raise ValueError(f"Cannot infer 'same' padding for even kernel {kernel_size}")
+    return tuple(k // 2 for k in kernel_size)
+
+
+def avg_pool_nd(x: jnp.ndarray, kernel_size, stride=None, padding=0) -> jnp.ndarray:
+    """N-d average pooling on channel-last tensors (reference avg_pooling_nd)."""
+    k = tuple(kernel_size) if isinstance(kernel_size, (tuple, list)) else (kernel_size,) * (x.ndim - 2)
+    s = tuple(stride) if isinstance(stride, (tuple, list)) else ((stride,) * len(k) if stride else k)
+    if isinstance(padding, int):
+        padding = ((padding, padding),) * len(k)
+    elif padding and isinstance(padding[0], int):
+        padding = tuple((p, p) for p in padding)
+    return fnn.avg_pool(x, window_shape=k, strides=s, padding=padding or "VALID")
+
+
+def max_pool_nd(x: jnp.ndarray, kernel_size, stride=None, padding=0) -> jnp.ndarray:
+    k = tuple(kernel_size) if isinstance(kernel_size, (tuple, list)) else (kernel_size,) * (x.ndim - 2)
+    s = tuple(stride) if isinstance(stride, (tuple, list)) else ((stride,) * len(k) if stride else k)
+    if isinstance(padding, int):
+        padding = ((padding, padding),) * len(k)
+    elif padding and isinstance(padding[0], int):
+        padding = tuple((p, p) for p in padding)
+    return fnn.max_pool(x, window_shape=k, strides=s, padding=padding or "VALID")
+
+
+def interpolate(x: jnp.ndarray, target_shape: Sequence[int],
+                method: str = "linear", align_corners: bool = False) -> jnp.ndarray:
+    """Resize spatial dims of a channel-last tensor to ``target_shape``.
+
+    Reference ``deepcv.meta.nn.interpolate`` (nn.py:665-676) auto-selected
+    linear/bilinear/trilinear by rank; jax.image.resize('linear') covers all
+    ranks. ``target_shape`` is the spatial shape only (no batch/channels).
+    """
+    target_shape = tuple(int(t) for t in target_shape)
+    if x.shape[1:-1] == target_shape:
+        return x
+    full = (x.shape[0], *target_shape, x.shape[-1])
+    return jax.image.resize(x, full, method=method)
+
+
+def get_model_capacity(params) -> int:
+    """Total trainable scalar count of a param pytree
+    (reference ``get_model_capacity``, nn.py:679-686)."""
+    if params is None:
+        return 0
+    leaves = jax.tree_util.tree_leaves(params)
+    return int(sum(np.prod(l.shape) for l in leaves if hasattr(l, "shape")))
+
+
+def get_out_features_shape(module, input_shape: Sequence[int], rng=None,
+                           has_batch_dim: bool = True) -> Tuple[int, ...]:
+    """Output shape of a flax module for a given input shape — via
+    ``jax.eval_shape`` (NO real forward; replaces the reference's dummy-tensor
+    forwards, nn.py:689-704)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    shape = tuple(input_shape) if has_batch_dim else (1, *input_shape)
+    x = jax.ShapeDtypeStruct(shape, jnp.float32)
+
+    def init_apply(x):
+        variables = module.init(rng, x)
+        return module.apply(variables, x)
+
+    out = jax.eval_shape(init_apply, x)
+    return tuple(out.shape)
+
+
+def ensure_mean_batch_loss(loss_values: jnp.ndarray) -> jnp.ndarray:
+    """Reduce any per-example / per-element loss tensor to a scalar mean
+    (reference ``ensure_mean_batch_loss``, nn.py:640-662)."""
+    return jnp.mean(loss_values)
+
+
+# --------------------------------------------------------------------------- #
+# Normalization techniques
+# --------------------------------------------------------------------------- #
+
+class NormTechnique:
+    """Normalization technique names (reference NormTechnique enum, nn.py:433-441)."""
+    BATCH_NORM = "batch_norm"
+    LAYER_NORM = "layer_norm"
+    INSTANCE_NORM = "instance_norm"
+    GROUP_NORM = "group_norm"
+    LOCAL_RESPONSE_NORM = "local_response_norm"
+    # LayerNorm with mean-only BatchNorm (reference 'layer_nrm_and_mean_batch_nrm')
+    LAYER_NRM_AND_MEAN_BATCH_NRM = "layer_nrm_and_mean_batch_nrm"
+
+    ALL = (BATCH_NORM, LAYER_NORM, INSTANCE_NORM, GROUP_NORM,
+           LOCAL_RESPONSE_NORM, LAYER_NRM_AND_MEAN_BATCH_NRM)
+
+
+class LocalResponseNorm(fnn.Module):
+    """AlexNet-style local response normalization across channels (last axis).
+
+    torch parity: ``torch.nn.LocalResponseNorm(size, alpha, beta, k)`` over the
+    channel dim; here channels are axis -1. Pure elementwise + windowed sum —
+    XLA fuses it entirely on the VPU.
+    """
+    size: int = 5
+    alpha: float = 1e-4
+    beta: float = 0.75
+    k: float = 1.0
+
+    @fnn.compact
+    def __call__(self, x):
+        sq = jnp.square(x)
+        c = x.shape[-1]
+        half = self.size // 2
+        # windowed sum over channel axis via padded cumulative trick
+        padded = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(half, self.size - 1 - half)])
+        csum = jnp.cumsum(padded, axis=-1)
+        zero = jnp.zeros_like(csum[..., :1])
+        csum = jnp.concatenate([zero, csum], axis=-1)
+        win = csum[..., self.size:] - csum[..., :-self.size]
+        win = win[..., :c]
+        denom = (self.k + (self.alpha / self.size) * win) ** self.beta
+        return x / denom
+
+
+class MeanOnlyBatchNorm(fnn.Module):
+    """Mean-only batch normalization (running-mean subtraction, no variance) —
+    half of the reference's 'layer_nrm_and_mean_batch_nrm' technique."""
+    momentum: float = 0.1
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+
+    @fnn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = fnn.merge_param("use_running_average",
+                                 self.use_running_average, use_running_average)
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        if use_ra:
+            mean = ra_mean.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name=self.axis_name)
+            if not self.is_initializing():
+                ra_mean.value = (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+        return x - mean.astype(x.dtype)
+
+
+def normalization_techniques(norm_specs: Mapping[str, Optional[Mapping[str, Any]]],
+                             dtype=None, axis_name: Optional[str] = None):
+    """Build the list of norm modules from spec dicts.
+
+    Reference ``normalization_techniques(_impl)`` (nn.py:433-516): accepts any
+    subset of {batch_norm, layer_norm, instance_norm, group_norm,
+    local_response_norm, layer_nrm_and_mean_batch_nrm} with torch-style kwargs;
+    feature counts are inferred lazily by flax (the reference inferred them via
+    dummy forwards). ``axis_name`` wires cross-replica (Sync) BatchNorm stats
+    through ``lax.pmean`` — the TPU-native SyncBatchNorm
+    (reference ignite_training.py:382-386).
+    """
+    mods = []
+    for tech, spec in (norm_specs or {}).items():
+        if spec is None or spec is False:
+            continue
+        spec = dict(spec) if isinstance(spec, Mapping) else {}
+        if tech == NormTechnique.BATCH_NORM:
+            mods.append(fnn.BatchNorm(
+                momentum=1.0 - float(spec.get("momentum", 0.1)),  # torch->flax momentum convention
+                epsilon=float(spec.get("eps", 1e-5)),
+                use_bias=bool(spec.get("affine", True)),
+                use_scale=bool(spec.get("affine", True)),
+                axis_name=axis_name, dtype=dtype))
+        elif tech == NormTechnique.LAYER_NORM:
+            mods.append(fnn.LayerNorm(
+                epsilon=float(spec.get("eps", 1e-5)),
+                use_bias=bool(spec.get("elementwise_affine", True)),
+                use_scale=bool(spec.get("elementwise_affine", True)),
+                dtype=dtype))
+        elif tech == NormTechnique.INSTANCE_NORM:
+            # instance norm == group norm with one group per channel
+            mods.append(fnn.GroupNorm(
+                num_groups=None, group_size=1,
+                epsilon=float(spec.get("eps", 1e-5)),
+                use_bias=bool(spec.get("affine", True)),
+                use_scale=bool(spec.get("affine", True)),
+                dtype=dtype))
+        elif tech == NormTechnique.GROUP_NORM:
+            mods.append(fnn.GroupNorm(
+                num_groups=int(spec.get("num_groups", 32)),
+                epsilon=float(spec.get("eps", 1e-5)),
+                use_bias=bool(spec.get("affine", True)),
+                use_scale=bool(spec.get("affine", True)),
+                dtype=dtype))
+        elif tech == NormTechnique.LOCAL_RESPONSE_NORM:
+            mods.append(LocalResponseNorm(
+                size=int(spec.get("size", 5)),
+                alpha=float(spec.get("alpha", 1e-4)),
+                beta=float(spec.get("beta", 0.75)),
+                k=float(spec.get("k", 1.0))))
+        elif tech == NormTechnique.LAYER_NRM_AND_MEAN_BATCH_NRM:
+            mods.append(MeanOnlyBatchNorm(
+                momentum=float(spec.get("momentum", 0.1)), axis_name=axis_name))
+            mods.append(fnn.LayerNorm(
+                epsilon=float(spec.get("eps", 1e-5)),
+                use_bias=bool(spec.get("elementwise_affine", True)),
+                use_scale=bool(spec.get("elementwise_affine", True)),
+                dtype=dtype))
+        else:
+            raise ValueError(f"Unknown normalization technique '{tech}'; "
+                             f"expected one of {NormTechnique.ALL}")
+    return mods
+
+
+_STATEFUL_NORMS = (fnn.BatchNorm, MeanOnlyBatchNorm)
+
+
+def _apply_norm(mod, x, train: bool):
+    if isinstance(mod, _STATEFUL_NORMS):
+        return mod(x, use_running_average=not train)
+    return mod(x)
+
+
+# --------------------------------------------------------------------------- #
+# The fused block unit: Layer
+# --------------------------------------------------------------------------- #
+
+class Layer(fnn.Module):
+    """The reference ``layer()`` unit (nn.py:519-554) as one flax module.
+
+    Post-activation (default): dropout -> op -> act -> norms
+    Pre-activation:            dropout -> norms -> act -> op
+
+    ``op`` is any flax module (Conv/Dense/...); ``norms`` comes from
+    :func:`normalization_techniques` specs. Under jit, XLA fuses the
+    elementwise act/dropout/norm-affine chain into the conv/matmul epilogue —
+    this single module is the unit the Pallas fused kernels specialize.
+    """
+    op: fnn.Module
+    act_fn: Optional[Callable] = None
+    dropout_prob: float = 0.0
+    preactivation: bool = False
+    norms: Sequence[fnn.Module] = ()
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.dropout_prob and self.dropout_prob > 0.0:
+            x = fnn.Dropout(rate=float(self.dropout_prob), deterministic=not train)(x)
+        def run_op(v):
+            # SpectralNorm-wrapped ops need power-iteration updates during training
+            if isinstance(self.op, fnn.SpectralNorm):
+                return self.op(v, update_stats=train)
+            return self.op(v)
+
+        if self.preactivation:
+            for m in self.norms:
+                x = _apply_norm(m, x, train)
+            if self.act_fn is not None:
+                x = self.act_fn(x)
+            x = run_op(x)
+        else:
+            x = run_op(x)
+            if self.act_fn is not None:
+                x = self.act_fn(x)
+            for m in self.norms:
+                x = _apply_norm(m, x, train)
+        return x
+
+
+# --------------------------------------------------------------------------- #
+# Small modules
+# --------------------------------------------------------------------------- #
+
+class Identity(fnn.Module):
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return x
+
+
+class Flatten(fnn.Module):
+    """Flatten all non-batch dims (torch.nn.Flatten parity)."""
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return x.reshape((x.shape[0], -1))
+
+
+class MultiHeadConcat(fnn.Module):
+    """Apply N head modules to the same input and concat along ``axis``
+    (reference ``multi_head_forward``/``MultiHeadConcat``, nn.py:300-316)."""
+    heads: Sequence[fnn.Module]
+    axis: int = -1
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        outs = [h(x) for h in self.heads]
+        return jnp.concatenate(outs, axis=self.axis)
+
+
+def func_to_module(fn: Callable, name: Optional[str] = None):
+    """Wrap a pure function into a flax module class
+    (reference ``func_to_module``, nn.py:197-264 — signature surgery replaced
+    by closure capture; kwargs become module attributes via functools.partial).
+    """
+    class _FnModule(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, *, train: bool = False):
+            return fn(x)
+
+    _FnModule.__name__ = name or getattr(fn, "__name__", "FnModule")
+    return _FnModule
+
+
+# --------------------------------------------------------------------------- #
+# CoordConv (euclidean + Hilbert) — reference nn.py:319-390
+# --------------------------------------------------------------------------- #
+
+def concat_coords_maps(x: jnp.ndarray, channel_dim: int = -1) -> jnp.ndarray:
+    """Append normalized [-1, 1] coordinate maps, one per spatial dim
+    (CoordConv, arXiv:1807.03247; reference ``concat_coords_maps``)."""
+    spatial = x.shape[1:-1]
+    coords = []
+    for d, size in enumerate(spatial):
+        ramp = jnp.linspace(-1.0, 1.0, size, dtype=x.dtype) if size > 1 else jnp.zeros((1,), x.dtype)
+        shape = [1] * x.ndim
+        shape[1 + d] = size
+        ramp = ramp.reshape(shape)
+        ramp = jnp.broadcast_to(ramp, (x.shape[0], *spatial, 1))
+        coords.append(ramp)
+    return jnp.concatenate([x, *coords], axis=-1)
+
+
+def _hilbert_d2xy_map(order: int) -> np.ndarray:
+    """(2^order, 2^order) map of normalized Hilbert-curve distance per pixel.
+
+    Host-side (numpy) construction, embedded as a constant in the jitted graph.
+    Replaces the reference's `hilbertcurve` package dependency.
+    """
+    n = 1 << order
+    dist = np.zeros((n, n), dtype=np.int64)
+    for y in range(n):
+        for x in range(n):
+            rx = ry = 0
+            d = 0
+            xx, yy = x, y
+            s = n // 2
+            while s > 0:
+                rx = 1 if (xx & s) > 0 else 0
+                ry = 1 if (yy & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                # rotate
+                if ry == 0:
+                    if rx == 1:
+                        xx = s - 1 - xx
+                        yy = s - 1 - yy
+                    xx, yy = yy, xx
+                s //= 2
+            dist[y, x] = d
+    return dist.astype(np.float32) / float(n * n - 1)
+
+
+_HILBERT_CACHE: Dict[int, np.ndarray] = {}
+
+
+def concat_hilbert_coords_map(x: jnp.ndarray) -> jnp.ndarray:
+    """Append ONE channel holding normalized Hilbert-curve distance
+    (reference ``concat_hilbert_coords_map``, nn.py:319-390). Requires 2D
+    spatial dims; the map is computed for the smallest 2^k grid covering the
+    image then cropped."""
+    if x.ndim != 4:
+        raise ValueError(f"Hilbert coords require NHWC images, got shape {x.shape}")
+    h, w = x.shape[1], x.shape[2]
+    order = max(1, int(math.ceil(math.log2(max(h, w)))))
+    if order not in _HILBERT_CACHE:
+        _HILBERT_CACHE[order] = _hilbert_d2xy_map(order)
+    m = jnp.asarray(_HILBERT_CACHE[order][:h, :w], dtype=x.dtype)
+    m = jnp.broadcast_to(m[None, :, :, None], (x.shape[0], h, w, 1))
+    return jnp.concatenate([x, m], axis=-1)
+
+
+class ConcatCoords(fnn.Module):
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return concat_coords_maps(x)
+
+
+class ConcatHilbertCoords(fnn.Module):
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return concat_hilbert_coords_map(x)
+
+
+register("flatten", Flatten)
+register("identity_module", Identity)
+register("concat_coords_module", ConcatCoords)
+register("concat_hilbert_coords_module", ConcatHilbertCoords)

@@ -1,0 +1,423 @@
+"""Submodule-creator registry + built-in creators.
+
+Reference parity: /root/reference/src/deepcv/meta/submodule_creators.py.
+A *creator* maps a YAML spec entry (name + params) to either:
+  * a flax module (conv/linear/pool/... — usually wrapped in
+    :class:`deepcv_tpu.ops.nn.Layer`), or
+  * a :class:`ForwardCallback` — a pure function over (current tensor,
+    referenced submodule outputs); the mechanism behind residual/dense links,
+    tensor selection and new branches (reference ForwardCallbackSubmodule,
+    submodule_creators.py:85-128).
+
+Global-vs-local param merge: hp entries named in a creator's
+``global_keys`` (act_fn, dropout_prob, preactivation + every norm technique)
+are auto-forwarded to the creator, local spec params win
+(reference nn_spec.py:115-118, 172-182).
+
+Reference public-name typos (``transosed_conv2d``) are registered as aliases
+of the corrected names (SURVEY §8 API-surface decision).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from deepcv_tpu.ops import nn as dnn
+from deepcv_tpu.spec.tokens import YamlTokens
+from deepcv_tpu.utils import parse_slice
+
+__all__ = [
+    "CreatorContext", "ForwardCallback", "submodule_creator", "get_creator",
+    "BASIC_SUBMODULE_CREATORS", "TENSOR_REDUCTION_FNS", "get_reduction_fn",
+    "AvgPool", "MaxPool", "creator_global_keys",
+]
+
+# --------------------------------------------------------------------------- #
+# Reductions (reference submodule_creators.py:43-79)
+# --------------------------------------------------------------------------- #
+
+def _reduce_concat(tensors: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
+    return jnp.concatenate(list(tensors), axis=axis)
+
+
+def _reduce_sum(tensors: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    out = tensors[0]
+    for t in tensors[1:]:
+        out = out + t
+    return out
+
+
+def _reduce_mean(tensors: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    return _reduce_sum(tensors) / float(len(tensors))
+
+
+def _reduce_none(tensors: Sequence[jnp.ndarray]):
+    return list(tensors)
+
+
+TENSOR_REDUCTION_FNS: Dict[str, Callable] = {
+    "concat": _reduce_concat,
+    "sum": _reduce_sum,
+    "mean": _reduce_mean,
+    "none": _reduce_none,
+}
+
+
+def get_reduction_fn(name_or_fn: Union[str, Callable, None], default: str = "concat") -> Callable:
+    if name_or_fn is None:
+        name_or_fn = default
+    if callable(name_or_fn):
+        return name_or_fn
+    if name_or_fn not in TENSOR_REDUCTION_FNS:
+        raise ValueError(f"Unknown reduction '{name_or_fn}', expected {list(TENSOR_REDUCTION_FNS)}")
+    return TENSOR_REDUCTION_FNS[name_or_fn]
+
+
+# --------------------------------------------------------------------------- #
+# Creator protocol
+# --------------------------------------------------------------------------- #
+
+@dataclasses.dataclass
+class CreatorContext:
+    """Build-time context handed to creators (reference 'special args'
+    SUBM_CREATOR_SPECIAL_ARGS, base_module.py:74 — shapes are NOT needed here
+    because flax infers input features lazily)."""
+    hp: Mapping[str, Any]                      # global model hyperparameters
+    dtype: Any = None                          # compute dtype (None => float32)
+    param_dtype: Any = jnp.float32
+    axis_name: Optional[str] = None            # data-parallel axis for sync BN
+    submodule_names: Tuple[str, ...] = ()      # names defined so far
+    nas_mode: str = "fixed"                    # 'fixed' | 'supernet'
+    nas_arch: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    conv_spatial_rank: int = 2                 # inferred from input rank by DeepcvModule
+    # global weight reparameterizations (reference base_module.py:106-111):
+    weight_norm: Optional[Mapping[str, Any]] = None
+    spectral_norm: Optional[Mapping[str, Any]] = None
+
+
+@dataclasses.dataclass
+class ForwardCallback:
+    """A parameter-free graph node applied to (x, referenced outputs).
+
+    ``fn(x, refs) -> tensor-or-list``. ``uses_current=False`` means x is
+    ignored (``_new_branch_from_tensor``). ``apply_in_parallel`` zips the
+    callback over parallel streams (HRNet multi-stream links,
+    conf/base/parameters.yml:64-76).
+    """
+    fn: Callable[[Any, List[jnp.ndarray]], Any]
+    referenced_submodules: Tuple[str, ...] = ()
+    uses_current: bool = True
+    apply_in_parallel: bool = False
+    input_choice: Optional[Dict[str, Any]] = None  # NAS input choice spec
+
+    def __call__(self, x, refs):
+        if self.apply_in_parallel and isinstance(x, (list, tuple)):
+            streams = []
+            for i, xi in enumerate(x):
+                refs_i = [r[i] if isinstance(r, (list, tuple)) else r for r in refs]
+                streams.append(self.fn(xi, refs_i))
+            return streams
+        return self.fn(x, refs)
+
+
+#: global hp keys auto-forwarded to layer-producing creators
+GLOBAL_LAYER_KEYS = ("act_fn", "dropout_prob", "preactivation") + dnn.NormTechnique.ALL
+
+_CREATORS: Dict[str, Dict[str, Any]] = {}
+
+
+def submodule_creator(name: str, *, aliases: Sequence[str] = (),
+                      global_keys: Sequence[str] = (),
+                      allowed: Optional[Sequence[str]] = None,
+                      required: Sequence[str] = ()):
+    """Register a submodule creator (reference ``submodule_creator_dec``,
+    submodule_creators.py:133-160, incl. allowed/required param validation)."""
+    def dec(fn):
+        entry = {"fn": fn, "global_keys": tuple(global_keys),
+                 "allowed": tuple(allowed) if allowed is not None else None,
+                 "required": tuple(required)}
+        _CREATORS[name] = entry
+        for a in aliases:
+            _CREATORS[a] = entry
+        return fn
+    return dec
+
+
+def get_creator(name: str) -> Optional[Dict[str, Any]]:
+    return _CREATORS.get(name)
+
+
+def creator_global_keys(name: str) -> Tuple[str, ...]:
+    e = _CREATORS.get(name)
+    return e["global_keys"] if e else ()
+
+
+def check_creator_params(name: str, params: Mapping[str, Any]):
+    """Validate spec params against the creator's allowed/required sets
+    (reference ``_check_submodule_params``, submodule_creators.py:146-158)."""
+    e = _CREATORS[name]
+    keys = {k for k in params if not k.startswith("_")}
+    if e["allowed"] is not None:
+        extra = keys - set(e["allowed"]) - set(e["global_keys"])
+        if extra:
+            raise ValueError(f"Submodule creator '{name}': unexpected param(s) {sorted(extra)}; "
+                             f"allowed: {sorted(set(e['allowed']) | set(e['global_keys']))}")
+    missing = [k for k in e["required"] if params.get(k, None) is None]
+    if missing:
+        raise ValueError(f"Submodule creator '{name}': missing required param(s) {missing}")
+
+
+BASIC_SUBMODULE_CREATORS = _CREATORS  # reference name parity
+
+
+# --------------------------------------------------------------------------- #
+# Pooling modules
+# --------------------------------------------------------------------------- #
+
+class AvgPool(fnn.Module):
+    kernel_size: Tuple[int, ...] = (2, 2)
+    stride: Optional[Tuple[int, ...]] = None
+    padding: Any = 0
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return dnn.avg_pool_nd(x, self.kernel_size, self.stride, self.padding)
+
+
+class MaxPool(fnn.Module):
+    kernel_size: Tuple[int, ...] = (2, 2)
+    stride: Optional[Tuple[int, ...]] = None
+    padding: Any = 0
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return dnn.max_pool_nd(x, self.kernel_size, self.stride, self.padding)
+
+
+# --------------------------------------------------------------------------- #
+# Layer-unit creator helpers
+# --------------------------------------------------------------------------- #
+
+def _norm_specs_from_params(params: Mapping[str, Any]) -> Dict[str, Any]:
+    return {t: params[t] for t in dnn.NormTechnique.ALL
+            if params.get(t) not in (None, False) and t in params}
+
+
+def _as_layer(op: fnn.Module, params: Mapping[str, Any], ctx: CreatorContext,
+              name: Optional[str] = None) -> fnn.Module:
+    """Wrap an op into the reference ``layer()`` unit with act/norm/dropout.
+
+    Global weight reparameterizations (hp 'spectral_norm' / 'weight_norm',
+    reference base_module.py:106-111) wrap the op's weights.
+    """
+    if ctx.spectral_norm:
+        sn = dict(ctx.spectral_norm)
+        op = fnn.SpectralNorm(op, n_steps=int(sn.get("n_power_iterations", 1)),
+                              epsilon=float(sn.get("eps", 1e-12)),
+                              error_on_non_matrix=False)
+    elif ctx.weight_norm:
+        wn = dict(ctx.weight_norm)
+        op = fnn.WeightNorm(op, epsilon=float(wn.get("eps", 1e-12)))
+    act = dnn.get_activation(params.get("act_fn"))
+    return dnn.Layer(
+        op=op, act_fn=act,
+        dropout_prob=float(params.get("dropout_prob") or 0.0),
+        preactivation=bool(params.get("preactivation", False)),
+        norms=tuple(dnn.normalization_techniques(
+            _norm_specs_from_params(params), dtype=ctx.dtype, axis_name=ctx.axis_name)),
+        name=name)
+
+
+def _conv_common(params: Mapping[str, Any], rank: int):
+    ks = params["kernel_size"]
+    ks = tuple(ks) if isinstance(ks, (list, tuple)) else (int(ks),) * rank
+    strides = params.get("stride", params.get("strides", 1))
+    strides = tuple(strides) if isinstance(strides, (list, tuple)) else (int(strides),) * len(ks)
+    pad = params.get("padding", None)
+    if pad is None:
+        pad = dnn.get_padding_from_kernel(ks)  # auto 'same' (reference :246-247)
+    if isinstance(pad, str):
+        padding = pad.upper()
+    else:
+        pads = tuple(pad) if isinstance(pad, (list, tuple)) else (int(pad),) * len(ks)
+        padding = tuple((int(p), int(p)) for p in pads)
+    dilation = params.get("dilation", 1)
+    dilation = tuple(dilation) if isinstance(dilation, (list, tuple)) else (int(dilation),) * len(ks)
+    return ks, strides, padding, dilation
+
+
+_CONV_ALLOWED = ("kernel_size", "out_channels", "padding", "stride", "strides",
+                 "dilation", "groups", "use_bias", "bias")
+
+
+def _make_conv_creator(rank: int, transpose: bool):
+    def creator(params: Mapping[str, Any], ctx: CreatorContext, name: str) -> fnn.Module:
+        ks, strides, padding, dilation = _conv_common(params, rank)
+        gain = dnn.get_gain(params.get("act_fn"))
+        kinit = dnn.xavier_uniform_with_gain(gain)
+        common = dict(features=int(params["out_channels"]), kernel_size=ks,
+                      strides=strides, padding=padding,
+                      use_bias=bool(params.get("use_bias", params.get("bias", True))),
+                      dtype=ctx.dtype, param_dtype=ctx.param_dtype, kernel_init=kinit,
+                      name=f"{name}_op")
+        if transpose:
+            op = fnn.ConvTranspose(kernel_dilation=dilation, **common)
+        else:
+            op = fnn.Conv(kernel_dilation=dilation,
+                          feature_group_count=int(params.get("groups", 1)), **common)
+        return _as_layer(op, params, ctx, name=name)
+    return creator
+
+
+for _r in (1, 2, 3):
+    submodule_creator(f"conv{_r}d", global_keys=GLOBAL_LAYER_KEYS,
+                      allowed=_CONV_ALLOWED, required=("kernel_size", "out_channels"),
+                      )(_make_conv_creator(_r, transpose=False))
+    # corrected spelling + reference-typo alias ('transosed_convNd',
+    # submodule_creators.py:265-267)
+    submodule_creator(f"transposed_conv{_r}d",
+                      aliases=(f"transosed_conv{_r}d", f"conv_transpose{_r}d"),
+                      global_keys=GLOBAL_LAYER_KEYS,
+                      allowed=_CONV_ALLOWED, required=("kernel_size", "out_channels"),
+                      )(_make_conv_creator(_r, transpose=True))
+
+
+@submodule_creator("fully_connected", aliases=("linear",), global_keys=GLOBAL_LAYER_KEYS,
+                   allowed=("out_features", "use_bias", "bias", "flatten_input"))
+def _fully_connected(params: Mapping[str, Any], ctx: CreatorContext, name: str) -> fnn.Module:
+    out_features = params.get("out_features")
+    if out_features is None:
+        raise ValueError(
+            f"Submodule '{name}' (fully_connected): 'out_features' unresolved. Task pipelines "
+            "inject it from dataset metadata (reference classification/image.py:40-53); "
+            "set it explicitly for standalone use.")
+    gain = dnn.get_gain(params.get("act_fn"))
+    op = fnn.Dense(features=int(out_features),
+                   use_bias=bool(params.get("use_bias", params.get("bias", True))),
+                   dtype=ctx.dtype, param_dtype=ctx.param_dtype,
+                   kernel_init=dnn.xavier_uniform_with_gain(gain), name=f"{name}_op")
+    return _as_layer(op, params, ctx, name=name)
+
+
+def _pool_params(params):
+    ks = tuple(params["kernel_size"])
+    stride = params.get("stride")
+    stride = tuple(stride) if stride is not None else None
+    return ks, stride, params.get("padding", 0)
+
+
+@submodule_creator("average_pooling", aliases=("avg_pooling", "avg_pool"),
+                   allowed=("kernel_size", "stride", "padding"), required=("kernel_size",))
+def _avg_pooling(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    ks, stride, pad = _pool_params(params)
+    return AvgPool(kernel_size=ks, stride=stride, padding=pad, name=name)
+
+
+@submodule_creator("max_pooling", aliases=("max_pool",),
+                   allowed=("kernel_size", "stride", "padding"), required=("kernel_size",))
+def _max_pooling(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    ks, stride, pad = _pool_params(params)
+    return MaxPool(kernel_size=ks, stride=stride, padding=pad, name=name)
+
+
+@submodule_creator("flatten", allowed=())
+def _flatten(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    return dnn.Flatten(name=name)
+
+
+@submodule_creator("concat_coords", allowed=())
+def _concat_coords(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    return dnn.ConcatCoords(name=name)
+
+
+@submodule_creator("concat_hilbert_coords", allowed=())
+def _concat_hilbert(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    return dnn.ConcatHilbertCoords(name=name)
+
+
+# --------------------------------------------------------------------------- #
+# Callback creators: links, reduce, select, new-branch
+# --------------------------------------------------------------------------- #
+
+def _maybe_rescale(ref: jnp.ndarray, like: jnp.ndarray, allow_scaling: bool,
+                   name: str) -> jnp.ndarray:
+    if ref.shape[1:-1] != like.shape[1:-1]:
+        if not allow_scaling:
+            raise ValueError(
+                f"Link '{name}': referenced output spatial shape {ref.shape[1:-1]} != current "
+                f"{like.shape[1:-1]} and allow_scaling=False (reference submodule_creators.py:300-323)")
+        ref = dnn.interpolate(ref, like.shape[1:-1])
+    return ref
+
+
+@submodule_creator("residual_link", aliases=("add_link",),
+                   allowed=("allow_scaling", "reduction", "apply_in_parallel",
+                            "scaling_mode", YamlTokens.FROM, YamlTokens.FROM_NAS_INPUT_CHOICE))
+def _residual_link(params, ctx: CreatorContext, name: str) -> ForwardCallback:
+    allow_scaling = bool(params.get("allow_scaling", False))
+    reduction = get_reduction_fn(params.get("reduction"), default="sum")
+
+    def fn(x, refs):
+        refs = [_maybe_rescale(r, x, allow_scaling, name) for r in refs]
+        combined = reduction(refs) if len(refs) > 1 else refs[0]
+        return x + combined.astype(x.dtype)
+
+    return ForwardCallback(fn=fn, apply_in_parallel=bool(params.get("apply_in_parallel", False)))
+
+
+@submodule_creator("dense_link", aliases=("concat_link",),
+                   allowed=("allow_scaling", "reduction", "apply_in_parallel",
+                            "scaling_mode", YamlTokens.FROM, YamlTokens.FROM_NAS_INPUT_CHOICE))
+def _dense_link(params, ctx: CreatorContext, name: str) -> ForwardCallback:
+    allow_scaling = bool(params.get("allow_scaling", False))
+
+    def fn(x, refs):
+        refs = [_maybe_rescale(r, x, allow_scaling, name).astype(x.dtype) for r in refs]
+        return jnp.concatenate([x, *refs], axis=-1)
+
+    return ForwardCallback(fn=fn, apply_in_parallel=bool(params.get("apply_in_parallel", False)))
+
+
+@submodule_creator(YamlTokens.NEW_BRANCH_FROM_TENSOR, aliases=("new_branch_from_tensor",),
+                   allowed=("reduction", YamlTokens.FROM, YamlTokens.FROM_NAS_INPUT_CHOICE))
+def _new_branch(params, ctx: CreatorContext, name: str) -> ForwardCallback:
+    """Start a new branch from referenced output(s), discarding current tensor
+    (reference submodule_creators.py:203-224; used for siamese branches,
+    parameters.yml:47)."""
+    reduction = get_reduction_fn(params.get("reduction"), default="none")
+
+    def fn(x, refs):
+        out = reduction(refs) if len(refs) > 1 else refs[0]
+        return out
+
+    return ForwardCallback(fn=fn, uses_current=False)
+
+
+@submodule_creator("reduce", allowed=("reduction",), required=("reduction",))
+def _reduce(params, ctx: CreatorContext, name: str) -> ForwardCallback:
+    reduction = get_reduction_fn(params["reduction"])
+
+    def fn(x, refs):
+        tensors = list(x) if isinstance(x, (list, tuple)) else [x]
+        return reduction(tensors)
+
+    return ForwardCallback(fn=fn)
+
+
+@submodule_creator("select_tensor", allowed=("slice", "index"))
+def _select_tensor(params, ctx: CreatorContext, name: str) -> ForwardCallback:
+    """Select a slice of the current tensor list
+    (reference submodule_creators.py:189-200)."""
+    sl = parse_slice(params.get("slice", params.get("index", ":")))
+
+    def fn(x, refs):
+        if not isinstance(x, (list, tuple)):
+            x = [x]
+        out = list(x)[sl]
+        return out[0] if len(out) == 1 else out
+
+    return ForwardCallback(fn=fn)

@@ -1,0 +1,22 @@
+"""Test configuration: force CPU backend with 8 virtual devices so
+multi-device sharding tests run anywhere (SURVEY §4: CPU-simulated
+multi-device tests)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture()
+def rng():
+    return jax.random.PRNGKey(0)
