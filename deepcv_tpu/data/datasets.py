@@ -1,0 +1,293 @@
+"""Datasets: array-backed datasets, loaders, splits, torch-dataset adapter.
+
+Reference parity: /root/reference/src/deepcv/meta/data/datasets.py
+(``PytorchDataset`` Kedro adapter :30-73, ``get_random_subset_dataloader``
+:118-129) and ``split_dataset``
+(/root/reference/src/deepcv/meta/data/preprocess.py:181-215).
+
+TPU-first design: datasets are materialized ONCE into contiguous numpy
+arrays (NHWC uint8 images + int labels). Vision datasets at DeepCV's scale
+(CIFAR/MNIST/ImageNet-crops) stream best as large array slices — per-item
+Dataset.__getitem__ churn (the reference's DataLoader worker model) is the
+throughput bottleneck SURVEY flags as hot-loop #2.
+"""
+from __future__ import annotations
+
+import hashlib
+import inspect
+import logging
+import pickle
+from pathlib import Path
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from deepcv_tpu.utils import get_by_identifier, register
+
+__all__ = ["ArrayDataset", "load_dataset", "split_dataset", "get_random_subset",
+           "TorchDatasetAdapter", "DATASET_LOADERS"]
+
+_logger = logging.getLogger(__name__)
+
+DEFAULT_DATA_ROOT = Path("data/01_raw")
+
+
+class ArrayDataset:
+    """In-memory dataset: images (N, H, W, C) uint8/float + targets (N, ...).
+
+    ``classes`` carries label names for classifier-head sizing
+    (reference create_model reads ``dataset.classes``,
+    classification/image.py:40-53).
+    """
+
+    def __init__(self, images: np.ndarray, targets: np.ndarray,
+                 classes: Optional[Sequence[str]] = None, name: str = "dataset"):
+        if len(images) != len(targets):
+            raise ValueError(f"images/targets length mismatch: {len(images)} vs {len(targets)}")
+        self.images = images
+        self.targets = targets
+        self.classes = list(classes) if classes is not None else None
+        self.name = name
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        return self.images[idx], self.targets[idx]
+
+    @property
+    def image_shape(self) -> Tuple[int, ...]:
+        return tuple(self.images.shape[1:])
+
+    @property
+    def num_classes(self) -> Optional[int]:
+        if self.classes is not None:
+            return len(self.classes)
+        if np.issubdtype(self.targets.dtype, np.integer):
+            return int(self.targets.max()) + 1
+        return None
+
+    def subset(self, indices: np.ndarray, name: Optional[str] = None) -> "ArrayDataset":
+        return ArrayDataset(self.images[indices], self.targets[indices],
+                            classes=self.classes, name=name or f"{self.name}_subset")
+
+    def __repr__(self):
+        return (f"ArrayDataset({self.name}, n={len(self)}, "
+                f"image_shape={self.image_shape}, classes={self.num_classes})")
+
+
+# --------------------------------------------------------------------------- #
+# Built-in loaders (catalog parity: conf/base/catalog.yml CIFAR10/100 entries)
+# --------------------------------------------------------------------------- #
+
+DATASET_LOADERS: Dict[str, Callable] = {}
+
+
+def _dataset_loader(name: str):
+    def dec(fn):
+        DATASET_LOADERS[name] = fn
+        register(f"dataset:{name}", fn)
+        return fn
+    return dec
+
+
+def _npz_cache(root: Path, key: str) -> Path:
+    root.mkdir(parents=True, exist_ok=True)
+    return root / f"{key}.npz"
+
+
+#: canonical shapes for the synthetic fallback (no-egress environments)
+_KNOWN_SHAPES = {
+    "cifar10": ((32, 32, 3), 10, 50000, 10000),
+    "cifar100": ((32, 32, 3), 100, 50000, 10000),
+    "mnist": ((28, 28, 1), 10, 60000, 10000),
+    "fashion_mnist": ((28, 28, 1), 10, 60000, 10000),
+}
+
+
+def _synthetic_like(name: str, train: bool) -> ArrayDataset:
+    shape, ncls, ntrain, ntest = _KNOWN_SHAPES[name]
+    n = ntrain if train else ntest
+    rng = np.random.default_rng(abs(hash(name)) % (2 ** 31) + (0 if train else 1))
+    # structured synthetic images (class-dependent gradients + noise) so
+    # accuracy is learnable and benchmarks exercise realistic entropy
+    targets = rng.integers(0, ncls, size=(n,)).astype(np.int64)
+    base = rng.integers(0, 256, size=(ncls, *shape), dtype=np.uint8)
+    noise = rng.integers(0, 64, size=(n, *shape), dtype=np.uint8)
+    images = np.clip(base[targets].astype(np.int16) + noise - 32, 0, 255).astype(np.uint8)
+    return ArrayDataset(images, targets, classes=[str(i) for i in range(ncls)],
+                        name=f"{name}_{'train' if train else 'test'}_synthetic")
+
+
+def _load_torchvision(name: str, root: Path, train: bool) -> ArrayDataset:
+    """Materialize a torchvision dataset to NHWC uint8 numpy, cached as .npz.
+
+    torch/torchvision are used only for dataset download/decode on the host;
+    nothing torch crosses into the compute path. In environments without
+    torchvision or network egress this falls back to a deterministic
+    CIFAR/MNIST-shaped synthetic dataset (clearly named *_synthetic).
+    """
+    cache = _npz_cache(root, f"{name}_{'train' if train else 'test'}")
+    if cache.exists():
+        z = np.load(cache, allow_pickle=True)
+        return ArrayDataset(z["images"], z["targets"],
+                            classes=list(z["classes"]) if "classes" in z else None,
+                            name=f"{name}_{'train' if train else 'test'}")
+    try:
+        import torchvision
+        cls = {"cifar10": torchvision.datasets.CIFAR10,
+               "cifar100": torchvision.datasets.CIFAR100,
+               "mnist": torchvision.datasets.MNIST,
+               "fashion_mnist": torchvision.datasets.FashionMNIST}[name]
+        ds = cls(root=str(root), train=train, download=True)
+    except Exception as e:  # no torchvision / no network
+        _logger.warning("Cannot load real %s (%s); using synthetic fallback", name, e)
+        syn_cache = _npz_cache(root, f"{name}_{'train' if train else 'test'}_synthetic")
+        if syn_cache.exists():
+            z = np.load(syn_cache, allow_pickle=True)
+            return ArrayDataset(z["images"], z["targets"], classes=list(z["classes"]),
+                                name=f"{name}_{'train' if train else 'test'}_synthetic")
+        ds = _synthetic_like(name, train)
+        np.savez(syn_cache, images=ds.images, targets=ds.targets,
+                 classes=np.asarray(ds.classes))
+        return ds
+    if hasattr(ds, "data"):
+        images = np.asarray(ds.data)
+        if images.ndim == 3:  # MNIST (N, H, W) -> (N, H, W, 1)
+            images = images[..., None]
+        targets = np.asarray(ds.targets)
+    else:  # pragma: no cover
+        pairs = [(np.asarray(img), t) for img, t in ds]
+        images = np.stack([p[0] for p in pairs])
+        targets = np.asarray([p[1] for p in pairs])
+    classes = list(getattr(ds, "classes", [])) or None
+    np.savez_compressed(cache, images=images, targets=targets,
+                        classes=np.asarray(classes if classes else []))
+    return ArrayDataset(images.astype(np.uint8), targets, classes=classes,
+                        name=f"{name}_{'train' if train else 'test'}")
+
+
+for _n in ("cifar10", "cifar100", "mnist", "fashion_mnist"):
+    _dataset_loader(_n)(lambda root=None, train=True, _n=_n, **kw:
+                        _load_torchvision(_n, Path(root or DEFAULT_DATA_ROOT), train))
+
+
+@_dataset_loader("synthetic")
+def _synthetic(root=None, train=True, n: int = 512, image_shape=(32, 32, 3),
+               num_classes: int = 10, seed: int = 0, **kw) -> ArrayDataset:
+    """Deterministic synthetic dataset for tests/benchmarks (no download)."""
+    rng = np.random.default_rng(seed + (0 if train else 1))
+    images = rng.integers(0, 256, size=(n, *image_shape), dtype=np.uint8)
+    targets = rng.integers(0, num_classes, size=(n,)).astype(np.int32)
+    return ArrayDataset(images, targets,
+                        classes=[str(i) for i in range(num_classes)],
+                        name=f"synthetic_{'train' if train else 'test'}")
+
+
+def load_dataset(name_or_spec: Union[str, Mapping[str, Any]],
+                 root: Optional[Union[str, Path]] = None, train: bool = True,
+                 **kwargs) -> ArrayDataset:
+    """Load a dataset by registered name or catalog-entry spec.
+
+    Catalog-entry form (catalog.yml parity): ``{"type": <name-or-tag>,
+    "dataset_kwargs": {...}}``.
+    """
+    if isinstance(name_or_spec, Mapping):
+        spec = dict(name_or_spec)
+        t = spec.get("type", spec.get("dataset"))
+        kwargs = {**spec.get("dataset_kwargs", {}), **kwargs}
+        ident = getattr(t, "identifier", t)
+        name_or_spec = str(ident).rsplit(".", 1)[-1].lower()
+    name = str(name_or_spec).lower()
+    if name in DATASET_LOADERS:
+        return DATASET_LOADERS[name](root=root, train=train, **kwargs)
+    return TorchDatasetAdapter(name_or_spec, root=root, train=train, **kwargs).load()
+
+
+class TorchDatasetAdapter:
+    """Instantiate any torch ``Dataset`` by identifier and materialize it
+    (reference ``PytorchDataset`` Kedro adapter, datasets.py:30-73, incl.
+    ctor-signature kwarg validation)."""
+
+    def __init__(self, identifier: Union[str, type], root=None, train: bool = True,
+                 **dataset_kwargs):
+        if isinstance(identifier, str):
+            try:
+                import torchvision  # allowlisted host-side import
+            except ImportError as e:
+                raise ImportError(
+                    "TorchDatasetAdapter needs torchvision, which is not installed "
+                    "in this environment; use a registered loader (load_dataset) "
+                    "or pass arrays directly via ArrayDataset.") from e
+            if identifier.startswith("torchvision.datasets."):
+                identifier = getattr(torchvision.datasets, identifier.rsplit(".", 1)[-1])
+            else:
+                raise ValueError(
+                    f"TorchDatasetAdapter only instantiates torchvision.datasets.* "
+                    f"types by string (got '{identifier}'); pass the class directly "
+                    f"otherwise.")
+        self.dataset_type = identifier
+        sig = inspect.signature(identifier.__init__)
+        valid = set(sig.parameters) - {"self"}
+        kwargs = dict(dataset_kwargs)
+        if root is not None and "root" in valid:
+            kwargs.setdefault("root", str(root))
+        if "train" in valid:
+            kwargs.setdefault("train", train)
+        if "download" in valid:
+            kwargs.setdefault("download", True)
+        unknown = set(kwargs) - valid
+        if unknown and "kwargs" not in sig.parameters:
+            raise ValueError(f"Invalid kwargs for {identifier.__name__}: {sorted(unknown)}; "
+                             f"ctor accepts {sorted(valid)}")
+        self.kwargs = kwargs
+
+    def load(self) -> ArrayDataset:
+        ds = self.dataset_type(**self.kwargs)
+        images, targets = [], []
+        for img, t in ds:
+            images.append(np.asarray(img))
+            targets.append(t)
+        images = np.stack(images)
+        if images.ndim == 3:
+            images = images[..., None]
+        return ArrayDataset(images, np.asarray(targets),
+                            classes=list(getattr(ds, "classes", [])) or None,
+                            name=self.dataset_type.__name__.lower())
+
+
+# --------------------------------------------------------------------------- #
+# Splits & subsets
+# --------------------------------------------------------------------------- #
+
+def split_dataset(trainset: ArrayDataset, testset: Optional[ArrayDataset] = None,
+                  validset_ratio: float = 0.2, testset_ratio: float = 0.0,
+                  seed: int = 434546) -> Dict[str, ArrayDataset]:
+    """Deterministic train/valid[/test] split by ratios
+    (reference preprocess.py:181-215: testset_ratio ignored when a testset
+    already exists)."""
+    n = len(trainset)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_valid = int(round(validset_ratio * n))
+    n_test = 0 if testset is not None else int(round(testset_ratio * n))
+    out: Dict[str, ArrayDataset] = {}
+    cursor = 0
+    if n_test:
+        out["testset"] = trainset.subset(perm[:n_test], name="testset")
+        cursor = n_test
+    if testset is not None:
+        out["testset"] = testset
+    out["validset"] = trainset.subset(perm[cursor:cursor + n_valid], name="validset")
+    out["trainset"] = trainset.subset(perm[cursor + n_valid:], name="trainset")
+    return out
+
+
+def get_random_subset(dataset: ArrayDataset, size: Union[int, float],
+                      seed: int = 0) -> ArrayDataset:
+    """Random subset (reference ``get_random_subset_dataloader``,
+    datasets.py:118-129) — used by generalization-across-scales prediction."""
+    n = len(dataset)
+    k = int(round(size * n)) if isinstance(size, float) and size <= 1.0 else int(size)
+    rng = np.random.default_rng(seed)
+    return dataset.subset(rng.permutation(n)[:k], name=f"{dataset.name}_sub{k}")

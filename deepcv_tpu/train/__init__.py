@@ -1,0 +1,7 @@
+from deepcv_tpu.train.backend import BackendConfig  # noqa: F401
+from deepcv_tpu.train.losses import (  # noqa: F401
+    cross_entropy_loss, label_smoothing_xentropy_loss,
+    jensen_shannon_divergence_consistency_loss, triplet_margin_loss, WeightedLosses,
+)
+from deepcv_tpu.train.schedules import build_schedule, one_cycle, piecewise_linear  # noqa: F401
+from deepcv_tpu.train.training import train, TrainState, TRAINING_HP_DEFAULTS  # noqa: F401

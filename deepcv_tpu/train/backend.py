@@ -1,0 +1,120 @@
+"""Device/distribution topology — the TPU-native BackendConfig.
+
+Reference parity: ``deepcv.meta.ignite_training.BackendConfig``
+(/root/reference/src/deepcv/meta/ignite_training.py:78-117) recorded device +
+torch.distributed process-group topology (dist_backend/dist_url/local_rank/
+rank/ngpus/nnodes). The TPU-native equivalent is a ``jax.sharding.Mesh`` over
+all addressable chips plus named shardings:
+
+  * DDP                    == batch axis sharded over mesh axis 'data'
+  * gradient allreduce     == psum over 'data' (XLA-inserted / shard_map)
+  * SyncBatchNorm          == lax.pmean of batch stats over 'data'
+  * DistributedSampler     == per-process index sharding (data.pipeline)
+  * rank-0-only logging    == jax.process_index() == 0
+
+Multi-host (DCN) initialization goes through ``jax.distributed.initialize``
+when coordinator env vars are present.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["BackendConfig"]
+
+_logger = logging.getLogger(__name__)
+
+
+class BackendConfig:
+    """Mesh + sharding record for one training run.
+
+    Args mirror the reference YAML ``backend_conf`` entries where meaningful;
+    torch-specific ones (dist_backend NCCL/Gloo, dist_url, local_rank) are
+    accepted and ignored with a debug log so reference configs run unchanged.
+    """
+
+    def __init__(self, device: Optional[str] = None,
+                 mesh_shape: Optional[Sequence[int]] = None,
+                 axis_names: Sequence[str] = ("data",),
+                 n_devices: Optional[int] = None,
+                 distributed: bool = False,
+                 # --- reference-compat kwargs (ignored on TPU) ---
+                 dist_backend: Optional[str] = None, dist_url: Optional[str] = None,
+                 local_rank: Optional[int] = None, ngpus: Optional[int] = None,
+                 **ignored):
+        for k, v in dict(dist_backend=dist_backend, dist_url=dist_url,
+                         local_rank=local_rank, ngpus=ngpus, **ignored).items():
+            if v is not None:
+                _logger.debug("BackendConfig: torch-specific option %s=%r ignored "
+                              "(TPU mesh handles distribution)", k, v)
+        if distributed and jax.process_count() == 1 and "JAX_COORDINATOR_ADDRESS" in os.environ:
+            jax.distributed.initialize()  # pragma: no cover (multi-host only)
+
+        devices = jax.devices(device) if device else jax.devices()
+        if n_devices:
+            devices = devices[:n_devices]
+        self.devices = devices
+        self.axis_names = tuple(axis_names)
+        if mesh_shape is None:
+            mesh_shape = (len(devices),) + (1,) * (len(self.axis_names) - 1)
+        mesh_shape = tuple(int(s) for s in mesh_shape)
+        if int(np.prod(mesh_shape)) != len(devices):
+            raise ValueError(f"mesh_shape {mesh_shape} does not cover {len(devices)} devices")
+        self.mesh = Mesh(np.asarray(devices).reshape(mesh_shape), self.axis_names)
+
+    # ------------------------------------------------------------ properties
+    @property
+    def n_devices(self) -> int:
+        return len(self.devices)
+
+    @property
+    def is_cpu(self) -> bool:
+        return self.devices[0].platform == "cpu"
+
+    @property
+    def is_tpu(self) -> bool:
+        return self.devices[0].platform in ("tpu", "axon")
+
+    @property
+    def rank(self) -> int:
+        """Process index (reference 'rank'; rank-0-only side effects)."""
+        return jax.process_index()
+
+    @property
+    def process_count(self) -> int:
+        return jax.process_count()
+
+    @property
+    def is_distributed(self) -> bool:
+        return self.n_devices > 1 or self.process_count > 1
+
+    @property
+    def data_axis(self) -> str:
+        return self.axis_names[0]
+
+    def data_sharding(self, ndim: int = 1) -> NamedSharding:
+        """Sharding for a batch tensor: dim 0 split over the data axis.
+
+        The spec names only dim 0 — unnamed trailing dims are replicated, so
+        one sharding fits any rank (images and labels alike)."""
+        return NamedSharding(self.mesh, P(self.data_axis))
+
+    @property
+    def replicated_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def __str__(self):
+        plat = self.devices[0].platform
+        return (f"{plat}-x{self.n_devices}" +
+                (f"-{self.process_count}hosts" if self.process_count > 1 else ""))
+
+    def __repr__(self):
+        return (f"BackendConfig(mesh={tuple(self.mesh.shape.items())}, "
+                f"devices={self.n_devices}x{self.devices[0].platform}, "
+                f"processes={self.process_count})")

@@ -1,0 +1,125 @@
+"""Checkpointing: every-N-steps saves, best-k by validation metric, resume.
+
+Reference parity: ignite Checkpoint machinery —
+``to_save = {trainer, model, optimizer[, scheduler]}`` every
+``save_every_iters`` + best-3 by val accuracy + ``resume_from``
+(/root/reference/src/deepcv/meta/ignite_training.py:263-276, 325, 393-399).
+
+TPU-native: Orbax CheckpointManager over the full TrainState pytree
+{params, batch_stats, opt_state, step} — one artifact covers what the
+reference split across trainer/model/optimizer objects.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+_logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    """Step checkpoints + best-k tracking in one directory.
+
+    Layout::
+
+        <dir>/steps/<step>/...      periodic saves (keep latest ``keep``)
+        <dir>/best/<step>/...       best-k by the tracked metric
+        <dir>/best/index.json       metric values of kept best checkpoints
+    """
+
+    def __init__(self, directory, save_every_iters: int = 1000, keep: int = 3,
+                 best_k: int = 3, metric_name: str = "accuracy", mode: str = "max"):
+        self.dir = Path(directory)
+        self.save_every_iters = int(save_every_iters)
+        self.best_k = int(best_k)
+        self.metric_name = metric_name
+        self.mode = mode
+        self._mgr = ocp.CheckpointManager(
+            (self.dir / "steps").absolute(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=int(keep),
+                                                 create=True))
+        self._best_dir = self.dir / "best"
+        self._best_dir.mkdir(parents=True, exist_ok=True)
+        self._best_index_path = self._best_dir / "index.json"
+        self._best: Dict[str, float] = {}
+        if self._best_index_path.exists():
+            self._best = json.loads(self._best_index_path.read_text())
+
+    # ------------------------------------------------------------- periodic
+    def maybe_save(self, step: int, state) -> bool:
+        if self.save_every_iters <= 0 or step % self.save_every_iters != 0:
+            return False
+        self.save(step, state)
+        return True
+
+    def save(self, step: int, state):
+        self._mgr.save(int(step), args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Restore latest (or given step) into the shape of state_template."""
+        step = int(step) if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {self.dir / 'steps'}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    # ------------------------------------------------------------- best-k
+    def update_best(self, step: int, metric_value: float, state) -> bool:
+        """Save into best/ if metric ranks in the top-k (reference
+        ``save_best_model_by_val_score``, ignite_training.py:325)."""
+        better = (lambda a, b: a > b) if self.mode == "max" else (lambda a, b: a < b)
+        if len(self._best) >= self.best_k:
+            worst_step, worst_val = min(
+                self._best.items(), key=lambda kv: kv[1] if self.mode == "max" else -kv[1])
+            if not better(metric_value, worst_val):
+                return False
+            shutil.rmtree(self._best_dir / worst_step, ignore_errors=True)
+            del self._best[worst_step]
+        path = (self._best_dir / str(int(step))).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+        self._best[str(int(step))] = float(metric_value)
+        self._best_index_path.write_text(json.dumps(self._best))
+        return True
+
+    def best_checkpoints(self) -> Dict[str, float]:
+        return dict(self._best)
+
+    def restore_best(self, state_template):
+        if not self._best:
+            raise FileNotFoundError("No best checkpoints recorded")
+        key = max if self.mode == "max" else min
+        best_step = key(self._best, key=self._best.get)
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore((self._best_dir / best_step).absolute(),
+                             target=state_template)
+
+    def close(self):
+        self._mgr.close()
+
+
+def resume_from_path(path, state_template):
+    """Reference ``_resume_training`` parity (ignite_training.py:393-399):
+    load a checkpoint from an explicit path into state_template's structure."""
+    p = Path(path)
+    if (p / "steps").exists():  # a manager dir: restore latest
+        mgr = CheckpointManager(p)
+        out = mgr.restore(state_template)
+        mgr.close()
+        return out
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(p.absolute(), target=state_template)

@@ -1,0 +1,412 @@
+"""The training procedure: one jitted train step over a device mesh.
+
+Reference parity: ``deepcv.meta.ignite_training.train``
+(/root/reference/src/deepcv/meta/ignite_training.py:178-370) — defaults dict,
+multi-loss weighted mean, scheduler from YAML spec (incl. safe eval-string
+milestones), periodic + best-k checkpointing, resume, validation cadence,
+crash_iteration fault injection, per-rank seeds, rank-0-only side effects.
+
+TPU-first redesign:
+  * ONE ``jax.jit`` train step (forward + loss + backward + optimizer +
+    on-device augmentation/normalization) under GSPMD sharding: the batch is
+    sharded over the mesh 'data' axis, params are replicated — XLA inserts the
+    gradient allreduce (DDP parity) and computes GLOBAL batch-norm statistics
+    (SyncBatchNorm parity) automatically, because sharded-array semantics are
+    global. No process groups, no DDP wrapper, no sampler classes.
+  * input path: raw uint8 batches stream via double-buffered ``device_put``
+    (or live fully device-resident), and ALL preprocessing/augmentation fuses
+    into the step's XLA program.
+  * state is donated every step — zero-copy parameter updates.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import flax.struct
+
+from deepcv_tpu.hyperparams import to_hyperparameters, Hyperparameters
+from deepcv_tpu.data.datasets import ArrayDataset
+from deepcv_tpu.data.preprocess import PreprocessedDataset
+from deepcv_tpu.data.pipeline import BatchIterator, prefetch_to_device, DeviceDataset
+from deepcv_tpu.train.backend import BackendConfig
+from deepcv_tpu.train.losses import WeightedLosses
+from deepcv_tpu.train.metrics import METRIC_FNS, MetricAccumulator, accuracy
+from deepcv_tpu.train.schedules import build_schedule
+from deepcv_tpu.train.checkpoint import CheckpointManager, resume_from_path
+from deepcv_tpu.utils import EventsHandler
+
+__all__ = ["TrainState", "train", "TRAINING_HP_DEFAULTS", "build_optimizer",
+           "CrashIteration", "TrainingEvents"]
+
+_logger = logging.getLogger(__name__)
+
+
+#: reference TRAINING_HP_DEFAULTS parity (ignite_training.py:201-203)
+TRAINING_HP_DEFAULTS: Dict[str, Any] = {
+    "epochs": ...,
+    "batch_size": ...,
+    "optimizer_opts": ...,
+    "optimizer": "adamw",
+    "scheduler": None,
+    "losses_weights": None,
+    "validate_every_epochs": 1,
+    "save_every_iters": 1000,
+    "log_progress_every_iters": 100,
+    "keep_best_models": 3,
+    "prefetch_batches": True,
+    "device_resident_dataset": "auto",
+    "resume_from": "",
+    "crash_iteration": -1,
+    "seed": 563454,
+    "deterministic": False,          # reference deterministic_cudnn — XLA is deterministic
+    "use_sync_batch_norm": True,     # GSPMD batch stats are global by construction
+    "dtype": None,                   # compute dtype override ('bfloat16' on TPU)
+    "output_path": "data/04_training",
+    "eval_batch_multiplier": 32,     # reference: eval batch = 32 x train batch (:215)
+    "nni_compression": None,         # reserved (reference :335-344)
+}
+
+
+class CrashIteration(RuntimeError):
+    """Raised by the crash_iteration fault-injection hook
+    (reference ignite_training.py:330-333 — for checkpoint/resume testing)."""
+
+
+class TrainingEvents(EventsHandler):
+    ITERATION_COMPLETED = "iteration_completed"
+    EPOCH_COMPLETED = "epoch_completed"
+    VALIDATION_COMPLETED = "validation_completed"
+    COMPLETED = "completed"
+
+    def __init__(self):
+        super().__init__(self.ITERATION_COMPLETED, self.EPOCH_COMPLETED,
+                         self.VALIDATION_COMPLETED, self.COMPLETED)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Everything that evolves during training, as one donatable pytree."""
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+    def variables(self) -> Dict[str, Any]:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+# --------------------------------------------------------------------------- #
+# Optimizers (torch optimizer_opts -> optax)
+# --------------------------------------------------------------------------- #
+
+def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any],
+                    schedule=None) -> optax.GradientTransformation:
+    """Map reference optimizer specs (torch.optim names + kwargs, e.g.
+    parameters.yml:129-134 AdamW opts) onto optax transforms."""
+    if callable(name) and not isinstance(name, str):
+        return name(optimizer_opts, schedule)
+    opts = dict(optimizer_opts)
+    lr = schedule if schedule is not None else float(opts.pop("lr", 1e-3))
+    if schedule is not None:
+        opts.pop("lr", None)
+    name = str(getattr(name, "identifier", name)).rsplit(".", 1)[-1].lower()
+    if name in ("adamw",):
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        if opts.pop("amsgrad", False):
+            _logger.warning("amsgrad not supported by optax.adamw; ignored")
+        return optax.adamw(lr, b1=float(b1), b2=float(b2),
+                           eps=float(opts.pop("eps", 1e-8)),
+                           weight_decay=float(opts.pop("weight_decay", 1e-2)))
+    if name in ("adam",):
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        return optax.adam(lr, b1=float(b1), b2=float(b2),
+                          eps=float(opts.pop("eps", 1e-8)))
+    if name in ("sgd",):
+        mom = float(opts.pop("momentum", 0.0))
+        wd = float(opts.pop("weight_decay", 0.0))
+        tx = optax.sgd(lr, momentum=mom or None,
+                       nesterov=bool(opts.pop("nesterov", False)))
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        return tx
+    if name in ("rmsprop",):
+        return optax.rmsprop(lr, decay=float(opts.pop("alpha", 0.99)),
+                             eps=float(opts.pop("eps", 1e-8)),
+                             momentum=float(opts.pop("momentum", 0.0)))
+    raise ValueError(f"Unknown optimizer '{name}' "
+                     f"(known: adamw, adam, sgd, rmsprop, or pass a factory)")
+
+
+# --------------------------------------------------------------------------- #
+# The training procedure
+# --------------------------------------------------------------------------- #
+
+def _as_preprocessed(ds) -> PreprocessedDataset:
+    return ds if isinstance(ds, PreprocessedDataset) else PreprocessedDataset(ds)
+
+
+def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
+          backend_conf: Optional[BackendConfig] = None,
+          metrics: Optional[Mapping[str, Callable]] = None,
+          events: Optional[TrainingEvents] = None,
+          loggers: Sequence[Any] = ()) -> Tuple[TrainState, Dict[str, Any]]:
+    """Run the full training procedure; returns (final_state, history).
+
+    Args mirror the reference ``train()`` (ignite_training.py:178):
+      * ``hp``: training hyperparameters (TRAINING_HP_DEFAULTS applied);
+      * ``model``: a DeepcvModule (or any object with .init/.apply/.input_shape);
+      * ``losses``: WeightedLosses / callable / mapping of named losses,
+        called as ``loss(logits, targets)``;
+      * ``datasets``: {'trainset': ..., 'validset': ..., ['testset': ...]};
+      * ``backend_conf``: mesh/topology (defaults to all local devices).
+    """
+    hp, _ = to_hyperparameters(dict(hp), TRAINING_HP_DEFAULTS)
+    backend = backend_conf or BackendConfig()
+    events = events or TrainingEvents()
+    if not isinstance(losses, WeightedLosses):
+        losses = WeightedLosses(losses, weights=hp.get("losses_weights"))
+    metrics = dict(metrics or {"accuracy": accuracy})
+
+    rank0 = backend.rank == 0
+    seed = int(hp["seed"]) + backend.rank  # per-process seed offset (:208)
+    root_rng = jax.random.PRNGKey(seed)
+
+    trainset = _as_preprocessed(datasets["trainset"])
+    validset = _as_preprocessed(datasets.get("validset", datasets.get("testset",
+                                                                      datasets["trainset"])))
+    batch_size = int(hp["batch_size"])
+    global_batch = batch_size  # hp batch_size is the GLOBAL batch
+    epochs = int(hp["epochs"])
+
+    # ---------------- data path selection ---------------------------------- #
+    data_bytes = trainset.dataset.images.nbytes
+    resident = hp["device_resident_dataset"]
+    if resident == "auto":
+        resident = data_bytes <= 2 * 1024 ** 3 and backend.process_count == 1
+    device_ds = DeviceDataset(trainset, global_batch,
+                              sharding=backend.replicated_sharding) if resident else None
+    iterator = None if resident else BatchIterator(
+        trainset, global_batch, shuffle=True, seed=seed,
+        process_index=backend.rank, process_count=backend.process_count)
+    steps_per_epoch = (device_ds.steps_per_epoch if resident else len(iterator))
+    total_steps = steps_per_epoch * epochs
+
+    # ---------------- optimizer & schedule --------------------------------- #
+    hp_plain = hp.to_dict()
+    schedule = build_schedule(hp.get("scheduler"), hp_plain, steps_per_epoch)
+    tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"], schedule)
+
+    # ---------------- state init / resume ---------------------------------- #
+    init_rng, state_rng = jax.random.split(root_rng)
+    variables = model.init(init_rng)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats"),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32),
+                       rng=state_rng)
+    if hp["resume_from"]:
+        state = resume_from_path(hp["resume_from"], state)
+        _logger.info("Resumed from %s at step %d", hp["resume_from"], int(state.step))
+
+    # replicate state over the mesh
+    state = jax.device_put(state, backend.replicated_sharding)
+    dtype = hp.get("dtype")
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
+
+    # ---------------- the jitted step --------------------------------------- #
+    def loss_fn(params, batch_stats, raw_x, y, key):
+        x = trainset.batch_transform(raw_x, key=key)
+        if dtype is not None:
+            x = x.astype(dtype)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, x, train=True, rngs={"dropout": key},
+                          mutable=["batch_stats"] if batch_stats is not None else False)
+        logits, new_state = out if isinstance(out, tuple) else (out, {})
+        y_t = trainset.transform_targets(y)
+        main, terms = losses(logits, y_t)
+        return main, (terms, new_state.get("batch_stats"), logits)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, raw_x, y):
+        rng, step_key = jax.random.split(state.rng)
+        (_, (terms, new_bs, logits)), grads = grad_fn(
+            state.params, state.batch_stats, raw_x, y, step_key)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        step_metrics = dict(terms)
+        for mname, mfn in metrics.items():
+            step_metrics[mname] = mfn(logits, y)
+        new_state = state.replace(params=new_params, batch_stats=new_bs,
+                                  opt_state=new_opt, step=state.step + 1, rng=rng)
+        return new_state, step_metrics
+
+    def train_step_resident(state: TrainState, images, targets):
+        # dataset arrays enter as jit args, NOT closure constants — capturing
+        # them makes XLA embed the whole dataset at compile time (minutes)
+        rng, batch_key = jax.random.split(state.rng)
+        raw_x, y = device_ds.batch_for_step(batch_key, images, targets)
+        return train_step(state.replace(rng=rng), raw_x, y)
+
+    data_shd = backend.data_sharding()
+    if resident:
+        jit_step = jax.jit(train_step_resident, donate_argnums=(0,))
+    else:
+        jit_step = jax.jit(train_step, donate_argnums=(0,),
+                           in_shardings=(None, data_shd, data_shd))
+
+    def eval_step(state: TrainState, raw_x, y):
+        x = trainset.batch_transform(raw_x, augment=False)
+        if dtype is not None:
+            x = x.astype(dtype)
+        logits = model.apply(state.variables(), x, train=False)
+        y_t = trainset.transform_targets(y)
+        _, terms = losses(logits, y_t)
+        out = dict(terms)
+        for mname, mfn in metrics.items():
+            out[mname] = mfn(logits, y)
+        return out
+
+    jit_eval = jax.jit(eval_step, in_shardings=(None, data_shd, data_shd))
+
+    # ---------------- checkpointing ---------------------------------------- #
+    out_dir = Path(hp["output_path"]) / _run_dir_name(backend)
+    ckpt = None
+    if rank0 and int(hp["save_every_iters"]) > 0:
+        ckpt = CheckpointManager(out_dir / "checkpoints",
+                                 save_every_iters=int(hp["save_every_iters"]),
+                                 best_k=int(hp["keep_best_models"]),
+                                 metric_name=next(iter(metrics)))
+
+    # ---------------- validation -------------------------------------------- #
+    eval_bs = min(int(hp["eval_batch_multiplier"]) * batch_size, len(validset))
+    # eval batch must split evenly over the mesh's data axis
+    eval_bs = max(backend.n_devices, (eval_bs // backend.n_devices) * backend.n_devices)
+
+    def run_validation(state) -> Dict[str, float]:
+        acc = MetricAccumulator()
+        it = BatchIterator(validset, eval_bs, shuffle=False, drop_last=False,
+                           process_index=backend.rank,
+                           process_count=backend.process_count)
+        for raw_x, y in prefetch_to_device(it.epoch(0), sharding=data_shd):
+            acc.update(jit_eval(state, raw_x, y))
+        return {f"valid_{k}": v for k, v in acc.compute()}.copy() if False else \
+            {f"valid_{k}": v for k, v in acc.compute().items()}
+
+    # ---------------- the loop ---------------------------------------------- #
+    history: Dict[str, Any] = {"train": [], "valid": [], "throughput_img_s": []}
+    crash_at = int(hp["crash_iteration"])
+    log_every = max(1, int(hp["log_progress_every_iters"]))
+    train_acc = MetricAccumulator()
+    step = int(state.step)
+    t_start = time.perf_counter()
+    perm_key = jax.random.fold_in(root_rng, 999)
+
+    try:
+        for epoch in range(step // max(1, steps_per_epoch), epochs):
+            epoch_t0 = time.perf_counter()
+            n_seen = 0
+            # exact resume: skip batches already done within the resumed epoch
+            skip = step % steps_per_epoch if step else 0
+            if resident:
+                for _ in range(steps_per_epoch - skip):
+                    if crash_at >= 0 and step == crash_at:
+                        raise CrashIteration(f"Injected crash at iteration {crash_at}")
+                    state, m = jit_step(state, device_ds.images, device_ds.targets)
+                    step += 1
+                    n_seen += global_batch
+                    _log_progress(m, step, log_every, train_acc, history, rank0, loggers)
+                    events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
+                                state=state, metrics=m)
+                    if ckpt:
+                        ckpt.maybe_save(step, jax.device_get(state))
+            else:
+                epoch_batches = iterator.epoch(epoch)
+                if skip:
+                    import itertools
+                    epoch_batches = itertools.islice(epoch_batches, skip, None)
+                batches = prefetch_to_device(epoch_batches, sharding=data_shd)
+                for raw_x, y in batches:
+                    if crash_at >= 0 and step == crash_at:
+                        raise CrashIteration(f"Injected crash at iteration {crash_at}")
+                    state, m = jit_step(state, raw_x, y)
+                    step += 1
+                    n_seen += global_batch
+                    _log_progress(m, step, log_every, train_acc, history, rank0, loggers)
+                    events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
+                                state=state, metrics=m)
+                    if ckpt:
+                        ckpt.maybe_save(step, jax.device_get(state))
+
+            jax.block_until_ready(state.params)
+            dt = time.perf_counter() - epoch_t0
+            throughput = n_seen / dt if dt > 0 else 0.0
+            history["throughput_img_s"].append(throughput)
+
+            # validation on EPOCH_COMPLETED (fixes reference's EPOCH_STARTED
+            # scheduling bug, SURVEY §8 / ignite_training.py:291)
+            val = {}
+            if (epoch + 1) % max(1, int(hp["validate_every_epochs"])) == 0:
+                val = run_validation(state)
+                history["valid"].append({"epoch": epoch + 1, **val})
+                events.fire(TrainingEvents.VALIDATION_COMPLETED, count=epoch + 1,
+                            state=state, metrics=val)
+                for lg in loggers:
+                    lg.log_metrics(val, step=step)
+                if ckpt:
+                    key0 = f"valid_{next(iter(metrics))}"
+                    if key0 in val:
+                        ckpt.update_best(step, val[key0], jax.device_get(state))
+            if rank0:
+                _logger.info("epoch %d/%d  %.1f img/s  %s", epoch + 1, epochs,
+                             throughput,
+                             " ".join(f"{k}={v:.4f}" for k, v in val.items()))
+            events.fire(TrainingEvents.EPOCH_COMPLETED, count=epoch + 1,
+                        state=state, metrics=val, throughput=throughput)
+    finally:
+        for lg in loggers:
+            if hasattr(lg, "flush"):
+                lg.flush()
+        if ckpt:
+            ckpt.close()
+
+    history["total_time_s"] = time.perf_counter() - t_start
+    history["steps"] = step
+    history["output_path"] = str(out_dir)
+    events.fire(TrainingEvents.COMPLETED, count=1, state=state, history=history)
+    return state, history
+
+
+def _log_progress(m, step, log_every, train_acc, history, rank0, loggers):
+    train_acc.update(m)
+    if step % log_every == 0:
+        vals = train_acc.compute()
+        train_acc.reset()
+        history["train"].append({"step": step, **vals})
+        if rank0:
+            _logger.info("step %d  %s", step,
+                         " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+            for lg in loggers:
+                lg.log_metrics(vals, step=step)
+
+
+def _run_dir_name(backend: BackendConfig) -> str:
+    """Output dir named from experiment + datetime + backend string
+    (reference ``add_training_output_dir``, ignite_training.py:124-135)."""
+    import datetime
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    return f"run_{stamp}_{backend}"

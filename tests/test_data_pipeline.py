@@ -1,0 +1,157 @@
+"""Datasets, splits, preprocessing node, input pipeline."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepcv_tpu.data.datasets import (
+    ArrayDataset, load_dataset, split_dataset, get_random_subset, TorchDatasetAdapter,
+)
+from deepcv_tpu.data.preprocess import (
+    preprocess, parse_transforms_specification, process_normalization_stats,
+)
+from deepcv_tpu.data.pipeline import BatchIterator, prefetch_to_device, DeviceDataset
+from deepcv_tpu.config import load_yaml
+
+
+@pytest.fixture(scope="module")
+def trainset():
+    return load_dataset("synthetic", n=256, image_shape=(8, 8, 3), seed=3)
+
+
+def test_synthetic_loader(trainset):
+    assert len(trainset) == 256
+    assert trainset.image_shape == (8, 8, 3)
+    assert trainset.num_classes == 10
+    img, t = trainset[0]
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def test_split_ratios(trainset):
+    splits = split_dataset(trainset, validset_ratio=0.2, testset_ratio=0.1, seed=1)
+    assert len(splits["testset"]) == 26 and len(splits["validset"]) == 51
+    assert len(splits["trainset"]) == 256 - 26 - 51
+    # deterministic & disjoint
+    splits2 = split_dataset(trainset, validset_ratio=0.2, testset_ratio=0.1, seed=1)
+    assert np.array_equal(splits["validset"].images, splits2["validset"].images)
+
+
+def test_split_keeps_existing_testset(trainset):
+    test = load_dataset("synthetic", train=False, n=64, image_shape=(8, 8, 3))
+    splits = split_dataset(trainset, test, validset_ratio=0.25, testset_ratio=0.1)
+    assert len(splits["testset"]) == 64  # ratio ignored (reference semantics)
+    assert len(splits["trainset"]) == 256 - 64
+
+
+def test_random_subset(trainset):
+    sub = get_random_subset(trainset, 0.25, seed=0)
+    assert len(sub) == 64
+    sub2 = get_random_subset(trainset, 10, seed=0)
+    assert len(sub2) == 10
+
+
+def test_torch_adapter_kwarg_validation():
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="torchvision"):
+            TorchDatasetAdapter("torchvision.datasets.CIFAR10")
+        return
+    with pytest.raises(ValueError, match="Invalid kwargs"):
+        TorchDatasetAdapter("torchvision.datasets.CIFAR10", bogus_arg=1)
+    with pytest.raises(ValueError, match="torchvision"):
+        TorchDatasetAdapter("os.path.join")
+
+
+def test_normalization_stats_cached(trainset, tmp_path):
+    mean, std = process_normalization_stats(trainset, cache_dir=tmp_path)
+    assert mean.shape == (3,) and std.shape == (3,)
+    ref = trainset.images.astype(np.float32) / 255.0
+    assert np.allclose(mean, ref.mean(axis=(0, 1, 2)), atol=1e-5)
+    assert np.allclose(std, ref.std(axis=(0, 1, 2)), atol=1e-5)
+    # second call hits the cache file
+    mean2, _ = process_normalization_stats(trainset, cache_dir=tmp_path)
+    assert np.array_equal(mean, mean2)
+    assert len(list(tmp_path.glob("stats_*.npz"))) == 1
+
+
+def test_preprocess_node_reference_recipe(trainset, tmp_path):
+    """Run the preprocess node with the reference's cifar10_preprocessing
+    parameters (parameters.yml:197-201) loaded from YAML text."""
+    params = load_yaml("""
+cache: false
+seed: 434546
+split_dataset: { validset_ratio: 0.2, testset_ratio: 0.1 }
+transforms:
+  - !py!torchvision.transforms.ToTensor
+  - !py!torchvision.transforms.Normalize "": { mean: [0.491, 0.482, 0.447], std: [0.247, 0.243, 0.261] }
+""")
+    out = preprocess({"trainset": trainset}, params, cache_dir=tmp_path)
+    assert set(out) == {"trainset", "validset", "testset"}
+    ds = out["trainset"]
+    batch = jnp.asarray(ds.dataset.images[:4])
+    xformed = ds.batch_transform(batch)
+    ref = (np.asarray(batch, np.float32) / 255.0
+           - np.array([0.491, 0.482, 0.447])) / np.array([0.247, 0.243, 0.261])
+    assert np.abs(np.asarray(xformed) - ref).max() <= 1e-5
+    assert ds.image_shape == (8, 8, 3)
+
+
+def test_preprocess_with_augmentation(trainset, tmp_path):
+    params = {
+        "seed": 1,
+        "split_dataset": {"validset_ratio": 0.1},
+        "transforms": ["to_tensor"],
+        "augmentation_reciepe": {  # reference-typo key accepted
+            "transforms": [{"brightness": 0.2}, {"noise": 0.05}],
+        },
+    }
+    out = preprocess({"trainset": trainset}, params, cache_dir=tmp_path)
+    tr = out["trainset"]
+    assert tr.augmentation is not None
+    assert out["validset"].augmentation is None  # eval split not augmented
+    batch = jnp.asarray(tr.dataset.images[:4])
+    y = tr.batch_transform(batch, key=jax.random.PRNGKey(0))
+    assert y.shape == (4, 8, 8, 3)
+
+
+def test_batch_iterator(trainset):
+    it = BatchIterator(trainset, batch_size=32, seed=0)
+    assert len(it) == 8
+    batches = list(it.epoch(0))
+    assert len(batches) == 8
+    assert batches[0][0].shape == (32, 8, 8, 3)
+    # different epochs shuffle differently, same epoch deterministic
+    b0a = next(iter(it.epoch(0)))[0]
+    b0b = next(iter(it.epoch(0)))[0]
+    b1 = next(iter(it.epoch(1)))[0]
+    assert np.array_equal(b0a, b0b) and not np.array_equal(b0a, b1)
+
+
+def test_batch_iterator_process_sharding(trainset):
+    full = {tuple(b[0][0, 0, 0]) for b in BatchIterator(trainset, 16, seed=5).epoch(0)}
+    it0 = BatchIterator(trainset, 16, seed=5, process_index=0, process_count=2)
+    it1 = BatchIterator(trainset, 16, seed=5, process_index=1, process_count=2)
+    assert len(it0) == 8
+    x0 = np.concatenate([b[0] for b in it0.epoch(0)])
+    x1 = np.concatenate([b[0] for b in it1.epoch(0)])
+    # disjoint shards
+    v0 = {x0[i].tobytes() for i in range(len(x0))}
+    v1 = {x1[i].tobytes() for i in range(len(x1))}
+    assert not (v0 & v1)
+
+
+def test_prefetch_to_device(trainset):
+    it = BatchIterator(trainset, batch_size=64, seed=0)
+    batches = list(prefetch_to_device(it.epoch(0), size=2))
+    assert len(batches) == 4
+    assert isinstance(batches[0][0], jax.Array)
+
+
+def test_device_dataset_gather(trainset):
+    dd = DeviceDataset(trainset, batch_size=16)
+    x, y = jax.jit(dd.batch_for_step)(jax.random.PRNGKey(0))
+    assert x.shape == (16, 8, 8, 3) and y.shape == (16,)
+    perm = dd.epoch_permutation(jax.random.PRNGKey(1))
+    x2, _ = jax.jit(dd.batch_at)(perm, jnp.asarray(3))
+    assert x2.shape == (16, 8, 8, 3)

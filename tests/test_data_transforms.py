@@ -1,0 +1,181 @@
+"""Transform + augmentation tests, incl. PIL/torchvision golden fidelity
+(BASELINE north star: per-transform output deviation <= 1e-5 for the
+preprocessing recipes; PIL-quantized parity for the AugMix ops)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.data import transforms as T
+from deepcv_tpu.data import augmentation as A
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def u8_batch():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def x(u8_batch):
+    return jnp.asarray(u8_batch, jnp.float32) / 255.0
+
+
+# ---------------------------------------------------------------- fidelity --
+
+def test_to_tensor_normalize_match_torch(u8_batch):
+    """The exact CIFAR preprocessing recipe (ToTensor + Normalize,
+    parameters.yml:197-201) must match the torch reference computation to
+    <= 1e-5 (torchvision itself is not installed in this image; ToTensor is
+    x/255 and Normalize is (x-mean)/std — computed here with torch float32
+    to cross-check rounding)."""
+    import torch
+
+    mean = [0.491, 0.482, 0.447]
+    std = [0.247, 0.243, 0.261]
+    ours = T.normalize(T.to_tensor(jnp.asarray(u8_batch)), mean, std)
+    t = torch.from_numpy(u8_batch).to(torch.float32).div(255.0)
+    ref = (t - torch.tensor(mean)) / torch.tensor(std)
+    assert np.abs(np.asarray(ours) - ref.numpy()).max() <= 1e-5
+
+
+def test_enhance_ops_match_pil(u8_batch):
+    from PIL import Image, ImageEnhance
+
+    pil = Image.fromarray(u8_batch[0])
+    x1 = jnp.asarray(u8_batch[:1], jnp.float32) / 255.0
+
+    for enhancer, ours_fn, factor in [
+        (ImageEnhance.Brightness, T.adjust_brightness, 1.7),
+        (ImageEnhance.Contrast, T.adjust_contrast, 1.7),
+        (ImageEnhance.Color, T.adjust_saturation, 0.4),
+    ]:
+        ref = np.asarray(enhancer(pil).enhance(factor)).astype(np.int32)
+        ours = np.asarray(jnp.round(ours_fn(x1, factor)[0] * 255)).astype(np.int32)
+        assert np.abs(ours - ref).max() <= 2, enhancer.__name__
+
+
+def test_int_ops_match_pil_exactly(u8_batch):
+    from PIL import Image, ImageOps
+
+    pil = Image.fromarray(u8_batch[0])
+    x1 = jnp.asarray(u8_batch[:1], jnp.float32) / 255.0
+    eq = np.asarray(jnp.round(A.equalize(x1)[0] * 255)).astype(np.int32)
+    assert np.array_equal(eq, np.asarray(ImageOps.equalize(pil)).astype(np.int32))
+    ac = np.asarray(jnp.round(A.autocontrast(x1)[0] * 255)).astype(np.int32)
+    assert np.abs(ac - np.asarray(ImageOps.autocontrast(pil)).astype(np.int32)).max() <= 1
+
+
+def test_rotate_matches_pil_interior(u8_batch):
+    from PIL import Image
+
+    img = u8_batch[0]
+    pil = Image.fromarray(img)
+    h, w = img.shape[:2]
+    ref = np.asarray(pil.rotate(30, resample=Image.BILINEAR)).astype(np.int32)
+    theta = np.deg2rad(30)
+    cos, sin = np.cos(theta), np.sin(theta)
+    m = T._center_affine(1, h, w, cos, -sin, sin, cos)
+    x1 = jnp.asarray(img, jnp.float32)[None] / 255.0
+    ours = np.asarray(jnp.round(T.affine_transform(x1, m)[0] * 255)).astype(np.int32)
+    # interior-only: PIL's border tap weighting differs at the fill boundary
+    jj, ii = np.meshgrid(np.arange(w, dtype=float) + 0.5, np.arange(h, dtype=float) + 0.5)
+    sx = cos * jj - sin * ii + (-cos * w / 2 + sin * h / 2 + w / 2) - 0.5
+    sy = sin * jj + cos * ii + (-sin * w / 2 - cos * h / 2 + h / 2) - 0.5
+    interior = (sx >= 0) & (sy >= 0) & (sx < w - 1) & (sy < h - 1)
+    # PIL's bilinear resampler rounds differently (fixed-point weights);
+    # a few u8 levels of drift on resampled pixels is expected parity
+    assert np.abs(ours - ref)[interior].max() <= 5
+
+
+# ---------------------------------------------------------------- behavior --
+
+def test_random_crop_shape_and_content(x):
+    out = T.random_crop(x, KEY, 12)
+    assert out.shape == (2, 12, 12, 3)
+    out_pad = T.random_crop(x, KEY, 16, padding=2)
+    assert out_pad.shape == (2, 16, 16, 3)
+
+
+def test_flips(x):
+    always = T.random_horizontal_flip(x, KEY, p=1.0)
+    assert np.allclose(np.asarray(always), np.asarray(x)[:, :, ::-1, :])
+    never = T.random_vertical_flip(x, KEY, p=0.0)
+    assert np.allclose(np.asarray(never), np.asarray(x))
+
+
+def test_color_jitter_runs_jitted(x):
+    f = jax.jit(lambda x, k: T.color_jitter(x, k, 0.2, 0.2, 0.2, 0.1))
+    y = f(x, KEY)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_adjust_hue_identity_at_zero(x):
+    y = T.adjust_hue(x, 0.0)
+    assert np.abs(np.asarray(y) - np.asarray(x)).max() < 1e-5
+
+
+def test_compose_with_keys(x):
+    c = T.Compose([
+        (T.normalize, {"mean": [0.5] * 3, "std": [0.5] * 3}),
+        (T.random_horizontal_flip, {"p": 0.5}),
+    ])
+    y = c(x, KEY)
+    assert y.shape == x.shape
+    with pytest.raises(ValueError, match="PRNG key"):
+        c(x)  # random step without key
+
+
+def test_all_13_ops_jit_and_stay_in_range(x):
+    for name, fn in A.AUGMENTATION_OPS.items():
+        y = jax.jit(lambda xx, kk, fn=fn: fn(xx, kk, 3))(x, KEY)
+        assert y.shape == x.shape, name
+        ymin, ymax = float(y.min()), float(y.max())
+        assert -1e-5 <= ymin and ymax <= 1.0 + 1e-5, (name, ymin, ymax)
+
+
+def test_augment_and_mix_deterministic_and_bounded(x):
+    f = jax.jit(lambda xx, kk: A.augment_and_mix(
+        xx, kk, severity=3, width=2, depth=2,
+        ops=("posterize", "solarize", "brightness")))
+    y1 = f(x, KEY)
+    y2 = f(x, KEY)
+    assert np.allclose(np.asarray(y1), np.asarray(y2))
+    y3 = f(x, jax.random.PRNGKey(7))
+    assert not np.allclose(np.asarray(y1), np.asarray(y3))
+    assert float(y1.min()) >= -1e-5 and float(y1.max()) <= 1 + 1e-5
+
+
+def test_recipe_parser_reference_format(x):
+    """Compile the reference basic_augmentation recipe (parameters.yml:151-167)."""
+    recipe = {
+        "keep_same_input_shape": True,
+        "random_transform_order": True,
+        "augmentation_ops_depth": [1, 4],
+        "augmentations_per_image": [1, 3],
+        "transforms": [
+            {"crop": False},
+            {"brightness": 0.2},
+            {"contrast": 0.1},
+            {"tweak_colors": 0.1},
+            {"gamma": 0.05},
+            {"posterize": 0.05},
+            {"noise": 0.1},
+            {"rotate": [-0.1, 0.1]},
+            {"translate": 0.2},
+            {"scale": 0.2},
+            {"smooth_non_linear_deformation": False},
+        ],
+    }
+    aug = A.apply_augmentation_recipe(recipe)
+    assert "brightness" in aug.steps and "crop" not in aug.steps
+    y = jax.jit(aug)(x, KEY)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+
+def test_unknown_recipe_transform_raises():
+    with pytest.raises(ValueError, match="Unknown augmentation transform"):
+        A.apply_augmentation_recipe({"transforms": [{"not_a_transform": 0.4}]})

@@ -1,0 +1,212 @@
+"""Training runtime tests: losses, schedules, optimizer mapping, backend,
+end-to-end loop (multi-device via the 8-device CPU mesh from conftest),
+crash/resume, checkpoint best-k."""
+import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.config import load_yaml
+from deepcv_tpu.spec import DeepcvModule
+from deepcv_tpu.data.datasets import load_dataset
+from deepcv_tpu.data.preprocess import preprocess
+from deepcv_tpu.train import (
+    train, BackendConfig, cross_entropy_loss, WeightedLosses,
+    jensen_shannon_divergence_consistency_loss, triplet_margin_loss,
+    piecewise_linear, one_cycle,
+)
+from deepcv_tpu.train.schedules import safe_eval_milestones, build_schedule
+from deepcv_tpu.train.training import build_optimizer, CrashIteration, TrainState
+from deepcv_tpu.train.metrics import accuracy, MetricAccumulator
+from deepcv_tpu.train.checkpoint import CheckpointManager
+
+MODEL_YML = """
+act_fn: relu
+batch_norm: { momentum: 0.1 }
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+  - flatten: {}
+  - fully_connected: { act_fn: null, out_features: 4, batch_norm: null }
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    raw = load_dataset("synthetic", n=256, image_shape=(8, 8, 3), num_classes=4, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.2},
+                       "transforms": ["to_tensor"]},
+                      cache_dir=tmp_path_factory.mktemp("stats"))
+    model = DeepcvModule((8, 8, 3), load_yaml(MODEL_YML))
+    return model, data
+
+
+# ------------------------------------------------------------------ losses --
+
+def test_cross_entropy_and_smoothing():
+    logits = jnp.asarray([[10.0, 0.0], [0.0, 10.0]])
+    labels = jnp.asarray([0, 1])
+    assert float(cross_entropy_loss(logits, labels)) < 1e-3
+    assert float(cross_entropy_loss(logits, labels, label_smoothing=0.2)) > 0.5
+
+
+def test_jsd_consistency_zero_for_identical():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 10))
+    v = jensen_shannon_divergence_consistency_loss(logits, logits, logits)
+    assert float(v) < 1e-6
+    other = jax.random.normal(jax.random.PRNGKey(1), (4, 10)) * 5
+    assert float(jensen_shannon_divergence_consistency_loss(logits, other)) > 0.01
+    # gradient stops on the clean branch
+    g = jax.grad(lambda l: jensen_shannon_divergence_consistency_loss(
+        jax.lax.stop_gradient(l), l))(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_triplet_margin():
+    a = jnp.zeros((2, 4))
+    pos = jnp.ones((2, 4)) * 0.1
+    neg = jnp.ones((2, 4)) * 10
+    assert float(triplet_margin_loss(a, pos, neg, margin=1.0)) == 0.0
+    assert float(triplet_margin_loss(a, neg, pos, margin=1.0)) > 1.0
+
+
+def test_weighted_losses_main_loss():
+    wl = WeightedLosses({"ce": (cross_entropy_loss, 2.0),
+                         "ce2": (cross_entropy_loss, 1.0)})
+    logits = jnp.asarray([[1.0, -1.0]])
+    labels = jnp.asarray([0])
+    main, terms = wl(logits, labels)
+    assert set(terms) == {"ce", "ce2", "main_loss"}
+    assert np.isclose(float(main), float(terms["ce"]))  # equal terms -> same mean
+
+
+# ---------------------------------------------------------------- schedules --
+
+def test_piecewise_linear_interp():
+    s = piecewise_linear([[0, 0.0], [10, 1.0], [20, 0.0]])
+    assert float(s(0)) == 0.0
+    assert np.isclose(float(s(5)), 0.5)
+    assert np.isclose(float(s(10)), 1.0)
+    assert np.isclose(float(s(15)), 0.5)
+    assert float(s(25)) == 0.0  # clamped
+
+
+def test_one_cycle_shape():
+    lr, mom = one_cycle(max_lr=0.1, total_steps=100, pct_start=0.3)
+    assert float(lr(0)) < float(lr(30))
+    assert np.isclose(float(lr(30)), 0.1, atol=1e-3)
+    assert float(lr(99)) < 1e-3
+    assert float(mom(30)) < float(mom(0))  # momentum inverse-cycles
+
+
+def test_safe_eval_milestones_reference_string():
+    hp = {"epochs": 2, "optimizer_opts": {"lr": 1e-3}}
+    expr = ("[[0, 0.0], [int(0.2 * hp['epochs'] * iterations), "
+            "hp['optimizer_opts']['lr']], [hp['epochs'] * iterations, 0.0]]")
+    out = safe_eval_milestones(expr, {"hp": hp, "iterations": 100})
+    assert out == [[0, 0.0], [40, 1e-3], [200, 0.0]]
+
+
+def test_safe_eval_rejects_unsafe():
+    with pytest.raises(ValueError):
+        safe_eval_milestones("__import__('os').system('true')", {})
+    with pytest.raises(ValueError):
+        safe_eval_milestones("open('/etc/passwd')", {})
+    with pytest.raises(ValueError):
+        safe_eval_milestones("unknown_name + 1", {})
+
+
+def test_build_schedule_reference_spec():
+    spec = load_yaml("""
+type: !py!ignite.contrib.handlers.PiecewiseLinear
+eval_args: ["milestones_values"]
+kwargs:
+  param_name: "lr"
+  milestones_values: "[[0, 0.0], [int(0.2 * hp['epochs'] * iterations), hp['optimizer_opts']['lr']], [hp['epochs'] * iterations, 0.0]]"
+""")
+    s = build_schedule(spec, {"epochs": 2, "optimizer_opts": {"lr": 1e-2}}, 50)
+    assert np.isclose(float(s(20)), 1e-2)
+
+
+# ---------------------------------------------------------------- optimizer --
+
+def test_build_optimizer_reference_opts():
+    import optax
+    # exact reference AdamW opts (parameters.yml:129-134)
+    tx = build_optimizer("adamw", {"lr": 1e-3, "betas": [0.9, 0.999], "eps": 1e-08,
+                                   "weight_decay": 1e-2, "amsgrad": False})
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    up, _ = tx.update({"w": jnp.ones((3,))}, st, params)
+    assert up["w"].shape == (3,)
+    tx2 = build_optimizer("sgd", {"lr": 0.1, "momentum": 1e-4, "weight_decay": 0.0,
+                                  "nesterov": True})
+    assert tx2.init(params) is not None
+    with pytest.raises(ValueError, match="Unknown optimizer"):
+        build_optimizer("adagrad_nope", {"lr": 1.0})
+
+
+# ------------------------------------------------------------------ backend --
+
+def test_backend_mesh(devices):
+    be = BackendConfig()
+    assert be.n_devices == len(devices) == 8
+    assert be.data_axis == "data"
+    assert str(be).startswith("cpu-x8")
+    with pytest.raises(ValueError, match="mesh_shape"):
+        BackendConfig(mesh_shape=(3,))
+    # reference torch kwargs accepted & ignored
+    BackendConfig(dist_backend="nccl", dist_url="env://", local_rank=0)
+
+
+# ----------------------------------------------------------------- training --
+
+def test_train_loss_decreases_multidevice(tiny_setup, tmp_path):
+    model, data = tiny_setup
+    hp = {"epochs": 3, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    state, hist = train(hp, model, cross_entropy_loss, data,
+                        backend_conf=BackendConfig())
+    assert hist["train"][-1]["main_loss"] < hist["train"][0]["main_loss"]
+    assert len(hist["valid"]) == 3
+    assert isinstance(state, TrainState) and int(state.step) == hist["steps"]
+
+
+def test_crash_and_resume(tiny_setup, tmp_path):
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 2, "output_path": str(tmp_path), "seed": 3,
+          "crash_iteration": 3, "device_resident_dataset": False}
+    with pytest.raises(CrashIteration):
+        train(hp, model, cross_entropy_loss, data, backend_conf=BackendConfig())
+    ckpt_dir = sorted(glob.glob(str(tmp_path / "run_*" / "checkpoints")))[-1]
+    hp2 = dict(hp, crash_iteration=-1, resume_from=ckpt_dir)
+    state, hist = train(hp2, model, cross_entropy_loss, data,
+                        backend_conf=BackendConfig())
+    assert hist["steps"] == 6  # resumed from step 2's epoch and completed
+
+
+def test_checkpoint_best_k(tmp_path):
+    mgr = CheckpointManager(tmp_path, save_every_iters=10, best_k=2)
+    state = {"w": np.ones((2,), np.float32)}
+    assert mgr.update_best(1, 0.5, state)
+    assert mgr.update_best(2, 0.7, state)
+    assert mgr.update_best(3, 0.6, state)      # evicts 0.5
+    assert not mgr.update_best(4, 0.4, state)  # worse than kept
+    kept = mgr.best_checkpoints()
+    assert sorted(kept.values()) == [0.6, 0.7]
+    best = mgr.restore_best({"w": np.zeros((2,), np.float32)})
+    assert np.allclose(best["w"], 1.0)
+    mgr.close()
+
+
+def test_metric_accumulator():
+    acc = MetricAccumulator()
+    acc.update({"a": jnp.asarray(1.0)}, weight=1)
+    acc.update({"a": jnp.asarray(3.0)}, weight=1)
+    assert acc.compute() == {"a": 2.0}
+    acc.reset()
+    assert acc.compute() == {}
