@@ -194,8 +194,11 @@ def load_dataset(name_or_spec: Union[str, Mapping[str, Any]],
     """
     if isinstance(name_or_spec, Mapping):
         spec = dict(name_or_spec)
-        t = spec.get("type", spec.get("dataset"))
-        kwargs = {**spec.get("dataset_kwargs", {}), **kwargs}
+        t = spec.pop("type", spec.pop("dataset", None))
+        root = spec.pop("root", root)
+        train = bool(spec.pop("train", train))
+        # remaining top-level keys + explicit dataset_kwargs both pass through
+        kwargs = {**spec.pop("dataset_kwargs", {}), **spec, **kwargs}
         ident = getattr(t, "identifier", t)
         name_or_spec = str(ident).rsplit(".", 1)[-1].lower()
     name = str(name_or_spec).lower()

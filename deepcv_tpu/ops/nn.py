@@ -333,6 +333,27 @@ def normalization_techniques(norm_specs: Mapping[str, Optional[Mapping[str, Any]
     return mods
 
 
+def pad_channels_for_tpu(x: jnp.ndarray, min_channels: int = 8) -> jnp.ndarray:
+    """Zero-pad trailing (channel) dim up to ``min_channels``.
+
+    The axon/TPU XLA backend pathologically compiles the weight-gradient of
+    convolutions with small input channel counts (measured on v5e, batch 1024,
+    5x5 kernel: cin=3 -> 405s, cin=4 -> 160s, cin=8 -> 3s; runtime identical).
+    Zero channels are mathematically inert: they contribute nothing forward
+    and receive zero gradient, so every conv input is padded to >= 8 lanes.
+    """
+    c = x.shape[-1]
+    if c < min_channels:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, min_channels - c)]
+        return jnp.pad(x, pad)
+    return x
+
+
+def _is_conv_op(op) -> bool:
+    inner = getattr(op, "layer_instance", op)  # SpectralNorm/WeightNorm wrappers
+    return isinstance(inner, (fnn.Conv, fnn.ConvTranspose))
+
+
 _STATEFUL_NORMS = (fnn.BatchNorm, MeanOnlyBatchNorm)
 
 
@@ -368,6 +389,8 @@ class Layer(fnn.Module):
         if self.dropout_prob and self.dropout_prob > 0.0:
             x = fnn.Dropout(rate=float(self.dropout_prob), deterministic=not train)(x)
         def run_op(v):
+            if _is_conv_op(self.op):
+                v = pad_channels_for_tpu(v)
             # SpectralNorm-wrapped ops need power-iteration updates during training
             if isinstance(self.op, fnn.SpectralNorm):
                 return self.op(v, update_stats=train)

@@ -1,0 +1,118 @@
+"""Image-classification task pipelines.
+
+Reference parity: /root/reference/src/deepcv/classification/image.py —
+``get_pipelines`` (:28-37: preprocess + train pipelines), ``create_model``
+(:40-53: input shape from the trainset, classifier width from dataset
+classes), ``train`` (:64-80: BackendConfig from hp, CrossEntropyLoss, AdamW,
+Accuracy -> ignite train).
+"""
+from __future__ import annotations
+
+import copy
+import logging
+from typing import Any, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+
+from deepcv_tpu.pipelines.framework import Node, Pipeline
+from deepcv_tpu.spec import DeepcvModule
+from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
+from deepcv_tpu.train import train as train_fn
+from deepcv_tpu.train.backend import BackendConfig
+from deepcv_tpu.train.losses import cross_entropy_loss
+from deepcv_tpu.train.metrics import accuracy
+
+__all__ = ["get_pipelines", "create_model", "train"]
+
+_logger = logging.getLogger(__name__)
+
+
+def preprocess(trainset, testset, params):
+    return preprocess_fn({"trainset": trainset, "testset": testset}, params)
+
+
+def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
+                 ) -> DeepcvModule:
+    """Build the classifier from its YAML spec; the final ``fully_connected``
+    width is injected from the dataset's class count
+    (reference classification/image.py:40-53)."""
+    trainset = datasets["trainset"]
+    input_shape = trainset.image_shape
+    num_classes = trainset.num_classes
+    hp = copy.deepcopy(dict(model_params))
+    arch = hp.get("architecture", [])
+    _inject_out_features(arch, num_classes)
+    dtype = hp.pop("dtype", None)
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
+    model = DeepcvModule(input_shape, hp, dtype=dtype)
+    _logger.info("created model: %s", model)
+    return model
+
+
+def _inject_out_features(arch, num_classes: int) -> bool:
+    """Set ``out_features`` on the LAST fully_connected entry (recursing into
+    nested modules) if unset."""
+    for entry in reversed(list(arch)):
+        if not isinstance(entry, Mapping):
+            continue
+        for key, val in entry.items():
+            if key in ("fully_connected", "linear"):
+                params = val[1] if isinstance(val, (list, tuple)) else val
+                if params.get("out_features") is None:
+                    params["out_features"] = int(num_classes)
+                return True
+            if str(key).startswith("_nested"):
+                sub = val.get("architecture") if isinstance(val, Mapping) else val
+                if sub and _inject_out_features(sub, num_classes):
+                    return True
+    return False
+
+
+def train(datasets, model: DeepcvModule, hp: Mapping[str, Any], trackers=()):
+    """Training node (reference classification/image.py:64-80)."""
+    backend = BackendConfig(**dict(hp.get("backend_conf") or {}))
+    state, history = train_fn(hp, model, cross_entropy_loss, datasets,
+                              backend_conf=backend,
+                              metrics={"accuracy": accuracy},
+                              loggers=list(trackers))
+    return {"state": state, "history": history, "model": model}
+
+
+def get_pipelines() -> Dict[str, Pipeline]:
+    """Pipeline registry for this package (reference image.py:28-37)."""
+    def preprocess_pipeline(ds: str, params_key: str) -> Pipeline:
+        return Pipeline([
+            Node(preprocess, [f"{ds}_train", f"{ds}_test", f"params:{params_key}"],
+                 "datasets", name=f"preprocess_{ds}"),
+        ], name=f"preprocess_{ds}", tags={"preprocess"})
+
+    train_pipeline = Pipeline([
+        Node(preprocess, ["cifar10_train", "cifar10_test",
+                          "params:cifar10_preprocessing"],
+             "datasets", name="preprocess"),
+        Node(create_model, ["datasets", "params:image_classifier_model"],
+             "model", name="create_model"),
+        Node(train, ["datasets", "model", "params:train_image_classifier",
+                     "trackers"],
+             "train_results", name="train"),
+    ], name="train_image_classifier", tags={"train", "classification"})
+
+    train_c100 = Pipeline([
+        Node(preprocess, ["cifar100_train", "cifar100_test",
+                          "params:cifar100_preprocessing"],
+             "datasets", name="preprocess"),
+        Node(create_model, ["datasets", "params:image_classifier_model"],
+             "model", name="create_model"),
+        Node(train, ["datasets", "model", "params:train_image_classifier",
+                     "trackers"],
+             "train_results", name="train"),
+    ], name="train_image_classifier_cifar100", tags={"train", "classification"})
+
+    return {
+        "preprocess_cifar10": preprocess_pipeline("cifar10", "cifar10_preprocessing"),
+        "preprocess_cifar100": preprocess_pipeline("cifar100", "cifar100_preprocessing"),
+        "preprocess_mnist": preprocess_pipeline("mnist", "mnist_preprocessing"),
+        "train_image_classifier": train_pipeline,
+        "train_image_classifier_cifar100": train_c100,
+    }

@@ -1,0 +1,190 @@
+"""Minimal pipeline orchestration (the Kedro-equivalent shell).
+
+Reference parity:
+  * ``kedro.pipeline.Pipeline``/``node`` graphs of task functions over a data
+    catalog (reference classification/image.py:28-37 style) -> :class:`Node`,
+    :class:`Pipeline`;
+  * ``ProjectContext`` (run.py:27-64): conf loading, catalog, pipeline
+    registry, run lifecycle with hooks;
+  * ``ProjectMainHooks`` mlflow wiring (hooks.py:37-129) -> experiment
+    tracker started before 'train'-tagged pipelines, git/pipeline metadata
+    tags, closed on success/error;
+  * per-node ``log_time`` decoration (pipeline.py:24,43) -> built into the
+    runner.
+
+Catalog entries are dataset specs resolved through
+``deepcv_tpu.data.datasets.load_dataset``; parameters are exposed to node
+inputs as ``params:<dotted.path>`` (Kedro convention).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, List, Mapping, Optional, Sequence, Union
+
+from deepcv_tpu.config import ConfigLoader
+from deepcv_tpu.data.datasets import load_dataset
+from deepcv_tpu.train.loggers import ExperimentTracker, git_metadata
+
+__all__ = ["Node", "Pipeline", "ProjectContext"]
+
+_logger = logging.getLogger(__name__)
+
+
+class Node:
+    """One pipeline step: ``fn(*inputs) -> outputs``.
+
+    ``inputs`` name catalog entries, prior node outputs, or ``params:...``
+    parameter paths. ``outputs`` are names bound into the run's data store.
+    """
+
+    def __init__(self, fn: Callable, inputs: Sequence[str], outputs: Union[str, Sequence[str]],
+                 name: Optional[str] = None):
+        self.fn = fn
+        self.inputs = list(inputs)
+        self.outputs = [outputs] if isinstance(outputs, str) else list(outputs or [])
+        self.name = name or getattr(fn, "__name__", "node")
+
+    def __repr__(self):
+        return f"Node({self.name}: {self.inputs} -> {self.outputs})"
+
+
+class Pipeline:
+    """An ordered list of nodes with tags (execution is sequential in input
+    order — sufficient for the reference's linear pipelines; nodes only read
+    what earlier nodes or the catalog provide)."""
+
+    def __init__(self, nodes: Sequence[Node], name: str = "pipeline",
+                 tags: Sequence[str] = ()):
+        self.nodes = list(nodes)
+        self.name = name
+        self.tags = set(tags)
+
+    def __add__(self, other: "Pipeline") -> "Pipeline":
+        return Pipeline(self.nodes + other.nodes, name=f"{self.name}+{other.name}",
+                        tags=self.tags | other.tags)
+
+    def __repr__(self):
+        return f"Pipeline({self.name}, nodes={[n.name for n in self.nodes]})"
+
+    def describe(self) -> str:
+        lines = [f"Pipeline '{self.name}' (tags: {sorted(self.tags)})"]
+        for n in self.nodes:
+            lines.append(f"  {n.name}: {n.inputs} -> {n.outputs}")
+        return "\n".join(lines)
+
+
+class ProjectContext:
+    """Loads conf, resolves the catalog, registers pipelines, runs them.
+
+    Reference ``ProjectContext`` (run.py:27-64) + hooks (hooks.py). The unsafe
+    anyconfig/ruamel monkey-patch (run.py:44-46) is replaced by the safe
+    config loader.
+    """
+
+    def __init__(self, project_path: Union[str, Path] = ".",
+                 conf_paths: Optional[Sequence[Union[str, Path]]] = None,
+                 extra_params: Optional[Mapping[str, Any]] = None):
+        self.project_path = Path(project_path)
+        conf_paths = conf_paths or [self.project_path / "conf" / "base",
+                                    self.project_path / "conf" / "local"]
+        self.config = ConfigLoader(conf_paths)
+        self._extra_params = dict(extra_params or {})
+        self._pipelines: Optional[Dict[str, Pipeline]] = None
+        self._tracker: Optional[ExperimentTracker] = None
+
+    # ------------------------------------------------------------ pipelines
+    @property
+    def pipelines(self) -> Dict[str, Pipeline]:
+        if self._pipelines is None:
+            from deepcv_tpu.pipelines.registry import create_pipelines
+            self._pipelines = create_pipelines()
+        return self._pipelines
+
+    # ------------------------------------------------------------ parameters
+    def params(self, dotted: str, default=None):
+        if dotted in self._extra_params:
+            return self._extra_params[dotted]
+        v = self.config.get(dotted, default)
+        # apply extra-param dotted overrides below this path
+        if isinstance(v, Mapping):
+            from deepcv_tpu.hyperparams import apply_dotted_overrides
+            overrides = {k[len(dotted) + 1:]: val for k, val in self._extra_params.items()
+                         if k.startswith(dotted + ".")}
+            if overrides:
+                v = apply_dotted_overrides(dict(v), overrides, strip_prefixes=())
+        return v
+
+    # ------------------------------------------------------------ catalog
+    def load_catalog_entry(self, name: str):
+        entry = self.config.catalog.get(name)
+        if entry is None:
+            raise KeyError(f"Catalog entry '{name}' not found; known: "
+                           f"{sorted(self.config.catalog)}")
+        return load_dataset(entry, root=entry.get("root", "data/01_raw"),
+                            train=bool(entry.get("train", True)))
+
+    # ------------------------------------------------------------ running
+    def run(self, pipeline_name: str = "__default__",
+            loggers: Sequence[Any] = ()) -> Dict[str, Any]:
+        """Execute a pipeline; returns the final data store."""
+        pipes = self.pipelines
+        if pipeline_name not in pipes:
+            raise KeyError(f"Unknown pipeline '{pipeline_name}'; known: "
+                           f"{sorted(pipes)}")
+        pipeline = pipes[pipeline_name]
+
+        # hooks: experiment tracking for train-tagged pipelines
+        # (reference hooks.py:37-129)
+        tracker = None
+        if "train" in pipeline.tags:
+            run_name = self._search_trial_run_name() or pipeline.name
+            tracker = ExperimentTracker(experiment=pipeline.name, run_name=run_name)
+            tracker.set_tags({**git_metadata(str(self.project_path)),
+                              "pipeline": pipeline.name})
+            tracker.log_params({"pipeline_nodes": [n.name for n in pipeline.nodes]})
+            self._tracker = tracker
+
+        store: Dict[str, Any] = {"context": self, "trackers": [tracker] if tracker else []}
+        status = "FINISHED"
+        try:
+            for node in pipeline.nodes:
+                args = [self._resolve_input(i, store) for i in node.inputs]
+                t0 = time.perf_counter()
+                out = node.fn(*args)
+                _logger.info("node %s took %.2fs", node.name,
+                             time.perf_counter() - t0)  # log_time parity
+                if len(node.outputs) == 1:
+                    store[node.outputs[0]] = out
+                elif node.outputs:
+                    for oname, oval in zip(node.outputs, out):
+                        store[oname] = oval
+            return store
+        except Exception:
+            status = "FAILED"
+            raise
+        finally:
+            if tracker:
+                tracker.end_run(status)
+
+    def _resolve_input(self, name: str, store: Mapping[str, Any]):
+        if name in store:
+            return store[name]
+        if name.startswith("params:"):
+            v = self.params(name[len("params:"):])
+            if v is None:
+                raise KeyError(f"Parameter '{name}' not found in conf")
+            return v
+        return self.load_catalog_entry(name)
+
+    @staticmethod
+    def _search_trial_run_name() -> Optional[str]:
+        """Run name from the active HP-search trial, when running under one
+        (reference: NNI experiment/trial ids, hooks.py:79-87)."""
+        import os
+        exp = os.environ.get("DEEPCV_SEARCH_EXPERIMENT") or os.environ.get("NNI_EXP_ID")
+        trial = os.environ.get("DEEPCV_SEARCH_TRIAL") or os.environ.get("NNI_TRIAL_JOB_ID")
+        if exp and exp != "STANDALONE":
+            return f"{exp}_{trial or 'trial'}"
+        return None

@@ -1,0 +1,171 @@
+"""Neural-architecture-search over spec-level choice points.
+
+Reference parity (/root/reference/src/deepcv/meta/nni_tools.py):
+  * classic NAS: generate a search space enumerating the spec's mutables
+    (``gen_classic_nas_search_space`` shelled out to ``nnictl ss_gen``,
+    :122-131 — here a pure function over the spec), sample one fixed
+    architecture per trial (``get_and_apply_next_architecture``, :409);
+  * single-shot NAS: train the weight-sharing supernet once then export the
+    best fixed architecture (``nni_single_shot_neural_architecture_search``,
+    :231-343). The supernet is DARTS-style: DeepcvModule(nas_mode='supernet')
+    mixes candidates with softmax-weighted trainable logits (spec/graph.py);
+    export takes argmax per mutable (`mutator.export()` parity, JSON format
+    compatible with NNI fixed-architecture files);
+  * ``apply_fixed_architecture`` (:424): build a fixed model from an exported
+    JSON;
+  * ``model_contains_nni_nas_mutable`` (:92-101) -> :func:`list_mutables`.
+"""
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from deepcv_tpu.spec.tokens import YamlTokens as T
+from deepcv_tpu.spec.graph import ARCH_PARAM_PREFIX
+
+__all__ = ["list_mutables", "sample_architecture", "export_architecture",
+           "apply_fixed_architecture", "arch_params_mask",
+           "gen_classic_nas_search_space",
+           "single_shot_neural_architecture_search"]
+
+_logger = logging.getLogger(__name__)
+
+
+def list_mutables(hp: Mapping[str, Any]) -> Dict[str, Dict[str, Any]]:
+    """Enumerate NAS choice points in an architecture spec.
+
+    Returns {mutable_name: {'kind': 'layer'|'input', 'n_candidates': k,
+    'n_chosen': m}} — walks nested modules too.
+    """
+    out: Dict[str, Dict[str, Any]] = {}
+
+    def walk(arch, prefix_idx=0):
+        for idx, entry in enumerate(arch or []):
+            if not isinstance(entry, Mapping):
+                continue
+            for key, val in entry.items():
+                if key == T.NAS_LAYER_CHOICE:
+                    params = dict(val)
+                    name = params.get(T.NAME, f"_submodule_{idx}_layer_choice")
+                    cands = params.get(T.CANDIDATES, [])
+                    out[name] = {"kind": "layer", "n_candidates": len(cands),
+                                 "n_chosen": 1}
+                elif key in (T.NESTED_DEEPCV_MODULE, T.NESTED_DEEPCV_MODULE_ALT):
+                    sub = val.get("architecture") if isinstance(val, Mapping) else val
+                    walk(sub)
+                elif isinstance(val, Mapping) and T.FROM_NAS_INPUT_CHOICE in val:
+                    cands = val[T.FROM_NAS_INPUT_CHOICE]
+                    name = val.get(T.NAME) or f"_submodule_{idx}_{str(key).lstrip('_')}"
+                    out[name] = {"kind": "input", "n_candidates": len(cands),
+                                 "n_chosen": int(val.get(T.N_CHOSEN, 1))}
+                elif isinstance(val, (list, tuple)) and len(val) == 2 \
+                        and isinstance(val[1], Mapping) and T.FROM_NAS_INPUT_CHOICE in val[1]:
+                    out[val[0]] = {"kind": "input",
+                                   "n_candidates": len(val[1][T.FROM_NAS_INPUT_CHOICE]),
+                                   "n_chosen": int(val[1].get(T.N_CHOSEN, 1))}
+    walk(hp.get("architecture"))
+    return out
+
+
+def gen_classic_nas_search_space(hp: Mapping[str, Any]) -> Dict[str, Any]:
+    """NNI classic-NAS search-space JSON for the spec's mutables
+    (replaces the ``nnictl ss_gen`` subprocess, nni_tools.py:122-131)."""
+    space = {}
+    for name, m in list_mutables(hp).items():
+        space[name] = {"_type": "layer_choice" if m["kind"] == "layer" else "input_choice",
+                       "_value": list(range(m["n_candidates"]))}
+    return space
+
+
+def sample_architecture(hp: Mapping[str, Any], rng=None,
+                        seed: Optional[int] = None) -> Dict[str, Any]:
+    """Sample one fixed architecture (classic-NAS trial)."""
+    rng = rng if rng is not None else np.random.default_rng(seed or 0)
+    arch = {}
+    for name, m in list_mutables(hp).items():
+        if m["kind"] == "layer":
+            arch[name] = int(rng.integers(m["n_candidates"]))
+        else:
+            k = min(m["n_chosen"], m["n_candidates"])
+            arch[name] = sorted(int(i) for i in
+                                rng.choice(m["n_candidates"], size=k, replace=False))
+    return arch
+
+
+def export_architecture(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Extract the argmax architecture from trained supernet variables
+    (NNI ``mutator.export()`` parity, nni_tools.py:324-340): arch logits live
+    in params under the ``arch__`` prefix (spec/graph.py)."""
+    arch: Dict[str, Any] = {}
+
+    def walk(tree, path=""):
+        for k, v in tree.items():
+            if isinstance(v, Mapping):
+                walk(v, path)
+            elif k.startswith(ARCH_PARAM_PREFIX):
+                name = k[len(ARCH_PARAM_PREFIX):]
+                arch[name] = int(np.argmax(np.asarray(v)))
+
+    walk(variables.get("params", variables))
+    return arch
+
+
+def apply_fixed_architecture(input_shape, hp: Mapping[str, Any],
+                             architecture: Union[str, Path, Mapping[str, Any]],
+                             **model_kwargs):
+    """Build a fixed DeepcvModule from an exported architecture JSON/dict
+    (reference ``apply_fixed_architecture``, nni_tools.py:424)."""
+    from deepcv_tpu.spec import DeepcvModule
+    if isinstance(architecture, (str, Path)):
+        architecture = json.loads(Path(architecture).read_text())
+    return DeepcvModule(input_shape, hp, nas_mode="fixed",
+                        nas_arch=dict(architecture), **model_kwargs)
+
+
+def arch_params_mask(params: Mapping[str, Any], invert: bool = False):
+    """Pytree mask: True on ``arch__*`` leaves (for optax.masked — e.g. give
+    architecture logits their own learning rate / exclude from weight decay,
+    DARTS bi-level optimization)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    paths, treedef = flat[0], flat[1]
+    leaves = []
+    for path, leaf in paths:
+        is_arch = any(ARCH_PARAM_PREFIX in str(getattr(p, "key", "")) for p in path)
+        leaves.append(is_arch if not invert else not is_arch)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def single_shot_neural_architecture_search(
+        input_shape, model_hp: Mapping[str, Any], training_hp: Mapping[str, Any],
+        losses, datasets, backend_conf=None, metrics=None,
+        arch_export_path: Optional[Union[str, Path]] = None,
+        **model_kwargs) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
+    """Single-shot (weight-sharing) NAS: train the supernet, export argmax.
+
+    Reference ``nni_single_shot_neural_architecture_search``
+    (nni_tools.py:231-343): builds a NAS trainer (ENAS/SPOS/Proxyless), trains,
+    validates, exports the fixed architecture JSON (+ experiment artifact).
+    Here the supernet is the DARTS-style softmax-mixture DeepcvModule; the
+    standard train() loop optimizes weights and architecture logits jointly.
+
+    Returns (architecture_dict, final_state, history).
+    """
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train import train
+
+    supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
+                            **model_kwargs)
+    state, history = train(training_hp, supernet, losses, datasets,
+                           backend_conf=backend_conf, metrics=metrics)
+    arch = export_architecture({"params": state.params})
+    if arch_export_path:
+        Path(arch_export_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(arch_export_path).write_text(json.dumps(arch, indent=1))
+        _logger.info("exported architecture to %s: %s", arch_export_path, arch)
+    return arch, state, history

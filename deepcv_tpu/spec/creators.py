@@ -118,7 +118,13 @@ class ForwardCallback:
         if self.apply_in_parallel and isinstance(x, (list, tuple)):
             streams = []
             for i, xi in enumerate(x):
-                refs_i = [r[i] if isinstance(r, (list, tuple)) else r for r in refs]
+                refs_i = []
+                for r in refs:
+                    if isinstance(r, (list, tuple)):
+                        if i < len(r):      # ref has fewer streams: skip missing
+                            refs_i.append(r[i])
+                    else:
+                        refs_i.append(r)
                 streams.append(self.fn(xi, refs_i))
             return streams
         return self.fn(x, refs)
@@ -362,8 +368,15 @@ def _residual_link(params, ctx: CreatorContext, name: str) -> ForwardCallback:
     reduction = get_reduction_fn(params.get("reduction"), default="sum")
 
     def fn(x, refs):
+        if not refs:
+            return x  # stream has no matching ref stream (parallel HRNet links)
         refs = [_maybe_rescale(r, x, allow_scaling, name) for r in refs]
         combined = reduction(refs) if len(refs) > 1 else refs[0]
+        if combined.shape[-1] != x.shape[-1]:
+            raise ValueError(
+                f"residual_link '{name}': channel mismatch {combined.shape[-1]} vs "
+                f"{x.shape[-1]} — residual refs must preserve channel count (only "
+                "spatial rescaling is supported, reference submodule_creators.py:272-332)")
         return x + combined.astype(x.dtype)
 
     return ForwardCallback(fn=fn, apply_in_parallel=bool(params.get("apply_in_parallel", False)))
@@ -376,6 +389,8 @@ def _dense_link(params, ctx: CreatorContext, name: str) -> ForwardCallback:
     allow_scaling = bool(params.get("allow_scaling", False))
 
     def fn(x, refs):
+        if not refs:
+            return x
         refs = [_maybe_rescale(r, x, allow_scaling, name).astype(x.dtype) for r in refs]
         return jnp.concatenate([x, *refs], axis=-1)
 
@@ -421,3 +436,89 @@ def _select_tensor(params, ctx: CreatorContext, name: str) -> ForwardCallback:
         return out[0] if len(out) == 1 else out
 
     return ForwardCallback(fn=fn)
+
+
+# --------------------------------------------------------------------------- #
+# HRNet creators (reference hrnet.py entries in BASIC_SUBMODULE_CREATORS)
+# --------------------------------------------------------------------------- #
+
+def _hrnet_common(params: Mapping[str, Any], ctx: CreatorContext):
+    return dict(act_fn=dnn.get_activation(params.get("act_fn")),
+                dtype=ctx.dtype)
+
+
+@submodule_creator("hrnet_input_stem", global_keys=GLOBAL_LAYER_KEYS,
+                   allowed=("out_channels", "conv_count"), required=("out_channels",))
+def _hrnet_stem(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    from deepcv_tpu.ops import hrnet as H
+    return H.HRNetInputStem(out_channels=int(params["out_channels"]),
+                            conv_count=int(params.get("conv_count", 2)),
+                            act_fn=dnn.get_activation(params.get("act_fn")),
+                            norm_specs=_norm_specs_from_params(params),
+                            dropout_prob=float(params.get("dropout_prob") or 0.0),
+                            preactivation=bool(params.get("preactivation", False)),
+                            dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("parallel_conv", aliases=("parallel_convolution",),
+                   global_keys=GLOBAL_LAYER_KEYS,
+                   allowed=("kernel_size", "out_channels", "groups"),
+                   required=("kernel_size", "out_channels"))
+def _parallel_conv(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    from deepcv_tpu.ops import hrnet as H
+
+    def to_tuple(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(to_tuple(e) for e in v)
+        return v
+
+    return H.ParallelConvolution(kernel_size=to_tuple(params["kernel_size"]),
+                                 out_channels=to_tuple(params["out_channels"]),
+                                 groups=to_tuple(params.get("groups", 1)),
+                                 act_fn=dnn.get_activation(params.get("act_fn")),
+                                 dropout_prob=float(params.get("dropout_prob") or 0.0),
+                                 preactivation=bool(params.get("preactivation", False)),
+                                 norm_specs=_norm_specs_from_params(params),
+                                 dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("multiresolution_fusion", global_keys=GLOBAL_LAYER_KEYS,
+                   allowed=("create_new_branch", "new_branch_channels",
+                            "reuse_scaling_convs"))
+def _multires_fusion(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    from deepcv_tpu.ops import hrnet as H
+    nb = params.get("new_branch_channels")
+    return H.MultiresolutionFusion(
+        create_new_branch=bool(params.get("create_new_branch", True)),
+        new_branch_channels=int(nb) if nb else None,
+        reuse_scaling_convs=bool(params.get("reuse_scaling_convs", False)),
+        act_fn=dnn.get_activation(params.get("act_fn")),
+        dtype=ctx.dtype, name=name)
+
+
+def _make_head_creator(version: str):
+    def creator(params, ctx: CreatorContext, name: str) -> fnn.Module:
+        from deepcv_tpu.ops import hrnet as H
+        common = dict(name=name)
+        if version == "v1":
+            return H.HRNetV1RepresentationHead(**common)
+        act = dnn.get_activation(params.get("act_fn"))
+        oc = params.get("out_channels")
+        if version == "v2":
+            return H.HRNetV2RepresentationHead(out_channels=int(oc) if oc else None,
+                                               act_fn=act, dtype=ctx.dtype, **common)
+        return H.HRNetV2pRepresentationHead(out_channels=int(oc) if oc else None,
+                                            pyramid_levels=int(params.get(
+                                                "pyramid_levels", 3)),
+                                            act_fn=act, dtype=ctx.dtype, **common)
+    return creator
+
+
+submodule_creator("hrnet_repr_head_v1", global_keys=GLOBAL_LAYER_KEYS,
+                  allowed=())(_make_head_creator("v1"))
+# the reference YAML writes 'hrnet_repr_head_vZ' (parameters.yml:77) — alias of v2
+submodule_creator("hrnet_repr_head_v2", aliases=("hrnet_repr_head_vZ",),
+                  global_keys=GLOBAL_LAYER_KEYS,
+                  allowed=("out_channels",))(_make_head_creator("v2"))
+submodule_creator("hrnet_repr_head_v2p", global_keys=GLOBAL_LAYER_KEYS,
+                  allowed=("out_channels", "pyramid_levels"))(_make_head_creator("v2p"))

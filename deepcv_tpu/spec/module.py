@@ -195,6 +195,7 @@ class SharedImageEmbedding(fnn.Module):
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
         for i, f in enumerate(self.features):
+            x = dnn.pad_channels_for_tpu(x)
             x = fnn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype,
                          name=f"shared_conv{i}")(x)
             x = jax.nn.relu(x)

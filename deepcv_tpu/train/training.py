@@ -72,6 +72,9 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     "output_path": "data/04_training",
     "eval_batch_multiplier": 32,     # reference: eval batch = 32 x train batch (:215)
     "nni_compression": None,         # reserved (reference :335-344)
+    # 'input' => self-supervised/autoencoder: loss target is the transformed
+    # input batch (reference keypoints autoencoder, keypoints/detector.py:44-84)
+    "self_supervised_target": None,
 }
 
 
@@ -226,6 +229,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         dtype = jnp.dtype(dtype)
 
     # ---------------- the jitted step --------------------------------------- #
+    self_target = hp.get("self_supervised_target") == "input"
+
     def loss_fn(params, batch_stats, raw_x, y, key):
         x = trainset.batch_transform(raw_x, key=key)
         if dtype is not None:
@@ -236,21 +241,21 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         out = model.apply(variables, x, train=True, rngs={"dropout": key},
                           mutable=["batch_stats"] if batch_stats is not None else False)
         logits, new_state = out if isinstance(out, tuple) else (out, {})
-        y_t = trainset.transform_targets(y)
+        y_t = x if self_target else trainset.transform_targets(y)
         main, terms = losses(logits, y_t)
-        return main, (terms, new_state.get("batch_stats"), logits)
+        return main, (terms, new_state.get("batch_stats"), logits, y_t)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, raw_x, y):
         rng, step_key = jax.random.split(state.rng)
-        (_, (terms, new_bs, logits)), grads = grad_fn(
+        (_, (terms, new_bs, logits, y_t)), grads = grad_fn(
             state.params, state.batch_stats, raw_x, y, step_key)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         step_metrics = dict(terms)
         for mname, mfn in metrics.items():
-            step_metrics[mname] = mfn(logits, y)
+            step_metrics[mname] = mfn(logits, y_t)
         new_state = state.replace(params=new_params, batch_stats=new_bs,
                                   opt_state=new_opt, step=state.step + 1, rng=rng)
         return new_state, step_metrics
@@ -274,11 +279,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         if dtype is not None:
             x = x.astype(dtype)
         logits = model.apply(state.variables(), x, train=False)
-        y_t = trainset.transform_targets(y)
+        y_t = x if self_target else trainset.transform_targets(y)
         _, terms = losses(logits, y_t)
         out = dict(terms)
         for mname, mfn in metrics.items():
-            out[mname] = mfn(logits, y)
+            out[mname] = mfn(logits, y_t)
         return out
 
     jit_eval = jax.jit(eval_step, in_shardings=(None, data_shd, data_shd))

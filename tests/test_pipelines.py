@@ -1,0 +1,237 @@
+"""Pipelines, context, CLI, loggers, HRNet creators, keypoints matching."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.pipelines import ProjectContext, create_pipelines
+from deepcv_tpu.pipelines.classification import create_model, _inject_out_features
+from deepcv_tpu.pipelines.keypoints import (
+    create_autoencoder, extract_dense_descriptors, match_descriptors,
+)
+from deepcv_tpu.pipelines.video import flow_warp, deep_feature_flow_inference
+from deepcv_tpu.data.datasets import load_dataset
+from deepcv_tpu.data.preprocess import preprocess
+from deepcv_tpu.train.loggers import (
+    MetricsJsonlLogger, TensorBoardLogger, ExperimentTracker, git_metadata,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    raw = load_dataset("synthetic", n=128, image_shape=(8, 8, 3), num_classes=4, seed=1)
+    return preprocess({"trainset": raw},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+
+
+def test_create_pipelines_registry():
+    pipes = create_pipelines()
+    assert "train_image_classifier" in pipes
+    assert "train_keypoint_detector" in pipes
+    assert "__default__" in pipes
+    assert "train" in pipes["train_image_classifier"].tags
+    desc = pipes["train_image_classifier"].describe()
+    assert "create_model" in desc
+
+
+def test_project_context_params_and_catalog():
+    ctx = ProjectContext(str(REPO))
+    hp = ctx.params("train_image_classifier")
+    assert hp["epochs"] == 2 and hp["optimizer_opts"]["lr"] == 1e-3
+    # scheduler milestones carried as eval-strings
+    assert "milestones_values" in hp["scheduler"]["kwargs"]
+    # extra-param override
+    ctx2 = ProjectContext(str(REPO),
+                          extra_params={"train_image_classifier.epochs": 7})
+    assert ctx2.params("train_image_classifier")["epochs"] == 7
+    with pytest.raises(KeyError, match="Catalog"):
+        ctx.load_catalog_entry("nonexistent_dataset")
+
+
+def test_create_model_injects_classes(tiny_data):
+    ctx = ProjectContext(str(REPO))
+    model = create_model(tiny_data, ctx.params("image_classifier_model"))
+    assert model.eval_output_shape()[-1] == 4  # classes injected
+
+
+def test_inject_out_features_nested():
+    arch = [{"_nested_deepcvmodule": {"architecture": [
+        {"conv2d": {"kernel_size": [3, 3], "out_channels": 4}}]}},
+        {"flatten": {}},
+        {"fully_connected": {"act_fn": "sigmoid"}}]
+    assert _inject_out_features(arch, 7)
+    assert arch[-1]["fully_connected"]["out_features"] == 7
+
+
+def test_full_classifier_pipeline_runs(tmp_path, tiny_data, monkeypatch):
+    """End-to-end: context.run on a tiny config through the real registry."""
+    conf = tmp_path / "conf" / "base"
+    conf.mkdir(parents=True)
+    (conf / "catalog.yml").write_text(
+        "cifar10_train: {type: synthetic, n: 128, image_shape: [8, 8, 3], num_classes: 4}\n"
+        "cifar10_test: {type: synthetic, train: false, n: 64, image_shape: [8, 8, 3], num_classes: 4}\n")
+    (conf / "parameters.yml").write_text("""
+cifar10_preprocessing:
+  seed: 1
+  split_dataset: { validset_ratio: 0.25 }
+  transforms: [to_tensor]
+image_classifier_model:
+  act_fn: relu
+  architecture:
+    - conv2d: { kernel_size: [3, 3], out_channels: 4, padding: 1 }
+    - flatten: {}
+    - fully_connected: { act_fn: null }
+train_image_classifier:
+  epochs: 1
+  batch_size: 32
+  optimizer_opts: { lr: 1.0e-3 }
+  save_every_iters: 0
+  output_path: %s
+""" % str(tmp_path / "out"))
+    ctx = ProjectContext(str(tmp_path))
+    store = ctx.run("train_image_classifier")
+    res = store["train_results"]
+    assert res["history"]["steps"] == 3
+    assert res["history"]["valid"]
+    # experiment tracker recorded the run
+    runs = list((tmp_path / "out").parent.glob("**/meta.json")) + \
+        list(Path("data/04_training/experiments").glob("**/meta.json"))
+    assert runs
+
+
+def test_autoencoder_pipeline(tiny_data):
+    enc_hp = {"act_fn": "relu",
+              "architecture": [{"conv2d": {"kernel_size": [3, 3], "out_channels": 8,
+                                           "padding": 1}}]}
+    dec_hp = {"act_fn": "relu", "architecture": [
+        {"conv2d": {"kernel_size": [3, 3], "out_channels": 8, "padding": 1}}]}
+    ae = create_autoencoder(tiny_data, enc_hp, dec_hp)
+    v = ae.init(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 8, 8, 3))
+    y = ae.apply(v, x)
+    assert y.shape == x.shape  # reconstructs input channels
+    z = ae.encode(v, x)
+    assert z.shape[-1] == 8
+
+
+def test_autoencoder_training_reduces_mse(tiny_data, tmp_path):
+    from deepcv_tpu.pipelines.keypoints import train_autoencoder
+    enc = {"act_fn": "relu", "architecture": [
+        {"conv2d": {"kernel_size": [3, 3], "out_channels": 8, "padding": 1}}]}
+    dec = {"act_fn": "relu", "architecture": [
+        {"conv2d": {"kernel_size": [3, 3], "out_channels": 8, "padding": 1}}]}
+    ae = create_autoencoder(tiny_data, enc, dec)
+    hp = {"epochs": 3, "batch_size": 32, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path),
+          "log_progress_every_iters": 1}
+    out = train_autoencoder(tiny_data, ae, hp)
+    h = out["history"]["train"]
+    assert h[-1]["main_loss"] < h[0]["main_loss"]
+
+
+def test_descriptor_matching():
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (50, 16))
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    perm = jax.random.permutation(jax.random.PRNGKey(1), 50)
+    b = a[perm]  # exact matches, permuted
+    idx, valid = match_descriptors(a, b, mutual=True)
+    assert bool(valid.all())
+    assert np.array_equal(np.asarray(perm[idx]), np.arange(50))
+    # max_distance filter kills non-matches
+    c = jax.random.normal(jax.random.PRNGKey(2), (50, 16))
+    c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+    _, valid2 = match_descriptors(a, c, mutual=True, max_distance=1e-3)
+    assert int(valid2.sum()) < 5
+
+
+def test_extract_dense_descriptors():
+    fm = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    d = extract_dense_descriptors(fm)
+    assert d.shape == (2, 16, 8)
+    assert np.allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-4)
+
+
+def test_flow_warp_identity_and_shift():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 6, 2))
+    zero_flow = jnp.zeros((1, 6, 6, 2))
+    assert np.allclose(np.asarray(flow_warp(x, zero_flow)), np.asarray(x), atol=1e-6)
+    # shift right by 1: output[y, x] = input[y, x+1]
+    flow = jnp.zeros((1, 6, 6, 2)).at[..., 0].set(1.0)
+    warped = flow_warp(x, flow)
+    assert np.allclose(np.asarray(warped[0, :, :-1]), np.asarray(x[0, :, 1:]), atol=1e-5)
+
+
+def test_deep_feature_flow_generator():
+    frames = [jnp.full((1, 4, 4, 3), float(i)) for i in range(5)]
+    feature_calls = []
+    outs = list(deep_feature_flow_inference(
+        iter(frames),
+        feature_fn=lambda f: (feature_calls.append(1), f * 2)[1],
+        flow_fn=lambda kf, f: jnp.zeros((1, 4, 4, 2)),
+        task_head_fn=lambda feat: feat.mean(),
+        key_frame_interval=2))
+    assert len(outs) == 5
+    assert len(feature_calls) == 3  # frames 0, 2, 4 only
+
+
+def test_loggers(tmp_path):
+    jl = MetricsJsonlLogger(tmp_path / "m.jsonl")
+    jl.log_params({"lr": 1e-3})
+    jl.log_metrics({"loss": 1.0}, step=1)
+    jl.flush()
+    lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert lines[0]["type"] == "params" and lines[1]["loss"] == 1.0
+
+    tb = TensorBoardLogger(tmp_path / "tb")
+    tb.log_params({"lr": 1e-3})
+    tb.log_metrics({"loss": 0.5}, step=1)
+    tb.close()
+    assert list((tmp_path / "tb").glob("events.*"))
+
+    tr = ExperimentTracker(root=tmp_path / "exp", experiment="e1", run_name="r1")
+    tr.log_params({"a": {"b": 2}})
+    tr.log_metrics({"m": 3.0}, step=5)
+    tr.set_tags({"k": "v"})
+    tr.end_run()
+    meta = json.loads((tr.dir / "meta.json").read_text())
+    assert meta["status"] == "FINISHED" and meta["tags"]["k"] == "v"
+    params = json.loads((tr.dir / "params.json").read_text())
+    assert params["a.b"] == 2
+
+
+def test_git_metadata():
+    md = git_metadata(str(REPO))
+    assert "git_commit" in md and len(md["git_commit"]) == 40
+
+
+def test_cli_list_and_describe():
+    out = subprocess.run([sys.executable, "-m", "deepcv_tpu", "list"],
+                         capture_output=True, text=True, cwd=str(REPO),
+                         env={"PATH": "/usr/bin:/bin", "PYTHONPATH": str(REPO),
+                              "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+                         timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "train_image_classifier" in out.stdout
+
+
+def test_hrnet_backbone_from_conf(rng):
+    """The conf hrnet_backbone (corrected reference parameters.yml:53-77)
+    builds, runs, and produces multi-stream intermediates."""
+    from deepcv_tpu.spec import DeepcvModule
+    ctx = ProjectContext(str(REPO))
+    models = {k: v for d in ctx.params("models") for k, v in d.items()}
+    m = DeepcvModule((32, 32, 3), models["hrnet_backbone"])
+    v = m.init(rng)
+    y, st = m.apply(v, jnp.ones((1, 32, 32, 3)), train=True,
+                    rngs={"dropout": rng})
+    assert y.shape == (1, 8, 8, 32)
+    assert "batch_stats" in st  # mean-only BN running means

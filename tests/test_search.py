@@ -1,0 +1,204 @@
+"""HP-search + NAS subsystem tests."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.hyperparams import HyperparameterSpace
+from deepcv_tpu.search import (
+    RandomTuner, TPETuner, GridTuner, MedianStopAssessor, SearchRunner, Trial,
+    list_mutables, sample_architecture, export_architecture,
+    apply_fixed_architecture, arch_params_mask,
+    single_shot_neural_architecture_search,
+    GeneralizationAcrossScalesPredictor,
+    is_nni_run_standalone, gen_nni_config, sample_search_space,
+)
+from deepcv_tpu.config import load_yaml
+
+SPACE = HyperparameterSpace.from_nni_json({
+    "training:optimizer_opts.lr": {"_type": "loguniform", "_value": [1e-4, 1e-1]},
+    "model:dropout_prob": {"_type": "uniform", "_value": [0.0, 0.5]},
+    "model:conv_size": {"_type": "choice", "_value": [3, 5]},
+})
+
+NAS_YML = """
+act_fn: relu
+architecture:
+  - conv2d: ["p1", { kernel_size: [3, 3], out_channels: 8, padding: 1 }]
+  - conv2d: ["c1", { kernel_size: [3, 3], out_channels: 8, padding: 1 }]
+  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
+  - _nas_layer_choice:
+      _name: "mut1"
+      _candidates:
+        - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+        - conv2d: { kernel_size: [5, 5], out_channels: 8, padding: 2 }
+  - residual_link: ["res1", { _from_nas_input_choice: ["p1", "c1"], reduction: "mean", allow_scaling: true }]
+"""
+
+
+# ------------------------------------------------------------------ tuners --
+
+def test_tpe_tuner_beats_random_on_quadratic():
+    """TPE should concentrate samples near the optimum of a known function."""
+    space = HyperparameterSpace.from_nni_json(
+        {"x": {"_type": "uniform", "_value": [0.0, 1.0]}})
+
+    def run(tuner_cls, seed):
+        t = tuner_cls(space, seed=seed, maximize=True)
+        best = -1e9
+        for _ in range(40):
+            p = t.suggest()
+            v = -(p["x"] - 0.73) ** 2
+            t.observe(p, v)
+            best = max(best, v)
+        return best
+
+    tpe = np.mean([run(TPETuner, s) for s in range(5)])
+    rnd = np.mean([run(RandomTuner, s) for s in range(5)])
+    assert tpe >= rnd - 1e-4  # at least as good on average
+
+
+def test_grid_tuner_covers_choices():
+    space = HyperparameterSpace.from_nni_json(
+        {"a": {"_type": "choice", "_value": [1, 2]},
+         "b": {"_type": "choice", "_value": ["x", "y"]}})
+    g = GridTuner(space)
+    seen = {tuple(sorted(g.suggest().items())) for _ in range(4)}
+    assert len(seen) == 4
+
+
+def test_medianstop_assessor():
+    a = MedianStopAssessor(maximize=True, start_step=1)
+    a.trial_end([0.5, 0.6, 0.7])
+    a.trial_end([0.4, 0.5, 0.6])
+    assert a.should_stop([0.1, 0.1])       # clearly below median
+    assert not a.should_stop([0.8])        # above
+
+
+# ------------------------------------------------------------------ runner --
+
+def test_search_runner_finds_optimum(tmp_path):
+    def trial_fn(params, trial):
+        lr = params["training:optimizer_opts.lr"]
+        v = -(np.log10(lr) + 2.0) ** 2  # optimum at lr=1e-2
+        trial.report_intermediate_result(v)
+        trial.report_final_result(v)
+        return v
+
+    runner = SearchRunner(SPACE, trial_fn, tuner="tpe", max_trials=15,
+                          output_dir=tmp_path, persistent_jit_cache=False,
+                          seed=3)
+    summary = runner.run()
+    assert summary["best"]["value"] > -1.5
+    assert (tmp_path / "trials.jsonl").exists()
+    assert len(summary["trials"]) == 15
+    # search env vars were set for run naming
+    assert os.environ.get("DEEPCV_SEARCH_TRIAL") == "14"
+
+
+def test_sample_search_space_merges_namespaced():
+    model_hp = {"dropout_prob": 0.0, "architecture": []}
+    training_hp = {"optimizer_opts": {"lr": 1e-3}, "epochs": 2}
+    m, t = sample_search_space(
+        {"model:dropout_prob": 0.3, "training:optimizer_opts.lr": 5e-4, "epochs": 9},
+        model_hp, training_hp)
+    assert m["dropout_prob"] == 0.3
+    assert t["optimizer_opts"]["lr"] == 5e-4 and t["epochs"] == 9
+    assert model_hp["dropout_prob"] == 0.0  # originals untouched
+
+
+def test_nni_compat(tmp_path):
+    assert is_nni_run_standalone() in (True, False)
+    cfg = gen_nni_config("train_image_classifier", "space.json",
+                         output_path=tmp_path / "nni.yml", max_trials=10)
+    assert cfg["trial"]["command"].endswith("--pipeline=train_image_classifier")
+    assert (tmp_path / "nni.yml").exists()
+    assert cfg["tuner"]["builtinTunerName"] == "TPE"
+
+
+# --------------------------------------------------------------------- NAS --
+
+def test_list_mutables_and_sampling():
+    hp = load_yaml(NAS_YML)
+    muts = list_mutables(hp)
+    assert muts["mut1"]["kind"] == "layer" and muts["mut1"]["n_candidates"] == 2
+    assert muts["res1"]["kind"] == "input" and muts["res1"]["n_candidates"] == 2
+    arch = sample_architecture(hp, seed=0)
+    assert set(arch) == {"mut1", "res1"}
+    assert arch["mut1"] in (0, 1)
+
+
+def test_classic_nas_fixed_model():
+    hp = load_yaml(NAS_YML)
+    arch = {"mut1": 1, "res1": [0]}
+    m = apply_fixed_architecture((16, 16, 3), hp, arch)
+    v = m.init(jax.random.PRNGKey(0))
+    y = m.apply(v, jnp.ones((1, 16, 16, 3)))
+    assert y.shape == (1, 8, 8, 8)
+
+
+def test_supernet_export_and_mask(rng):
+    from deepcv_tpu.spec import DeepcvModule
+    hp = load_yaml(NAS_YML)
+    m = DeepcvModule((16, 16, 3), hp, nas_mode="supernet")
+    v = m.init(rng)
+    arch_keys = [k for k in v["params"] if k.startswith("arch__")]
+    assert sorted(arch_keys) == ["arch__mut1", "arch__res1"]
+    # bias the logits and export
+    v["params"]["arch__mut1"] = jnp.asarray([0.0, 5.0])
+    v["params"]["arch__res1"] = jnp.asarray([3.0, 0.0])
+    arch = export_architecture(v)
+    assert arch == {"mut1": 1, "res1": 0}
+    mask = arch_params_mask(v["params"])
+    leaves_true = [l for l in jax.tree_util.tree_leaves(mask) if l is True]
+    assert len(leaves_true) == 2
+    # fixed model from export runs
+    fixed = apply_fixed_architecture((16, 16, 3), hp, arch)
+    assert fixed.apply(fixed.init(rng), jnp.ones((1, 16, 16, 3))).shape == (1, 8, 8, 8)
+
+
+def test_single_shot_nas_end_to_end(tmp_path):
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.train.losses import mse_loss
+
+    raw = load_dataset("synthetic", n=96, image_shape=(8, 8, 3), num_classes=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model_hp = load_yaml("""
+act_fn: relu
+architecture:
+  - _nas_layer_choice:
+      _name: "m1"
+      _candidates:
+        - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+        - conv2d: { kernel_size: [5, 5], out_channels: 8, padding: 2 }
+  - conv2d: { kernel_size: [3, 3], out_channels: 3, padding: 1 }
+""")
+    hp = {"epochs": 1, "batch_size": 24, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path),
+          "self_supervised_target": "input", "validate_every_epochs": 100}
+    arch, state, hist = single_shot_neural_architecture_search(
+        (8, 8, 3), model_hp, hp, mse_loss, data,
+        arch_export_path=tmp_path / "arch.json", metrics={})
+    assert arch["m1"] in (0, 1)
+    assert json.loads((tmp_path / "arch.json").read_text()) == arch
+
+
+# ----------------------------------------------------- generalization fit --
+
+def test_generalization_predictor_recovers_power_law():
+    rng = np.random.default_rng(0)
+    ms = np.asarray([1e4, 1e4, 1e5, 1e5, 1e6, 1e6])
+    ns = np.asarray([500, 5000, 500, 5000, 500, 5000])
+    true = 2.0 * ns ** -0.4 + 1.5 * ms ** -0.3 + 0.05
+    pred = GeneralizationAcrossScalesPredictor().fit(ms, ns, true)
+    est = pred.predict(1e6, 50000)
+    truth = 2.0 * 50000 ** -0.4 + 1.5 * 1e6 ** -0.3 + 0.05
+    assert abs(est - truth) / truth < 0.5  # order-of-magnitude extrapolation
+    with pytest.raises(ValueError):
+        GeneralizationAcrossScalesPredictor().fit([1], [1], [1])
