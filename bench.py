@@ -88,7 +88,7 @@ def main():
 
     batch = 4096 if backend.is_tpu else 256
     hp = {
-        "epochs": 3, "batch_size": batch,
+        "epochs": 10 if backend.is_tpu else 3, "batch_size": batch,
         "optimizer": "adamw",
         "optimizer_opts": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 1e-2},
         "save_every_iters": 0, "log_progress_every_iters": 1_000_000,

@@ -3,7 +3,7 @@ reference ignite_training.py:48, 138-176) as pure jnp reductions aggregated
 across eval batches by the runtime."""
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping
+from typing import Any, Callable, Dict, Mapping
 
 import jax.numpy as jnp
 
@@ -35,21 +35,27 @@ for _n, _f in METRIC_FNS.items():
 
 
 class MetricAccumulator:
-    """Running weighted mean over batches (host-side aggregation)."""
+    """Running weighted mean over batches.
+
+    Accumulates DEVICE scalars lazily (jnp adds) — converting to python
+    floats forces a host sync per step, which costs ~100ms per dispatch on
+    tunneled TPUs; values only materialize in :meth:`compute`.
+    """
 
     def __init__(self):
-        self._sums: Dict[str, float] = {}
+        self._sums: Dict[str, Any] = {}
         self._count = 0.0
 
     def update(self, values: Mapping[str, jnp.ndarray], weight: float = 1.0):
         for k, v in values.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(v) * weight
+            cur = self._sums.get(k, 0.0)
+            self._sums[k] = cur + (v * weight if hasattr(v, "shape") else float(v) * weight)
         self._count += weight
 
     def compute(self) -> Dict[str, float]:
         if self._count == 0:
             return {}
-        return {k: v / self._count for k, v in self._sums.items()}
+        return {k: float(v) / self._count for k, v in self._sums.items()}
 
     def reset(self):
         self._sums.clear()
