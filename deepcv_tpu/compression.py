@@ -1,0 +1,145 @@
+"""Model compression: magnitude pruning (AGP schedule) + int8 PTQ.
+
+Reference parity: the NNI compression hooks the reference wires into its
+train loop (pruner/quantizer ``update_epoch``/``step``, ignite_training.py:
+335-344) and the compression search space (conf/base/nni_compression_spaces/
+_nni_compression_example.json: 'level' and 'agp' pruners over sparsity).
+Implemented natively as pure pytree transforms:
+
+  * :func:`magnitude_prune_masks` — 'level' pruner: per-tensor magnitude
+    threshold at a target sparsity;
+  * :class:`AGPSchedule` — automated gradual pruning sparsity ramp
+    (Zhu & Gupta, arXiv:1710.01878), the 'agp' pruner;
+  * :func:`apply_masks` / :func:`prune_gradients` — keep pruned weights at
+    exactly 0 through training (mask params and updates);
+  * :func:`make_pruning_hook` — TrainingEvents hook updating masks per epoch
+    (the reference's update_epoch parity);
+  * :func:`quantize_int8` / :func:`dequantize_int8` — symmetric per-tensor
+    post-training quantization with scale pytree.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["magnitude_prune_masks", "AGPSchedule", "apply_masks",
+           "prune_gradients", "make_pruning_hook", "sparsity_of",
+           "quantize_int8", "dequantize_int8"]
+
+_logger = logging.getLogger(__name__)
+
+
+def _is_weight(path) -> bool:
+    """Prune only multi-dim weight kernels, never biases/scales/arch logits."""
+    last = str(getattr(path[-1], "key", path[-1])) if path else ""
+    return last in ("kernel",)
+
+
+def magnitude_prune_masks(params, sparsity: float, only_weights: bool = True):
+    """Boolean mask pytree: True = KEEP. Per-tensor magnitude threshold
+    ('level' pruner parity)."""
+    sparsity = float(np.clip(sparsity, 0.0, 0.999))
+
+    def mask_leaf(path, w):
+        if only_weights and not _is_weight(path):
+            return jnp.ones_like(w, dtype=bool)
+        if w.ndim < 2:
+            return jnp.ones_like(w, dtype=bool)
+        k = int(round(sparsity * w.size))
+        if k <= 0:
+            return jnp.ones_like(w, dtype=bool)
+        flat = jnp.abs(w).reshape(-1)
+        thresh = jnp.sort(flat)[k - 1]
+        return jnp.abs(w) > thresh
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def apply_masks(params, masks):
+    return jax.tree_util.tree_map(lambda w, m: w * m.astype(w.dtype), params, masks)
+
+
+def prune_gradients(grads, masks):
+    """Zero gradient flow into pruned weights (keeps them pruned)."""
+    return jax.tree_util.tree_map(lambda g, m: g * m.astype(g.dtype), grads, masks)
+
+
+def sparsity_of(params, masks=None) -> float:
+    """Fraction of exactly-zero weights (or masked-off when masks given)."""
+    if masks is not None:
+        kept = sum(int(m.sum()) for m in jax.tree_util.tree_leaves(masks))
+        total = sum(m.size for m in jax.tree_util.tree_leaves(masks))
+        return 1.0 - kept / max(1, total)
+    zeros = sum(int((w == 0).sum()) for w in jax.tree_util.tree_leaves(params))
+    total = sum(w.size for w in jax.tree_util.tree_leaves(params))
+    return zeros / max(1, total)
+
+
+class AGPSchedule:
+    """Automated gradual pruning sparsity ramp (arXiv:1710.01878):
+
+        s_t = s_f + (s_i - s_f) * (1 - (t - t0) / (t1 - t0))^3   for t in [t0, t1]
+    """
+
+    def __init__(self, final_sparsity: float, begin_step: int = 0,
+                 end_step: int = 1000, initial_sparsity: float = 0.0):
+        self.s_i = float(initial_sparsity)
+        self.s_f = float(final_sparsity)
+        self.t0 = int(begin_step)
+        self.t1 = int(end_step)
+
+    def __call__(self, step: int) -> float:
+        if step <= self.t0:
+            return self.s_i
+        if step >= self.t1:
+            return self.s_f
+        frac = (step - self.t0) / max(1, self.t1 - self.t0)
+        return self.s_f + (self.s_i - self.s_f) * (1.0 - frac) ** 3
+
+
+def make_pruning_hook(schedule: AGPSchedule, state_box: Dict[str, Any],
+                      every_epochs: int = 1):
+    """TrainingEvents EPOCH_COMPLETED hook updating pruning masks
+    (reference pruner ``update_epoch`` parity, ignite_training.py:335-344).
+
+    ``state_box`` is a mutable dict the caller shares with its train step:
+    the hook writes {'masks': ..., 'sparsity': ...} after each update.
+    """
+    def hook(count: int, state=None, **_):
+        if count % every_epochs or state is None:
+            return
+        s = schedule(int(state.step))
+        masks = magnitude_prune_masks(state.params, s)
+        state_box["masks"] = masks
+        state_box["sparsity"] = s
+        _logger.info("pruning masks updated: target sparsity %.3f "
+                     "(actual %.3f)", s, sparsity_of(None, masks))
+
+    return hook
+
+
+# --------------------------------------------------------------------------- #
+# Quantization (symmetric per-tensor int8 PTQ)
+# --------------------------------------------------------------------------- #
+
+def quantize_int8(params) -> Tuple[Any, Any]:
+    """(values_int8, scales) pytrees; w ~= values * scale."""
+    def q(w):
+        scale = jnp.maximum(jnp.max(jnp.abs(w)), 1e-12) / 127.0
+        vals = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return vals, scale
+
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    pairs = [q(w) for w in flat]
+    values = jax.tree_util.tree_unflatten(treedef, [p[0] for p in pairs])
+    scales = jax.tree_util.tree_unflatten(treedef, [p[1] for p in pairs])
+    return values, scales
+
+
+def dequantize_int8(values, scales, dtype=jnp.float32):
+    return jax.tree_util.tree_map(
+        lambda v, s: v.astype(dtype) * s.astype(dtype), values, scales)

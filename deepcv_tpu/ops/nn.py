@@ -383,6 +383,8 @@ class Layer(fnn.Module):
     dropout_prob: float = 0.0
     preactivation: bool = False
     norms: Sequence[fnn.Module] = ()
+    #: the op already applies act_fn in its epilogue (fused Pallas conv)
+    act_in_op: bool = False
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
@@ -404,7 +406,7 @@ class Layer(fnn.Module):
             x = run_op(x)
         else:
             x = run_op(x)
-            if self.act_fn is not None:
+            if self.act_fn is not None and not self.act_in_op:
                 x = self.act_fn(x)
             for m in self.norms:
                 x = _apply_norm(m, x, train)
@@ -537,3 +539,52 @@ register("flatten", Flatten)
 register("identity_module", Identity)
 register("concat_coords_module", ConcatCoords)
 register("concat_hilbert_coords_module", ConcatHilbertCoords)
+
+
+# --------------------------------------------------------------------------- #
+# Multiscale model transforms (reference stubs nn.py:267-297, implemented)
+# --------------------------------------------------------------------------- #
+
+def to_multiscale_inputs_model(model, scales: int = 3, reduction: str = "concat"):
+    """Wrap a model's apply: run it on an input pyramid (1x, 1/2x, 1/4x, ...)
+    and combine the outputs (reference ``to_multiscale_inputs_model`` intent,
+    nn.py:267-281 — a NotImplementedError stub there).
+
+    Returns ``apply(variables, x, **kw)``; outputs are resized to the full-
+    scale output's spatial dims before 'concat'/'sum'/'mean' reduction
+    ('none' returns the list).
+    """
+    from deepcv_tpu.spec.creators import get_reduction_fn
+
+    reduce_fn = get_reduction_fn(reduction, default="concat")
+
+    def apply(variables, x, **kwargs):
+        outs = []
+        for k in range(scales):
+            xi = x if k == 0 else interpolate(
+                x, tuple(max(1, s // (2 ** k)) for s in x.shape[1:-1]))
+            outs.append(model.apply(variables, xi, **kwargs))
+        if reduction == "none":
+            return outs
+        ref_hw = outs[0].shape[1:-1] if outs[0].ndim >= 3 else None
+        if ref_hw:
+            outs = [o if o.shape[1:-1] == ref_hw else interpolate(o, ref_hw)
+                    for o in outs]
+        return reduce_fn(outs)
+
+    return apply
+
+
+def to_multiscale_outputs_model(model, scales: int = 3):
+    """Wrap a model's apply: return its output at multiple scales
+    (full, 1/2, 1/4, ...) — reference ``to_multiscale_outputs_model`` intent
+    (nn.py:283-297, stub there). Output: list highest->lowest resolution."""
+    def apply(variables, x, **kwargs):
+        y = model.apply(variables, x, **kwargs)
+        if y.ndim < 4:
+            raise ValueError("multiscale outputs need spatial feature maps")
+        return [y] + [interpolate(y, tuple(max(1, s // (2 ** k))
+                                           for s in y.shape[1:-1]))
+                      for k in range(1, scales)]
+
+    return apply

@@ -1,0 +1,119 @@
+"""Profiling & tracing utilities (SURVEY §5.1 parity and beyond).
+
+Reference had: per-node kedro ``log_time`` (pipeline.py:24,43 — built into
+our pipeline runner), GPU stats on progress bars, and a TODO for a merged
+torch profiler (README.md:156). TPU-native replacements:
+
+  * :func:`trace` — context manager around ``jax.profiler`` producing XProf
+    traces viewable in TensorBoard/Perfetto;
+  * :func:`annotate` — named trace spans (``jax.profiler.TraceAnnotation``);
+  * :class:`StepTimer` — cheap wall-clock step/epoch timing with summary
+    stats;
+  * :func:`device_memory_stats` — live HBM usage per device;
+  * tensorboard server start/stop helpers (reference utils.py:112-153).
+"""
+from __future__ import annotations
+
+import contextlib
+import logging
+import statistics
+import subprocess
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+
+__all__ = ["trace", "annotate", "StepTimer", "device_memory_stats",
+           "start_tensorboard_server", "stop_tensorboard_server"]
+
+_logger = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def trace(log_dir="data/04_training/profile", create_perfetto_link: bool = False):
+    """Capture an XProf/TensorBoard trace of everything inside the block.
+
+    View with ``tensorboard --logdir <log_dir>`` (profile plugin) or upload
+    the .trace.json.gz to ui.perfetto.dev.
+    """
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+    jax.profiler.start_trace(str(log_dir),
+                             create_perfetto_link=create_perfetto_link)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+        _logger.info("profiler trace written to %s", log_dir)
+
+
+def annotate(name: str):
+    """Named span visible in profiler traces:
+    ``with annotate('augment'): ...``"""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Wall-clock step timing with percentile summary (host-side, cheap)."""
+
+    def __init__(self, sync: bool = False):
+        self.sync = sync
+        self.times: List[float] = []
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.times.append(time.perf_counter() - self._t0)
+
+    def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        ts = sorted(self.times)
+        return {"n": len(ts), "mean_s": statistics.fmean(ts),
+                "p50_s": ts[len(ts) // 2], "p95_s": ts[int(len(ts) * 0.95)],
+                "max_s": ts[-1]}
+
+
+def device_memory_stats() -> Dict[str, Dict[str, int]]:
+    """Per-device live memory stats (bytes) where the backend reports them."""
+    out = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            out[str(d)] = {k: int(v) for k, v in stats.items()
+                           if isinstance(v, (int, float))}
+    return out
+
+
+_TB_PROCESS: Optional[subprocess.Popen] = None
+
+
+def start_tensorboard_server(logdir="data/04_training", port: int = 6006):
+    """Launch a background tensorboard server (reference
+    ``start_tensorboard_server``, utils.py:112-153). Returns the Popen."""
+    global _TB_PROCESS
+    if _TB_PROCESS is not None and _TB_PROCESS.poll() is None:
+        return _TB_PROCESS
+    _TB_PROCESS = subprocess.Popen(
+        ["tensorboard", "--logdir", str(logdir), "--port", str(port),
+         "--bind_all"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    _logger.info("tensorboard started on :%d (logdir=%s)", port, logdir)
+    return _TB_PROCESS
+
+
+def stop_tensorboard_server():
+    global _TB_PROCESS
+    if _TB_PROCESS is not None and _TB_PROCESS.poll() is None:
+        _TB_PROCESS.terminate()
+        try:
+            _TB_PROCESS.wait(timeout=10)
+        except subprocess.TimeoutExpired:  # pragma: no cover
+            _TB_PROCESS.kill()
+    _TB_PROCESS = None

@@ -214,7 +214,7 @@ def _norm_specs_from_params(params: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def _as_layer(op: fnn.Module, params: Mapping[str, Any], ctx: CreatorContext,
-              name: Optional[str] = None) -> fnn.Module:
+              name: Optional[str] = None, act_in_op: bool = False) -> fnn.Module:
     """Wrap an op into the reference ``layer()`` unit with act/norm/dropout.
 
     Global weight reparameterizations (hp 'spectral_norm' / 'weight_norm',
@@ -235,6 +235,7 @@ def _as_layer(op: fnn.Module, params: Mapping[str, Any], ctx: CreatorContext,
         preactivation=bool(params.get("preactivation", False)),
         norms=tuple(dnn.normalization_techniques(
             _norm_specs_from_params(params), dtype=ctx.dtype, axis_name=ctx.axis_name)),
+        act_in_op=act_in_op,
         name=name)
 
 
@@ -265,9 +266,33 @@ def _make_conv_creator(rank: int, transpose: bool):
         ks, strides, padding, dilation = _conv_common(params, rank)
         gain = dnn.get_gain(params.get("act_fn"))
         kinit = dnn.xavier_uniform_with_gain(gain)
-        common = dict(features=int(params["out_channels"]), kernel_size=ks,
+        use_bias = bool(params.get("use_bias", params.get("bias", True)))
+        out_ch = int(params["out_channels"])
+
+        # fused Pallas conv path: plain stride-1 'same' 2D convs without
+        # groups/dilation/weight-reparam; activation fuses into the kernel
+        # epilogue in post-activation order (falls back to XLA at call time
+        # when the channel regime doesn't qualify — see pallas.supports)
+        from deepcv_tpu.ops.pallas import fused_layer as PF
+        same_pad = (not isinstance(padding, str)
+                    and tuple(padding) == tuple((k // 2, k // 2) for k in ks))
+        plain = (not transpose and rank == 2 and int(params.get("groups", 1)) == 1
+                 and tuple(strides) == (1, 1) and tuple(dilation) == (1, 1)
+                 and same_pad and all(k % 2 == 1 for k in ks)
+                 and not ctx.spectral_norm and not ctx.weight_norm
+                 and PF.pallas_convs_enabled())
+        if plain:
+            preact = bool(params.get("preactivation", False))
+            act = dnn.get_activation(params.get("act_fn"))
+            op = PF.PallasConv(features=out_ch, kernel_size=tuple(ks),
+                               act_fn=None if preact else act,
+                               use_bias=use_bias, dtype=ctx.dtype,
+                               param_dtype=ctx.param_dtype, kernel_init=kinit,
+                               name=f"{name}_op")
+            return _as_layer(op, params, ctx, name=name, act_in_op=not preact)
+        common = dict(features=out_ch, kernel_size=ks,
                       strides=strides, padding=padding,
-                      use_bias=bool(params.get("use_bias", params.get("bias", True))),
+                      use_bias=use_bias,
                       dtype=ctx.dtype, param_dtype=ctx.param_dtype, kernel_init=kinit,
                       name=f"{name}_op")
         if transpose:

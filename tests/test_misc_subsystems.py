@@ -1,0 +1,124 @@
+"""Types, profiling, compression, hp embedding, multiscale transforms."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepcv_tpu import types_aliases
+from deepcv_tpu.profiling import StepTimer, annotate, device_memory_stats
+from deepcv_tpu.compression import (
+    magnitude_prune_masks, apply_masks, prune_gradients, AGPSchedule,
+    sparsity_of, quantize_int8, dequantize_int8, make_pruning_hook,
+)
+from deepcv_tpu.hyperparams import HyperparameterSpace
+from deepcv_tpu.search.hp_embedding import (
+    encode_hp_sample, encoding_size, HyperparamsEmbedding,
+)
+from deepcv_tpu.ops.nn import to_multiscale_inputs_model, to_multiscale_outputs_model
+from deepcv_tpu.spec import DeepcvModule
+from deepcv_tpu.config import load_yaml
+
+
+def test_types_aliases_exist():
+    assert types_aliases.TENSOR_T is jax.Array
+    assert "SUBMODULE_CREATORS_DICT_T" in types_aliases.__all__
+
+
+def test_step_timer_and_annotation():
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            jnp.ones((4,)).block_until_ready()
+    s = t.summary()
+    assert s["n"] == 3 and s["mean_s"] > 0
+    with annotate("test-span"):
+        jnp.zeros((2,)).block_until_ready()
+    assert isinstance(device_memory_stats(), dict)
+
+
+def test_magnitude_pruning_and_masked_updates():
+    params = {"layer": {"kernel": jnp.asarray(np.random.default_rng(0)
+                                              .normal(size=(8, 8)), jnp.float32),
+                        "bias": jnp.ones((8,))}}
+    masks = magnitude_prune_masks(params, sparsity=0.5)
+    assert float(masks["layer"]["kernel"].mean()) == pytest.approx(0.5, abs=0.02)
+    assert bool(masks["layer"]["bias"].all())  # biases never pruned
+    pruned = apply_masks(params, masks)
+    assert sparsity_of(pruned) >= 0.4
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    g = prune_gradients(grads, masks)
+    assert float(g["layer"]["kernel"].sum()) == pytest.approx(32, abs=2)
+
+
+def test_agp_schedule_monotone():
+    s = AGPSchedule(final_sparsity=0.9, begin_step=10, end_step=110)
+    assert s(0) == 0.0
+    assert s(200) == 0.9
+    vals = [s(t) for t in range(10, 111, 10)]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_pruning_hook_updates_box():
+    from deepcv_tpu.train.training import TrainState
+    import optax
+    params = {"layer": {"kernel": jnp.asarray(np.random.default_rng(0)
+                                              .normal(size=(16, 16)), jnp.float32)}}
+    state = TrainState(params=params, batch_stats=None, opt_state=(),
+                       step=jnp.asarray(50), rng=jax.random.PRNGKey(0))
+    box = {}
+    hook = make_pruning_hook(AGPSchedule(0.8, 0, 100), box)
+    hook(count=1, state=state)
+    assert "masks" in box and box["sparsity"] > 0.3
+
+
+def test_int8_quantization_roundtrip():
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(32, 32)),
+                               jnp.float32)}
+    vals, scales = quantize_int8(params)
+    assert vals["w"].dtype == jnp.int8
+    back = dequantize_int8(vals, scales)
+    err = float(jnp.abs(back["w"] - params["w"]).max())
+    assert err <= float(scales["w"]) * 0.51  # half-step quantization error
+
+
+def test_hp_embedding():
+    space = HyperparameterSpace.from_nni_json({
+        "lr": {"_type": "loguniform", "_value": [1e-5, 1e-1]},
+        "bs": {"_type": "choice", "_value": [32, 64, 128]},
+        "dp": {"_type": "uniform", "_value": [0.0, 0.5]},
+    })
+    assert encoding_size(space) == 5
+    enc = encode_hp_sample(space, {"lr": 1e-3, "bs": 64, "dp": 0.25})
+    assert enc.shape == (5,) and 0 <= enc.min() and enc.max() <= 1
+    assert enc[2] == 1.0  # one-hot for bs=64
+    emb, _ = HyperparamsEmbedding.embed(space, [{"lr": 1e-3, "bs": 64, "dp": 0.25},
+                                                {"lr": 1e-2, "bs": 32, "dp": 0.0}],
+                                        embedding_size=16)
+    assert emb.shape == (2, 16)
+
+
+@pytest.fixture(scope="module")
+def small_model(rng=jax.random.PRNGKey(0)):
+    m = DeepcvModule((16, 16, 3), load_yaml("""
+act_fn: relu
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+"""))
+    return m, m.init(jax.random.PRNGKey(0))
+
+
+def test_multiscale_inputs(small_model):
+    m, v = small_model
+    apply3 = to_multiscale_inputs_model(m, scales=3, reduction="concat")
+    y = apply3(v, jnp.ones((2, 16, 16, 3)))
+    assert y.shape == (2, 16, 16, 24)  # 3 scales x 8 channels, upscaled+concat
+    apply_none = to_multiscale_inputs_model(m, scales=2, reduction="none")
+    outs = apply_none(v, jnp.ones((2, 16, 16, 3)))
+    assert [o.shape for o in outs] == [(2, 16, 16, 8), (2, 8, 8, 8)]
+
+
+def test_multiscale_outputs(small_model):
+    m, v = small_model
+    apply3 = to_multiscale_outputs_model(m, scales=3)
+    outs = apply3(v, jnp.ones((2, 16, 16, 3)))
+    assert [o.shape for o in outs] == [(2, 16, 16, 8), (2, 8, 8, 8), (2, 4, 4, 8)]
