@@ -110,5 +110,150 @@ def main():
     }))
 
 
+def bench_preprocess():
+    """BASELINE config #2: standalone preprocess+augmentation throughput."""
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.config import load_yaml
+
+    raw = load_dataset("cifar10", root="data/01_raw", train=True)
+    params = load_yaml("""
+seed: 1
+split_dataset: { validset_ratio: 0.05 }
+transforms:
+  - to_tensor
+  - normalize: { mean: [0.491, 0.482, 0.447], std: [0.247, 0.243, 0.261] }
+augmentation_recipe:
+  transforms:
+    - brightness: 0.2
+    - contrast: 0.1
+    - tweak_colors: 0.1
+    - gamma: 0.05
+    - noise: 0.1
+""")
+    data = preprocess({"trainset": raw}, params)
+    tr = data["trainset"]
+    batch = 4096
+    x = jnp.asarray(tr.dataset.images[:batch])
+    f = jax.jit(lambda x, k: tr.batch_transform(x, key=k))
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(f(x, key))
+    t0 = time.perf_counter()
+    n_it = 50
+    for i in range(n_it):
+        y = f(x, jax.random.fold_in(key, i))
+    jax.block_until_ready(y)
+    per_s = batch * n_it / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "preprocess_augment_throughput",
+                      "value": round(per_s, 1), "unit": "img/s",
+                      "vs_baseline": round(per_s / BASELINE_IMG_S, 3)}))
+
+
+def bench_one_cycle_cifar100():
+    """BASELINE config #3: one-cycle training run on CIFAR-100."""
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train import train, BackendConfig
+    from deepcv_tpu.train.losses import cross_entropy_loss
+    _, model_hp = build()
+    model_hp["architecture"][-1]["fully_connected"]["out_features"] = 100
+
+    raw = load_dataset("cifar100", root="data/01_raw", train=True)
+    data = preprocess({"trainset": raw},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.05},
+                       "transforms": ["to_tensor"]})
+    backend = BackendConfig()
+    model = DeepcvModule((32, 32, 3), model_hp, dtype=jnp.bfloat16)
+    hp = {"epochs": 5, "batch_size": 4096 if backend.is_tpu else 256,
+          "optimizer": "sgd", "optimizer_opts": {"lr": 0.1, "momentum": 0.9},
+          "scheduler": {"type": "one_cycle",
+                        "kwargs": {"max_lr": 0.1, "total_steps": 55,
+                                   "pct_start": 0.3}},
+          "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
+          "validate_every_epochs": 5, "seed": 1,
+          "output_path": "data/04_training", "dtype": "bfloat16"}
+    state, hist = train(hp, model, cross_entropy_loss, data, backend_conf=backend)
+    tps = hist["throughput_img_s"]
+    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+    print(json.dumps({"metric": "one_cycle_cifar100_throughput",
+                      "value": round(steady, 1), "unit": "img/s",
+                      "vs_baseline": round(steady / BASELINE_IMG_S, 3)}))
+
+
+def bench_keypoints_matching():
+    """BASELINE config #4: feature extraction + descriptor matching."""
+    from deepcv_tpu.pipelines.keypoints import (extract_dense_descriptors,
+                                                match_descriptors)
+    key = jax.random.PRNGKey(0)
+    fmap = jax.random.normal(key, (64, 16, 16, 64), jnp.float32)
+
+    @jax.jit
+    def pipeline(fmap_a, fmap_b):
+        da = extract_dense_descriptors(fmap_a).reshape(-1, 64)
+        db = extract_dense_descriptors(fmap_b).reshape(-1, 64)
+        return match_descriptors(da, db, mutual=True)
+
+    jax.block_until_ready(pipeline(fmap, fmap)[0])
+    t0 = time.perf_counter()
+    n_it = 20
+    for i in range(n_it):
+        out = pipeline(fmap, fmap + i * 1e-3)
+    jax.block_until_ready(out[0])
+    pairs_s = 64 * n_it / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "descriptor_matching_throughput",
+                      "value": round(pairs_s, 1), "unit": "image_pairs/s",
+                      "vs_baseline": round(pairs_s / 100.0, 3)}))
+
+
+def bench_hp_search():
+    """BASELINE config #5: multi-trial HP search with jit-cache reuse."""
+    from deepcv_tpu.hyperparams import HyperparameterSpace
+    from deepcv_tpu.search import SearchRunner, sample_search_space
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train import train
+    from deepcv_tpu.config import load_yaml
+
+    raw = load_dataset("synthetic", n=2048, image_shape=(32, 32, 3), seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.1},
+                       "transforms": ["to_tensor"]})
+    _, model_hp = build()
+    model_hp["architecture"][-1]["fully_connected"]["out_features"] = 10
+    base_hp = {"epochs": 1, "batch_size": 256, "optimizer_opts": {"lr": 1e-3},
+               "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
+               "output_path": "data/04_training", "dtype": "bfloat16"}
+    space = HyperparameterSpace.from_nni_json({
+        "training:optimizer_opts.lr": {"_type": "loguniform", "_value": [1e-4, 1e-2]},
+    })
+    times = []
+
+    def trial_fn(params, trial):
+        m_hp, t_hp = sample_search_space(params, model_hp, base_hp)
+        model = DeepcvModule((32, 32, 3), m_hp, dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        _, hist = train(t_hp, model, "cross_entropy", data)
+        times.append(time.perf_counter() - t0)
+        trial.report_final_result(hist["valid"][-1]["valid_accuracy"])
+
+    SearchRunner(space, trial_fn, tuner="random", max_trials=4,
+                 output_dir="data/04_training/bench_hp_search", seed=0).run()
+    speedup = times[0] / max(min(times[1:]), 1e-9) if len(times) > 1 else 1.0
+    print(json.dumps({"metric": "hp_search_jit_cache_speedup",
+                      "value": round(speedup, 2),
+                      "unit": "x (trial1 vs fastest later trial)",
+                      "vs_baseline": round(speedup / 1.0, 2)}))
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=1, choices=[1, 2, 3, 4, 5],
+                    help="BASELINE.md benchmark config: 1=cifar10 train (default), "
+                         "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
+                         "5=hp-search jit reuse")
+    args = ap.parse_args()
+    [main, bench_preprocess, bench_one_cycle_cifar100,
+     bench_keypoints_matching, bench_hp_search][args.config - 1]()

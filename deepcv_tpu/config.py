@@ -197,3 +197,14 @@ def load_parameters(path: Union[str, Path]) -> Dict[str, Any]:
     if not isinstance(d, Mapping):
         raise TypeError(f"Expected mapping at top level of {path}")
     return dict(d)
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -367,3 +367,14 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
     augment.steps = [s[0] for s in steps]  # introspection for tests
     augment.gate_p = gate_p
     return augment
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -294,3 +294,14 @@ def get_random_subset(dataset: ArrayDataset, size: Union[int, float],
     k = int(round(size * n)) if isinstance(size, float) and size <= 1.0 else int(size)
     rng = np.random.default_rng(seed)
     return dataset.subset(rng.permutation(n)[:k], name=f"{dataset.name}_sub{k}")
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

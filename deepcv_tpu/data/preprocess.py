@@ -200,3 +200,14 @@ def preprocess(datasets: Mapping[str, ArrayDataset], params: Mapping[str, Any],
             ds, transform=transform, target_transform=target_tf,
             augmentation=augmentation if split_name == "trainset" else None)
     return out
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -399,3 +399,14 @@ class Compose:
 
     def __repr__(self):
         return "Compose([" + ", ".join(f.__name__ for f, _, _ in self.steps) + "])"
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

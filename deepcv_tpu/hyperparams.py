@@ -219,3 +219,14 @@ def apply_dotted_overrides(hp_tree: Dict[str, Any], flat: Mapping[str, Any],
             node = node.setdefault(part, {})
         node[parts[-1]] = value
     return out
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

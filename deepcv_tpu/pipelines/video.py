@@ -72,6 +72,63 @@ def deep_feature_flow_inference(frames: Iterator[jnp.ndarray],
         yield task_head_fn(features)
 
 
+class SimpleFlowNet:
+    """Small pyramidal optical-flow estimator (working replacement for the
+    reference ``FlowNetV2`` placeholder, optical_flow.py:15-21).
+
+    Coarse-to-fine: at each pyramid level a small conv stack refines the
+    upsampled flow from the coarser level, taking (frame_a, warped frame_b,
+    current flow) as input. Pluggable as ``flow_fn`` in
+    :func:`deep_feature_flow_inference` after training.
+    """
+
+    def __init__(self, levels: int = 3, features: int = 32):
+        import flax.linen as fnn
+        from deepcv_tpu.ops import nn as dnn
+
+        self.levels = levels
+
+        class _Refiner(fnn.Module):
+            features: int = 32
+
+            @fnn.compact
+            def __call__(self, a, b_warped, flow):
+                x = jnp.concatenate([a, b_warped, flow], axis=-1)
+                x = dnn.pad_channels_for_tpu(x)
+                x = jax.nn.relu(fnn.Conv(self.features, (3, 3), padding="SAME",
+                                         name="c1")(x))
+                x = jax.nn.relu(fnn.Conv(self.features, (3, 3), padding="SAME",
+                                         name="c2")(x))
+                return fnn.Conv(2, (3, 3), padding="SAME", name="out")(x)
+
+        self._refiner = _Refiner(features=features)
+
+    def init(self, rng, image_shape=(32, 32, 3)):
+        h, w, c = image_shape
+        a = jnp.zeros((1, h, w, c))
+        return self._refiner.init(rng, a, a, jnp.zeros((1, h, w, 2)))
+
+    def apply(self, variables, frame_a: jnp.ndarray, frame_b: jnp.ndarray
+              ) -> jnp.ndarray:
+        """(N,H,W,C) pair -> (N,H,W,2) backward flow, coarse-to-fine."""
+        from deepcv_tpu.ops.nn import interpolate
+
+        h, w = frame_a.shape[1:3]
+        flow = jnp.zeros((frame_a.shape[0],
+                          max(1, h // 2 ** (self.levels - 1)),
+                          max(1, w // 2 ** (self.levels - 1)), 2),
+                         frame_a.dtype)
+        for lvl in reversed(range(self.levels)):
+            hw = (max(1, h // 2 ** lvl), max(1, w // 2 ** lvl))
+            a = interpolate(frame_a, hw)
+            b = interpolate(frame_b, hw)
+            flow = interpolate(flow, hw) * (hw[0] / max(1, flow.shape[1]))
+            b_w = flow_warp(b, flow)
+            flow = flow + self._refiner.apply(variables, a, b_w, flow)
+        return flow
+
+
 def get_pipelines() -> Dict[str, Pipeline]:
-    # reference parity: video pipelines are WIP stubs (video/*)
+    # reference parity: video training pipelines are WIP stubs (video/*);
+    # deep_feature_flow_inference + SimpleFlowNet are the working runtime parts
     return {}

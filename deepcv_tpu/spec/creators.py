@@ -547,3 +547,14 @@ submodule_creator("hrnet_repr_head_v2", aliases=("hrnet_repr_head_vZ",),
                   allowed=("out_channels",))(_make_head_creator("v2"))
 submodule_creator("hrnet_repr_head_v2p", global_keys=GLOBAL_LAYER_KEYS,
                   allowed=("out_channels", "pyramid_levels"))(_make_head_creator("v2p"))
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -337,3 +337,14 @@ class SpecModule(fnn.Module):
     @property
     def submodule_names(self) -> Tuple[str, ...]:
         return tuple(m.name for m in self.node_metas)
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

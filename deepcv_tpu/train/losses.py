@@ -118,7 +118,9 @@ class WeightedLosses:
 
     def __init__(self, losses: Union[Callable, Sequence[Callable], Mapping[str, Any]],
                  weights: Optional[Union[Sequence[float], Mapping[str, float]]] = None):
-        if callable(losses):
+        if isinstance(losses, str):
+            losses = {losses: LOSS_FNS[losses]}
+        elif callable(losses):
             losses = {"loss": losses}
         elif isinstance(losses, (list, tuple)):
             losses = {getattr(f, "__name__", f"loss_{i}"): f for i, f in enumerate(losses)}
@@ -156,3 +158,14 @@ class WeightedLosses:
 
     def __repr__(self):
         return f"WeightedLosses({ {n: self.weights[n] for n in self.terms} })"
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -185,3 +185,14 @@ def build_schedule(spec: Optional[Mapping[str, Any]], hp: Mapping[str, Any],
     if isinstance(out, tuple):  # one_cycle returns (lr, momentum); lr only here
         return out[0]
     return out
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

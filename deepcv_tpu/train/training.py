@@ -453,3 +453,14 @@ def _run_dir_name(backend: BackendConfig) -> str:
     import datetime
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
     return f"run_{stamp}_{backend}"
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -204,6 +204,43 @@ def timed_call(fn: Callable, *args, _label: str = None, **kwargs):
     return out, dt
 
 
+def test_module_cli(module_file: str):
+    """Run the pytest tests covering a framework module, from the module
+    itself (reference per-module self-test CLI: every module ends with
+    ``import_tests().test_module_cli(__file__)``, tests_utils.py:63-79 —
+    so ``python deepcv_tpu/ops/nn.py`` runs its own tests).
+
+    Our tests live under tests/ named by subsystem; this maps a module path
+    to its test file(s) and invokes pytest on them (falling back to the whole
+    suite when no specific file matches).
+    """
+    from pathlib import Path
+    import sys
+
+    mod = Path(module_file).resolve()
+    repo = mod
+    while repo.name != "deepcv_tpu" and repo.parent != repo:
+        repo = repo.parent
+    tests_dir = repo.parent / "tests"
+    mapping = {
+        "nn.py": "test_spec_engine.py", "hrnet.py": "test_pipelines.py",
+        "creators.py": "test_spec_engine.py", "graph.py": "test_spec_engine.py",
+        "module.py": "test_spec_engine.py", "transforms.py": "test_data_transforms.py",
+        "augmentation.py": "test_data_transforms.py",
+        "datasets.py": "test_data_pipeline.py", "preprocess.py": "test_data_pipeline.py",
+        "pipeline.py": "test_data_pipeline.py", "training.py": "test_training.py",
+        "losses.py": "test_training.py", "schedules.py": "test_training.py",
+        "backend.py": "test_training.py", "checkpoint.py": "test_training.py",
+        "config.py": "test_config.py", "hyperparams.py": "test_hyperparams.py",
+        "utils.py": "test_utils.py", "fused_layer.py": "test_pallas.py",
+        "fused_augment.py": "test_pallas.py", "native.py": "test_runtime_native.py",
+    }
+    target = tests_dir / mapping.get(mod.name, "")
+    args = [str(target) if target.is_file() else str(tests_dir), "-q"]
+    import pytest
+    sys.exit(pytest.main(args + sys.argv[1:]))
+
+
 class EventsHandler:
     """Tiny pub/sub event dispatcher (reference ``deepcv.utils.EventsHandler``).
 

@@ -1,0 +1,118 @@
+"""Training metadata, LR finder, viz, parallel helpers, flow net."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.data.training_metadata import (
+    TrainingMetaData, DatasetStats, Task, Experiment, MetaTracker,
+)
+from deepcv_tpu.data.datasets import load_dataset
+from deepcv_tpu.data.viz import to_uint8, make_grid, save_image_grid
+from deepcv_tpu.parallel import (
+    make_mesh, tensor_parallel_rules, shard_params,
+    data_parallelism_usefulness_heuristic,
+)
+from deepcv_tpu.train.lr_finder import (
+    run_lr_range_test, find_optimal_params, plot_search_curves,
+)
+from deepcv_tpu.pipelines.video import SimpleFlowNet, flow_warp
+from deepcv_tpu.spec import DeepcvModule
+from deepcv_tpu.config import load_yaml
+from jax.sharding import PartitionSpec as P
+
+
+def test_metadata_records_and_tracker(tmp_path):
+    ds = load_dataset("synthetic", n=64, image_shape=(8, 8, 3), num_classes=4)
+    stats = DatasetStats.from_dataset(ds)
+    assert stats.n_samples == 64 and stats.num_classes == 4 and stats.uuid
+    tracker = MetaTracker(tmp_path)
+    for cap, n, acc in [(1e4, 100, 0.5), (1e5, 100, 0.6), (1e5, 1000, 0.7)]:
+        tracker.store(Experiment(task=Task(dataset_stats=stats),
+                                 model_capacity=int(cap), trainset_size=n,
+                                 final_metrics={"valid_accuracy": acc}))
+    rows = tracker.scaling_triplets()
+    assert len(rows) == 3 and rows[0]["val_error"] == 0.5
+    assert len(tracker.load_all()) == 3
+    tracker.reset()
+    assert tracker.load_all() == []
+
+
+def test_experiment_from_training():
+    ds = load_dataset("synthetic", n=64, image_shape=(8, 8, 3), num_classes=4)
+    m = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n  - flatten: {}\n"
+        "  - fully_connected: {out_features: 4}"))
+    hist = {"valid": [{"epoch": 1, "valid_accuracy": 0.8}], "steps": 10,
+            "total_time_s": 1.5}
+    exp = MetaTracker.experiment_from_training(m, {"epochs": 1}, hist, ds)
+    assert exp.model_capacity > 0 and exp.final_metrics["valid_accuracy"] == 0.8
+    assert exp.trainset_size == 64 and exp.steps == 10
+
+
+def test_viz_grid(tmp_path):
+    imgs = np.random.default_rng(0).integers(0, 256, (6, 8, 8, 3), np.uint8)
+    grid = make_grid(imgs, n_cols=3)
+    assert grid.shape == (2 * 10 + 2, 3 * 10 + 2, 3)
+    p = save_image_grid(imgs, tmp_path / "grid.png", n_cols=3, labels=range(6))
+    assert p.exists()
+    # normalized float roundtrip
+    f = (imgs.astype(np.float32) / 255.0 - 0.5) / 0.25
+    back = to_uint8(f, mean=[0.5] * 3, std=[0.25] * 3)
+    assert np.abs(back.astype(int) - imgs.astype(int)).max() <= 1
+
+
+def test_tensor_parallel_sharding(devices):
+    mesh = make_mesh({"data": 4, "model": 2})
+    params = {"dense": {"kernel": jnp.zeros((16, 8)), "bias": jnp.zeros((8,))},
+              "odd": {"kernel": jnp.zeros((16, 7))}}
+    rules = tensor_parallel_rules(params, mesh)
+    assert rules["dense"]["kernel"] == P(None, "model")
+    assert rules["dense"]["bias"] == P()
+    assert rules["odd"]["kernel"] == P()  # 7 not divisible by 2
+    sharded = shard_params(params, mesh)
+    assert "model" in str(sharded["dense"]["kernel"].sharding)
+    # sharded matmul executes
+    x = jnp.ones((8, 16))
+    y = jax.jit(lambda p, x: x @ p["dense"]["kernel"])(sharded, x)
+    assert y.shape == (8, 8)
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh({"data": 3})
+
+
+def test_dp_heuristic():
+    assert data_parallelism_usefulness_heuristic(10_000_000, 4096, 8) > 0.8
+    assert data_parallelism_usefulness_heuristic(10_000, 16, 8) < 0.3
+    assert data_parallelism_usefulness_heuristic(10_000_000, 4096, 1) == 0.0
+
+
+def test_lr_range_test_and_suggestion(tmp_path):
+    ds = load_dataset("synthetic", n=256, image_shape=(8, 8, 3), num_classes=4)
+    m = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n  - conv2d: {kernel_size: [3,3], "
+        "out_channels: 8, padding: 1}\n  - flatten: {}\n"
+        "  - fully_connected: {out_features: 4, act_fn: null}"))
+    res = run_lr_range_test(m, "cross_entropy", ds, batch_size=32,
+                            min_lr=1e-6, max_lr=50.0, num_steps=60)
+    assert len(res["lrs"]) <= 60 and res["best_lr"] > 0
+    assert res["suggested"]["base_lr"] < res["suggested"]["max_lr"]
+    # diverged before max_lr (lr 50 on this problem must explode)
+    assert res["lrs"][-1] < 50.0
+    out = plot_search_curves(res, tmp_path / "lr.png")
+    assert out.exists()
+
+
+def test_simple_flow_net_zero_motion():
+    net = SimpleFlowNet(levels=2, features=8)
+    v = net.init(jax.random.PRNGKey(0), (16, 16, 3))
+    a = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    flow = net.apply(v, a, a)
+    assert flow.shape == (2, 16, 16, 2)
+    assert bool(jnp.isfinite(flow).all())
+
+
+def test_module_self_test_cli_mapping():
+    from deepcv_tpu.utils import test_module_cli  # importable; runs pytest
+    assert callable(test_module_cli)
