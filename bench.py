@@ -88,13 +88,14 @@ def main():
 
     batch = 4096 if backend.is_tpu else 256
     hp = {
-        "epochs": 10 if backend.is_tpu else 3, "batch_size": batch,
+        "epochs": 75 if backend.is_tpu else 3, "batch_size": batch,
         "optimizer": "adamw",
         "optimizer_opts": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 1e-2},
         "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
         "validate_every_epochs": 1000,   # throughput run: skip validation
         "seed": 563454, "output_path": "data/04_training",
         "device_resident_dataset": True, "dtype": "bfloat16",
+        "max_epochs_per_dispatch": 25,  # fuse idle epoch boundaries into one scan
     }
     state, hist = train(hp, model, cross_entropy_loss, data,
                         backend_conf=backend)

@@ -339,14 +339,26 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     t_start = time.perf_counter()
     perm_key = jax.random.fold_in(root_rng, 999)
 
+    validate_every = max(1, int(hp["validate_every_epochs"]))
+    # resident sampling is with-replacement, so epoch boundaries carry no data
+    # semantics — consecutive epochs with no validation/logging in between can
+    # run as ONE device dispatch (another ~3x on tunneled hosts at bench scale)
+    fuse_epochs = int(hp.get("max_epochs_per_dispatch", 1))
+
     try:
-        for epoch in range(step // max(1, steps_per_epoch), epochs):
+        epoch = step // max(1, steps_per_epoch)
+        while epoch < epochs:
+            n_fused = 1
+            if resident and fuse_epochs > 1:
+                while (n_fused < fuse_epochs and epoch + n_fused < epochs
+                       and (epoch + n_fused) % validate_every != 0):
+                    n_fused += 1
             epoch_t0 = time.perf_counter()
             n_seen = 0
             # exact resume: skip batches already done within the resumed epoch
             skip = step % steps_per_epoch if step else 0
             if resident:
-                epoch_end = step + (steps_per_epoch - skip)
+                epoch_end = step + (n_fused * steps_per_epoch - skip)
                 save_every = ckpt.save_every_iters if ckpt else 0
                 while step < epoch_end:
                     if crash_at >= 0 and step == crash_at:
@@ -395,18 +407,23 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     if ckpt:
                         ckpt.maybe_save(step, jax.device_get(state))
 
-            jax.block_until_ready(state.params)
+            # force a REAL host sync for honest timing: on tunneled backends
+            # block_until_ready can return before remote execution finishes;
+            # pulling a scalar through device_get cannot be faked
+            step_on_device = int(jax.device_get(state.step))
+            assert step_on_device == step, (step_on_device, step)
             dt = time.perf_counter() - epoch_t0
             throughput = n_seen / dt if dt > 0 else 0.0
             history["throughput_img_s"].append(throughput)
 
+            epoch += n_fused
             # validation on EPOCH_COMPLETED (fixes reference's EPOCH_STARTED
             # scheduling bug, SURVEY §8 / ignite_training.py:291)
             val = {}
-            if (epoch + 1) % max(1, int(hp["validate_every_epochs"])) == 0:
+            if epoch % validate_every == 0:
                 val = run_validation(state)
-                history["valid"].append({"epoch": epoch + 1, **val})
-                events.fire(TrainingEvents.VALIDATION_COMPLETED, count=epoch + 1,
+                history["valid"].append({"epoch": epoch, **val})
+                events.fire(TrainingEvents.VALIDATION_COMPLETED, count=epoch,
                             state=state, metrics=val)
                 for lg in loggers:
                     lg.log_metrics(val, step=step)
@@ -415,10 +432,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     if key0 in val:
                         ckpt.update_best(step, val[key0], jax.device_get(state))
             if rank0:
-                _logger.info("epoch %d/%d  %.1f img/s  %s", epoch + 1, epochs,
+                _logger.info("epoch %d/%d  %.1f img/s  %s", epoch, epochs,
                              throughput,
                              " ".join(f"{k}={v:.4f}" for k, v in val.items()))
-            events.fire(TrainingEvents.EPOCH_COMPLETED, count=epoch + 1,
+            events.fire(TrainingEvents.EPOCH_COMPLETED, count=epoch,
                         state=state, metrics=val, throughput=throughput)
     finally:
         for lg in loggers:
