@@ -541,6 +541,58 @@ register("concat_coords_module", ConcatCoords)
 register("concat_hilbert_coords_module", ConcatHilbertCoords)
 
 
+class SqueezeExcitation(fnn.Module):
+    """Squeeze-and-Excitation cell (arXiv:1709.01507) — working implementation
+    of the reference's ``squeeze_cell`` stub (nn.py:557-582)."""
+    reduction_ratio: int = 4
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = x.shape[-1]
+        squeezed = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (N, C)
+        hidden = max(1, c // int(self.reduction_ratio))
+        z = jax.nn.relu(fnn.Dense(hidden, dtype=self.dtype, name="reduce")(squeezed))
+        scale = jax.nn.sigmoid(fnn.Dense(c, dtype=self.dtype, name="expand")(z))
+        return x * scale.reshape(scale.shape[0], *([1] * (x.ndim - 2)), c)
+
+
+class ResNetBlock(fnn.Module):
+    """Standard 2-conv residual block with optional projection shortcut —
+    working implementation of the reference's ``resnet_net_block`` stub
+    (nn.py:557-582). GroupNorm by default (batch-size independent)."""
+    out_channels: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: int = 1
+    act_fn: Any = jax.nn.relu
+    num_groups: int = 8
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        k = tuple(self.kernel_size)
+        pad = tuple((v // 2, v // 2) for v in k)
+        groups = max(1, min(self.num_groups, self.out_channels))
+        while self.out_channels % groups:
+            groups -= 1
+        y = fnn.Conv(self.out_channels, k, strides=(self.stride,) * 2,
+                     padding=pad, dtype=self.dtype, name="conv1")(
+                         pad_channels_for_tpu(x))
+        y = fnn.GroupNorm(num_groups=groups, name="gn1")(y)
+        y = self.act_fn(y)
+        y = fnn.Conv(self.out_channels, k, padding=pad, dtype=self.dtype,
+                     name="conv2")(y)
+        y = fnn.GroupNorm(num_groups=groups, name="gn2")(y)
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            x = fnn.Conv(self.out_channels, (1, 1), strides=(self.stride,) * 2,
+                         dtype=self.dtype, name="proj")(pad_channels_for_tpu(x))
+        return self.act_fn(y + x)
+
+
+register("squeeze_excitation_module", SqueezeExcitation)
+register("resnet_block_module", ResNetBlock)
+
+
 # --------------------------------------------------------------------------- #
 # Multiscale model transforms (reference stubs nn.py:267-297, implemented)
 # --------------------------------------------------------------------------- #

@@ -558,3 +558,30 @@ if __name__ == "__main__":  # per-module self-test CLI (reference parity)
     sys.path.insert(0, str(_repo.parent))
     from deepcv_tpu.utils import test_module_cli
     test_module_cli(__file__)
+
+
+@submodule_creator("squeeze_cell", aliases=("squeeze_excitation", "se_cell"),
+                   global_keys=("act_fn",), allowed=("reduction_ratio",))
+def _squeeze_cell(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """SE attention cell (working version of the reference squeeze_cell stub,
+    nn.py:557-582)."""
+    return dnn.SqueezeExcitation(
+        reduction_ratio=int(params.get("reduction_ratio", 4)),
+        dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("resnet_net_block", aliases=("resnet_block",),
+                   global_keys=("act_fn",),
+                   allowed=("out_channels", "kernel_size", "stride", "num_groups"),
+                   required=("out_channels",))
+def _resnet_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Residual block (working version of the reference resnet_net_block stub,
+    nn.py:557-582)."""
+    ks = params.get("kernel_size", [3, 3])
+    act = dnn.get_activation(params.get("act_fn")) or __import__("jax").nn.relu
+    return dnn.ResNetBlock(out_channels=int(params["out_channels"]),
+                           kernel_size=tuple(int(v) for v in ks),
+                           stride=int(params.get("stride", 1)),
+                           act_fn=act,
+                           num_groups=int(params.get("num_groups", 8)),
+                           dtype=ctx.dtype, name=name)

