@@ -62,6 +62,31 @@ def main(argv=None) -> int:
     sub.add_parser("test", help="run the test suite (extra args pass to pytest)")
     sub.add_parser("bench", help="run the headline benchmark")
 
+    p_search = sub.add_parser(
+        "search", help="in-process hyperparameter search over a pipeline "
+                       "(reference: nnictl + gen_nni_config flow)")
+    p_search.add_argument("--pipeline", default="train_image_classifier")
+    p_search.add_argument("--space", default=None,
+                          help="NNI-format search-space JSON (default: "
+                               "conf/base/hp_search_spaces/<pipeline>_hp_search_space.json)")
+    p_search.add_argument("--trials", type=int, default=8)
+    p_search.add_argument("--tuner", default="tpe", choices=["tpe", "random", "grid"])
+    p_search.add_argument("--metric", default="valid_accuracy")
+    p_search.add_argument("--training-params-key", default=None,
+                          help="conf key holding the pipeline's training hp "
+                               "(default: the pipeline name)")
+    p_search.add_argument("--model-params-key", default=None,
+                          help="conf key holding the model hp (default: "
+                               "<task>_model inferred from the pipeline)")
+    p_search.add_argument("--project-path", default=".")
+
+    p_lr = sub.add_parser("lr-find", help="LR range test on a pipeline's model+data")
+    p_lr.add_argument("--pipeline", default="train_image_classifier")
+    p_lr.add_argument("--steps", type=int, default=100)
+    p_lr.add_argument("--batch-size", type=int, default=64)
+    p_lr.add_argument("--out", default="data/04_training/lr_range_test.png")
+    p_lr.add_argument("--project-path", default=".")
+
     args, rest = parser.parse_known_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
@@ -89,6 +114,12 @@ def main(argv=None) -> int:
         print(ctx.pipelines[args.pipeline].describe())
         return 0
 
+    if args.command == "search":
+        return _cmd_search(args)
+
+    if args.command == "lr-find":
+        return _cmd_lr_find(args)
+
     if args.command == "run":
         conf_paths = [Path(args.project_path) / "conf" / "base",
                       Path(args.project_path) / "conf" / "local"]
@@ -106,6 +137,80 @@ def main(argv=None) -> int:
         return 0
 
     return 1  # pragma: no cover
+
+
+def _cmd_search(args) -> int:
+    """HP search driving the REAL pipeline per trial, in-process
+    (reference flow: NNI dispatcher spawning `kedro run` per trial,
+    SURVEY §3.5 — here one process, shared jit cache)."""
+    import json
+
+    from deepcv_tpu.hyperparams import HyperparameterSpace
+    from deepcv_tpu.pipelines import ProjectContext
+    from deepcv_tpu.search import SearchRunner
+
+    pipeline = args.pipeline
+    training_key = args.training_params_key or pipeline
+    model_key = args.model_params_key or {
+        "train_image_classifier": "image_classifier_model",
+        "train_image_classifier_cifar100": "image_classifier_model",
+        "train_keypoint_detector": "keypoints_encoder_model",
+    }.get(pipeline, "image_classifier_model")
+    space_path = args.space or (Path(args.project_path) / "conf" / "base" /
+                                "hp_search_spaces" /
+                                f"{pipeline}_hp_search_space.json")
+    if not Path(space_path).exists():
+        raise SystemExit(f"search space not found: {space_path}")
+    space = HyperparameterSpace.from_nni_json(str(space_path))
+
+    def trial_fn(params, trial):
+        extra = {}
+        for name, v in params.items():
+            if name.startswith("model:"):
+                extra[f"{model_key}.{name[len('model:'):]}"] = v
+            elif name.startswith("training:"):
+                extra[f"{training_key}.{name[len('training:'):]}"] = v
+            else:
+                extra[f"{training_key}.{name}"] = v
+        # keep trials cheap & checkpoint-free by default; users override in conf
+        extra.setdefault(f"{training_key}.save_every_iters", 0)
+        ctx = ProjectContext(args.project_path, extra_params=extra)
+        store = ctx.run(pipeline)
+        hist = store["train_results"]["history"]
+        for v in hist["valid"]:
+            trial.report_intermediate_result(v.get(args.metric, 0.0))
+        value = hist["valid"][-1].get(args.metric, 0.0) if hist["valid"] else 0.0
+        trial.report_final_result(value)
+
+    summary = SearchRunner(space, trial_fn, tuner=args.tuner,
+                           max_trials=args.trials).run()
+    print(json.dumps({"best_value": summary["best"]["value"] if summary["best"] else None,
+                      "best_params": summary["best"]["params"] if summary["best"] else None,
+                      "trials": len(summary["trials"]),
+                      "total_seconds": round(summary["total_seconds"], 1)}))
+    return 0
+
+
+def _cmd_lr_find(args) -> int:
+    """LR range test wired to a pipeline's conf (one_cycle LR-finder flow)."""
+    import json
+
+    from deepcv_tpu.pipelines import ProjectContext
+    from deepcv_tpu.pipelines.classification import preprocess, create_model
+    from deepcv_tpu.train.lr_finder import run_lr_range_test, plot_search_curves
+
+    ctx = ProjectContext(args.project_path)
+    ds_prefix = "cifar100" if "cifar100" in args.pipeline else "cifar10"
+    data = preprocess(ctx.load_catalog_entry(f"{ds_prefix}_train"),
+                      ctx.load_catalog_entry(f"{ds_prefix}_test"),
+                      ctx.params(f"{ds_prefix}_preprocessing"))
+    model = create_model(data, ctx.params("image_classifier_model"))
+    res = run_lr_range_test(model, "cross_entropy", data["trainset"],
+                            batch_size=args.batch_size, num_steps=args.steps)
+    out = plot_search_curves(res, args.out)
+    print(json.dumps({"best_lr": res["best_lr"], "suggested": res["suggested"],
+                      "curve": str(out)}))
+    return 0
 
 
 if __name__ == "__main__":  # pragma: no cover

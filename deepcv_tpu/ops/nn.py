@@ -541,6 +541,79 @@ register("concat_coords_module", ConcatCoords)
 register("concat_hilbert_coords_module", ConcatHilbertCoords)
 
 
+# --------------------------------------------------------------------------- #
+# Module introspection + forward-convention helpers (reference nn.py:130-194,
+# 707-726)
+# --------------------------------------------------------------------------- #
+
+def is_conv(module) -> bool:
+    """True for conv-typed modules/ops (reference ``is_conv``, nn.py:707-726)."""
+    from deepcv_tpu.ops.pallas.fused_layer import PallasConv
+    inner = getattr(module, "layer_instance", module)  # SN/WN wrappers
+    inner = getattr(inner, "op", inner)                # Layer wrapper
+    inner = getattr(inner, "layer_instance", inner)
+    return isinstance(inner, (fnn.Conv, fnn.ConvTranspose, PallasConv))
+
+
+def is_fully_connected(module) -> bool:
+    inner = getattr(module, "layer_instance", module)
+    inner = getattr(inner, "op", inner)
+    inner = getattr(inner, "layer_instance", inner)
+    return isinstance(inner, fnn.Dense)
+
+
+def contains_conv(module) -> bool:
+    """True when any (recursively reachable) child is a conv
+    (reference ``contains_conv``; linen exposes children as dataclass attrs)."""
+    if is_conv(module):
+        return True
+    seen = set()
+
+    def walk(obj, depth=0):
+        if id(obj) in seen or depth > 8:
+            return False
+        seen.add(id(obj))
+        if isinstance(obj, fnn.Module):
+            if is_conv(obj):
+                return True
+            fields = [getattr(obj, f.name, None)
+                      for f in obj.__dataclass_fields__.values()]
+        elif isinstance(obj, Mapping):
+            fields = list(obj.values())
+        elif isinstance(obj, (list, tuple)):
+            fields = list(obj)
+        else:
+            return False
+        return any(walk(f, depth + 1) for f in fields)
+
+    return walk(module)
+
+
+def tensor_sequence_adapter(fn: Callable) -> Callable:
+    """Standardize forward conventions: a single-tensor function becomes
+    sequence-aware — applied in parallel over a list input, with output
+    flattening (reference ``forward_call_convention_dec``, nn.py:130-194 —
+    its tensor-ref plumbing lives in spec.creators.ForwardCallback)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(x, *args, **kwargs):
+        if isinstance(x, (list, tuple)):
+            outs = [fn(xi, *args, **kwargs) for xi in x]
+            return outs[0] if len(outs) == 1 else list(outs)
+        return fn(x, *args, **kwargs)
+
+    return wrapped
+
+
+def multi_head_forward(x, heads: Sequence[Callable], axis: int = -1,
+                       stack: bool = False):
+    """Apply N head callables to one input, concat/stack outputs
+    (reference ``multi_head_forward``, nn.py:300-316)."""
+    outs = [h(x) for h in heads]
+    return jnp.stack(outs, axis=axis) if stack else jnp.concatenate(outs, axis=axis)
+
+
 class SqueezeExcitation(fnn.Module):
     """Squeeze-and-Excitation cell (arXiv:1709.01507) — working implementation
     of the reference's ``squeeze_cell`` stub (nn.py:557-582)."""

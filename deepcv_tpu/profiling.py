@@ -25,6 +25,7 @@ from typing import Any, Dict, List, Optional
 import jax
 
 __all__ = ["trace", "annotate", "StepTimer", "device_memory_stats",
+           "check_determinism",
            "start_tensorboard_server", "stop_tensorboard_server"]
 
 _logger = logging.getLogger(__name__)
@@ -89,6 +90,29 @@ def device_memory_stats() -> Dict[str, Dict[str, int]]:
             out[str(d)] = {k: int(v) for k, v in stats.items()
                            if isinstance(v, (int, float))}
     return out
+
+
+def check_determinism(fn, *args, n_runs: int = 2, atol: float = 0.0):
+    """Run ``fn`` n times on identical inputs and compare outputs exactly —
+    the TPU-native 'race detector' (SURVEY §5.2: the reference had none; XLA
+    programs are deterministic, so ANY divergence indicates a host-side race
+    or an uncaptured RNG). Returns max abs deviation; raises on mismatch."""
+    import numpy as np
+    ref = jax.tree_util.tree_map(lambda a: np.asarray(a), fn(*args))
+    worst = 0.0
+    for i in range(1, n_runs):
+        out = jax.tree_util.tree_map(lambda a: np.asarray(a), fn(*args))
+        leaves_a = jax.tree_util.tree_leaves(ref)
+        leaves_b = jax.tree_util.tree_leaves(out)
+        for a, b in zip(leaves_a, leaves_b):
+            d = float(np.max(np.abs(a.astype(np.float64) - b.astype(np.float64)))) \
+                if a.size else 0.0
+            worst = max(worst, d)
+            if d > atol:
+                raise AssertionError(
+                    f"Non-determinism detected on run {i}: max deviation {d} > {atol} "
+                    "(host-side race or uncaptured randomness)")
+    return worst
 
 
 _TB_PROCESS: Optional[subprocess.Popen] = None

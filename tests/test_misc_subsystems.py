@@ -122,3 +122,33 @@ def test_multiscale_outputs(small_model):
     apply3 = to_multiscale_outputs_model(m, scales=3)
     outs = apply3(v, jnp.ones((2, 16, 16, 3)))
     assert [o.shape for o in outs] == [(2, 16, 16, 8), (2, 8, 8, 8), (2, 4, 4, 8)]
+
+
+def test_nn_introspection_helpers():
+    import flax.linen as fnn
+    from deepcv_tpu.ops.nn import (is_conv, is_fully_connected, contains_conv,
+                                   tensor_sequence_adapter, multi_head_forward, Layer)
+    assert is_conv(fnn.Conv(4, (3, 3)))
+    assert not is_conv(fnn.Dense(4))
+    assert is_fully_connected(fnn.Dense(4))
+    assert contains_conv(Layer(op=fnn.Conv(4, (3, 3))))
+    assert not contains_conv(Layer(op=fnn.Dense(4)))
+    f = tensor_sequence_adapter(lambda x: x * 2)
+    assert float(f(jnp.ones(()))) == 2.0
+    outs = f([jnp.ones(2), jnp.zeros(2)])
+    assert len(outs) == 2
+    y = multi_head_forward(jnp.ones((2, 4)), [lambda x: x, lambda x: x + 1])
+    assert y.shape == (2, 8)
+
+
+def test_check_determinism():
+    from deepcv_tpu.profiling import check_determinism
+    assert check_determinism(jax.jit(lambda x: x * 2), jnp.ones((4,))) == 0.0
+    counter = {"n": 0}
+
+    def racy(x):
+        counter["n"] += 1
+        return x + counter["n"]
+
+    with pytest.raises(AssertionError, match="Non-determinism"):
+        check_determinism(racy, jnp.ones((2,)))
