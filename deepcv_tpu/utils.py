@@ -109,6 +109,26 @@ def register(name: str, obj: Any = None, *, aliases: Sequence[str] = ()):
     return GLOBAL_REGISTRY.register(name, obj, aliases=aliases)
 
 
+_BUILTINS_LOADED = False
+
+
+def _ensure_builtin_registrations():
+    """Import the framework modules that populate the global registry, so
+    resolution works regardless of what the caller imported first."""
+    global _BUILTINS_LOADED
+    if _BUILTINS_LOADED:
+        return
+    _BUILTINS_LOADED = True
+    import importlib
+    for mod in ("deepcv_tpu.ops.nn", "deepcv_tpu.data.transforms",
+                "deepcv_tpu.train.losses", "deepcv_tpu.train.schedules",
+                "deepcv_tpu.train.metrics"):
+        try:
+            importlib.import_module(mod)
+        except Exception as e:  # pragma: no cover
+            _logger.warning("builtin registration import failed for %s: %s", mod, e)
+
+
 def get_by_identifier(identifier: str, registry: Optional[Registry] = None) -> Any:
     """Resolve a string identifier to a Python object.
 
@@ -118,6 +138,8 @@ def get_by_identifier(identifier: str, registry: Optional[Registry] = None) -> A
       2. dotted import path limited to :attr:`Registry.SAFE_IMPORT_PREFIXES`.
     """
     registry = registry or GLOBAL_REGISTRY
+    if identifier not in registry:
+        _ensure_builtin_registrations()
     if identifier in registry:
         return registry[identifier]
     if "." in identifier:
