@@ -250,6 +250,8 @@ def bench_hp_search():
 
 if __name__ == "__main__":
     import argparse
+    from deepcv_tpu.search.runner import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=1, choices=[1, 2, 3, 4, 5],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "

@@ -662,6 +662,37 @@ class ResNetBlock(fnn.Module):
         return self.act_fn(y + x)
 
 
+class ConvWithMetaLayer(fnn.Module):
+    """Conv modulated by a learned meta-layer (FiLM, arXiv:1709.07871) —
+    working interpretation of the reference's ``ConvWithMetaLayer`` /
+    ``meta_layer`` stubs (nn.py:51-67, 557-582): a small meta-network maps a
+    conditioning vector (default: the input's global-average-pooled features)
+    to per-channel scale and shift applied to the conv output."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    meta_hidden: int = 32
+    act_fn: Any = jax.nn.relu
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, conditioning=None, *, train: bool = False):
+        k = tuple(self.kernel_size)
+        pad = tuple((v // 2, v // 2) for v in k)
+        y = fnn.Conv(self.features, k, padding=pad, dtype=self.dtype,
+                     name="conv")(pad_channels_for_tpu(x))
+        if conditioning is None:
+            conditioning = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))
+        h = jax.nn.relu(fnn.Dense(self.meta_hidden, dtype=self.dtype,
+                                  name="meta_fc1")(conditioning))
+        gamma = fnn.Dense(self.features, dtype=self.dtype, name="meta_gamma")(h)
+        beta = fnn.Dense(self.features, dtype=self.dtype, name="meta_beta")(h)
+        bshape = (y.shape[0],) + (1,) * (y.ndim - 2) + (self.features,)
+        y = y * (1.0 + gamma.reshape(bshape)) + beta.reshape(bshape)
+        return self.act_fn(y) if self.act_fn is not None else y
+
+
+register("conv_with_meta_layer_module", ConvWithMetaLayer)
+
 register("squeeze_excitation_module", SqueezeExcitation)
 register("resnet_block_module", ResNetBlock)
 

@@ -98,6 +98,31 @@ class Predictor:
             outs.append(np.asarray(y)[:bs - pad if pad else bs])
         return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
+    def predict_with_uncertainty(self, images: np.ndarray, n_samples: int = 8,
+                                 seed: int = 0):
+        """MC-dropout predictive uncertainty (the working take on the
+        reference's empty ``meta/uncertainty_WIP`` package): run the model
+        n times in train-mode dropout, return (mean, std) over samples.
+        Models without dropout yield std == 0."""
+        def fwd(variables, x, key):
+            if self.preprocess is not None:
+                try:
+                    x = self.preprocess(x, augment=False)
+                except TypeError:
+                    x = self.preprocess(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            out = self.model.apply(variables, x, train=True,
+                                   rngs={"dropout": key}, mutable=False)
+            return out[0] if isinstance(out, tuple) else out
+
+        jfwd = jax.jit(fwd)
+        x = jnp.asarray(images)
+        outs = jnp.stack([jfwd(self.variables, x,
+                               jax.random.PRNGKey(seed + i))
+                          for i in range(n_samples)])
+        return np.asarray(outs.mean(axis=0)), np.asarray(outs.std(axis=0))
+
     def benchmark(self, batch: Optional[int] = None, n_iters: int = 20,
                   image_shape: Optional[Sequence[int]] = None) -> Dict[str, float]:
         """Steady-state inference throughput with forced host syncs."""

@@ -585,3 +585,18 @@ def _resnet_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
                            act_fn=act,
                            num_groups=int(params.get("num_groups", 8)),
                            dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("conv_with_meta_layer", aliases=("meta_layer_conv",),
+                   global_keys=("act_fn",),
+                   allowed=("out_channels", "kernel_size", "meta_hidden"),
+                   required=("out_channels",))
+def _conv_with_meta_layer(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """FiLM-modulated conv (working version of the reference
+    ConvWithMetaLayer stub, nn.py:51-67)."""
+    ks = params.get("kernel_size", [3, 3])
+    act = dnn.get_activation(params.get("act_fn"))
+    return dnn.ConvWithMetaLayer(features=int(params["out_channels"]),
+                                 kernel_size=tuple(int(v) for v in ks),
+                                 meta_hidden=int(params.get("meta_hidden", 32)),
+                                 act_fn=act, dtype=ctx.dtype, name=name)

@@ -340,3 +340,47 @@ def test_reference_image_classifier_spec_builds(rng):
     y, _ = m.apply(v, jnp.ones((2, 32, 32, 3)), train=True,
                    rngs={"dropout": jax.random.PRNGKey(0)})
     assert y.shape == (2, 10)
+
+
+def test_select_tensor_and_reduce_on_streams(rng):
+    """select_tensor slices parallel-stream lists; reduce('none') passes the
+    list through (reference submodule_creators.py:179-200)."""
+    m = build("""
+act_fn: relu
+architecture:
+  - hrnet_input_stem: { out_channels: 8, conv_count: 1 }
+  - multiresolution_fusion: { create_new_branch: true, new_branch_channels: 8 }
+  - multiresolution_fusion: { create_new_branch: true, new_branch_channels: 8 }
+  - select_tensor: { slice: "1:3" }
+  - reduce: { reduction: "none" }
+""", shape=(16, 16, 3))
+    v = m.init(rng)
+    y = m.apply(v, jnp.ones((2, 16, 16, 3)))
+    assert isinstance(y, list) and len(y) == 2
+    assert y[0].shape == (2, 4, 4, 8) and y[1].shape == (2, 2, 2, 8)
+
+
+def test_select_single_stream(rng):
+    m = build("""
+act_fn: relu
+architecture:
+  - hrnet_input_stem: { out_channels: 8, conv_count: 1 }
+  - multiresolution_fusion: { create_new_branch: true, new_branch_channels: 8 }
+  - select_tensor: { slice: "0" }
+  - conv2d: { kernel_size: [3, 3], out_channels: 4, padding: 1 }
+""", shape=(16, 16, 3))
+    assert m.eval_output_shape() == (1, 8, 8, 4)
+
+
+def test_conv_with_meta_layer(rng):
+    m = build("""
+act_fn: relu
+architecture:
+  - conv_with_meta_layer: { out_channels: 8, kernel_size: [3, 3], meta_hidden: 16 }
+""", shape=(8, 8, 3))
+    v = m.init(rng)
+    y = m.apply(v, jnp.ones((2, 8, 8, 3)))
+    assert y.shape == (2, 8, 8, 8)
+    # meta params exist
+    node = v["params"]["node_impls__submodule_0_conv_with_meta_layer"]
+    assert "meta_gamma" in node and "conv" in node
