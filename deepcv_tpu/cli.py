@@ -24,6 +24,23 @@ from typing import Any, Dict, List
 __all__ = ["main"]
 
 
+def _setup_logging(project_path="."):
+    """conf/base/logging.yml dictConfig when present (reference logging.yml
+    parity), else basicConfig."""
+    import logging.config
+    cfg_path = Path(project_path) / "conf" / "base" / "logging.yml"
+    if cfg_path.exists():
+        import yaml
+        try:
+            Path(project_path, "logs").mkdir(exist_ok=True)
+            logging.config.dictConfig(yaml.safe_load(cfg_path.read_text()))
+            return
+        except Exception as e:
+            print(f"logging config failed ({e}); falling back to basicConfig")
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+
 def _parse_extra_params(entries: List[str]) -> Dict[str, Any]:
     """``--params a.b:3,c:x`` -> {'a.b': 3, 'c': 'x'} (kedro_cli.py:122-141)."""
     import yaml
@@ -88,8 +105,7 @@ def main(argv=None) -> int:
     p_lr.add_argument("--project-path", default=".")
 
     args, rest = parser.parse_known_args(argv)
-    logging.basicConfig(level=logging.INFO,
-                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    _setup_logging(getattr(args, "project_path", "."))
 
     if args.command == "test":
         import pytest

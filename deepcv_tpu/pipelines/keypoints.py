@@ -121,6 +121,35 @@ def train_autoencoder(datasets, model: Autoencoder, hp: Mapping[str, Any],
 
 
 # --------------------------------------------------------------------------- #
+# Keypoint extraction (arXiv:1906.07889 inference side)
+# --------------------------------------------------------------------------- #
+
+def extract_keypoints(score_map: jnp.ndarray, k: int = 64,
+                      nms_window: int = 3, min_score: float = 0.0):
+    """Top-k local maxima of a detection score map -> (coords, scores).
+
+    ``score_map``: (N, H, W) or (N, H, W, 1). Local-maximum test via
+    max-pooling (a pixel survives when it equals its neighborhood max —
+    pure VPU work), then a single top_k. Returns coords (N, k, 2) as (y, x)
+    and scores (N, k); entries below ``min_score`` get score -inf.
+    """
+    import flax.linen as fnn_
+
+    if score_map.ndim == 4:
+        score_map = score_map[..., 0]
+    n, h, w = score_map.shape
+    s4 = score_map[..., None]
+    pooled = fnn_.max_pool(s4, (nms_window, nms_window), strides=(1, 1),
+                           padding="SAME")[..., 0]
+    is_peak = (score_map >= pooled) & (score_map > min_score)
+    masked = jnp.where(is_peak, score_map, -jnp.inf)
+    flat = masked.reshape(n, h * w)
+    scores, idx = jax.lax.top_k(flat, k)
+    coords = jnp.stack([idx // w, idx % w], axis=-1)
+    return coords, scores
+
+
+# --------------------------------------------------------------------------- #
 # Descriptor matching (BASELINE config #4)
 # --------------------------------------------------------------------------- #
 

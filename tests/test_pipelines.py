@@ -235,3 +235,16 @@ def test_hrnet_backbone_from_conf(rng):
                     rngs={"dropout": rng})
     assert y.shape == (1, 8, 8, 32)
     assert "batch_stats" in st  # mean-only BN running means
+
+
+def test_extract_keypoints():
+    from deepcv_tpu.pipelines.keypoints import extract_keypoints
+    score = jnp.zeros((1, 16, 16))
+    score = score.at[0, 3, 4].set(0.9).at[0, 10, 12].set(0.8).at[0, 10, 13].set(0.5)
+    coords, scores = extract_keypoints(score, k=4, nms_window=3)
+    assert coords.shape == (1, 4, 2) and scores.shape == (1, 4)
+    top2 = {tuple(np.asarray(coords[0, i])) for i in range(2)}
+    assert top2 == {(3, 4), (10, 12)}
+    # (10, 13) suppressed by NMS (neighbor of a higher peak)
+    kept = {tuple(np.asarray(coords[0, i])) for i in range(4) if scores[0, i] > 0}
+    assert (10, 13) not in kept

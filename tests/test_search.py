@@ -202,3 +202,29 @@ def test_generalization_predictor_recovers_power_law():
     assert abs(est - truth) / truth < 0.5  # order-of-magnitude extrapolation
     with pytest.raises(ValueError):
         GeneralizationAcrossScalesPredictor().fit([1], [1], [1])
+
+
+def test_scaling_prediction_trial(tmp_path):
+    """The cheap-trial flow: subset trainings -> envelope fit -> full-size
+    prediction (reference hp_search, nni_tools.py:511-543)."""
+    from deepcv_tpu.search import scaling_prediction_trial
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+
+    raw = load_dataset("synthetic", n=512, image_shape=(8, 8, 3), num_classes=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.2},
+                       "transforms": ["to_tensor"]})
+    m = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n  - conv2d: {kernel_size: [3,3], "
+        "out_channels: 8, padding: 1}\n  - flatten: {}\n"
+        "  - fully_connected: {out_features: 4, act_fn: null}"))
+    hp = {"epochs": 1, "batch_size": 16, "optimizer_opts": {"lr": 3e-3},
+          "output_path": str(tmp_path), "validate_every_epochs": 1, "seed": 0}
+    out = scaling_prediction_trial(m, "cross_entropy", data, hp,
+                                   subset_fractions=(0.1, 0.2, 0.4, 0.6))
+    assert 0.0 <= out["predicted_error"] <= 1.5
+    assert len(out["observations"]) == 4
+    # more data should not be predicted to hurt: error at full size <= smallest subset's fit
+    assert out["predicted_error"] <= out["observations"][0]["val_error"] + 0.5
