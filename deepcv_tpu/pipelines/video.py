@@ -93,7 +93,15 @@ class SimpleFlowNet:
 
             @fnn.compact
             def __call__(self, a, b_warped, flow):
-                x = jnp.concatenate([a, b_warped, flow], axis=-1)
+                # local correlation volume (displacements in {-1,0,1}^2): the
+                # direction signal every real flow net feeds its decoder
+                corrs = []
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        shifted = jnp.roll(b_warped, (dy, dx), axis=(1, 2))
+                        corrs.append(jnp.mean(a * shifted, axis=-1, keepdims=True))
+                corr = jnp.concatenate(corrs, axis=-1)
+                x = jnp.concatenate([a, b_warped, corr, flow], axis=-1)
                 x = dnn.pad_channels_for_tpu(x)
                 x = jax.nn.relu(fnn.Conv(self.features, (3, 3), padding="SAME",
                                          name="c1")(x))
@@ -128,7 +136,116 @@ class SimpleFlowNet:
         return flow
 
 
+# --------------------------------------------------------------------------- #
+# Trainable optical-flow pipeline (beyond the reference's stubs)
+# --------------------------------------------------------------------------- #
+
+class FlowModel:
+    """DeepcvModule-compatible facade over SimpleFlowNet taking a packed
+    6-channel (frame_a ++ frame_b) input — so the standard train() runtime
+    drives it unchanged."""
+
+    def __init__(self, input_shape, levels: int = 2, features: int = 16):
+        # input_shape: (H, W, 2*C) packed pair
+        self.input_shape = tuple(input_shape)
+        self._c = self.input_shape[-1] // 2
+        self.net = SimpleFlowNet(levels=levels, features=features)
+
+    def init(self, rng, batch_size: int = 1):
+        if not hasattr(rng, "shape"):
+            rng = jax.random.PRNGKey(int(rng))
+        h, w, _ = self.input_shape
+        return self.net.init(rng, (h, w, self._c))
+
+    def apply(self, variables, x, *, train: bool = False, rngs=None, mutable=None):
+        a = x[..., :self._c]
+        b = x[..., self._c:]
+        return self.net.apply(variables, a, b)
+
+    def capacity(self) -> int:
+        from deepcv_tpu.ops.nn import get_model_capacity
+        v = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
+        return get_model_capacity(v["params"])
+
+
+def generate_flow_dataset(n: int = 512, image_size: int = 32,
+                          max_shift: int = 4, seed: int = 0, train: bool = True):
+    """Synthetic flow pairs: textured frames translated by a known (dx, dy);
+    x = packed (a ++ b) uint8, target = dense backward flow (H, W, 2)."""
+    import numpy as np
+    from deepcv_tpu.data.datasets import ArrayDataset
+
+    rng = np.random.default_rng(seed + (0 if train else 1))
+    big = image_size + 2 * max_shift
+    xs = np.zeros((n, image_size, image_size, 6), np.uint8)
+    flows = np.zeros((n, image_size, image_size, 2), np.float32)
+    for i in range(n):
+        canvas = rng.integers(0, 256, (big, big, 3), np.uint8)
+        # add structure: a few bright rectangles (texture for matching)
+        for _ in range(4):
+            y0, x0 = rng.integers(0, big - 8, 2)
+            canvas[y0:y0 + 8, x0:x0 + 8] = rng.integers(128, 256, 3)
+        dx, dy = rng.integers(-max_shift, max_shift + 1, 2)
+        a = canvas[max_shift:max_shift + image_size,
+                   max_shift:max_shift + image_size]
+        b = canvas[max_shift + dy:max_shift + dy + image_size,
+                   max_shift + dx:max_shift + dx + image_size]
+        xs[i, ..., :3] = a
+        xs[i, ..., 3:] = b
+        flows[i, ..., 0] = dx   # backward flow: b sampled at (x+dx, y+dy) is a
+        flows[i, ..., 1] = dy
+    return ArrayDataset(xs, flows, name=f"flow_{'train' if train else 'test'}")
+
+
+from deepcv_tpu.data.datasets import _dataset_loader as _reg_loader  # noqa: E402
+
+_reg_loader("synthetic_flow")(
+    lambda root=None, train=True, n=512, image_size=32, max_shift=4, seed=0, **kw:
+    generate_flow_dataset(n=int(n), image_size=int(image_size),
+                          max_shift=int(max_shift), seed=int(seed), train=train))
+
+
+def endpoint_error(pred_flow: jnp.ndarray, target_flow: jnp.ndarray) -> jnp.ndarray:
+    """Average endpoint error (EPE) — the standard optical-flow metric."""
+    return jnp.mean(jnp.sqrt(jnp.sum(
+        (pred_flow.astype(jnp.float32) - target_flow.astype(jnp.float32)) ** 2,
+        axis=-1) + 1e-12))
+
+
+def create_flow_model(datasets, model_params) -> FlowModel:
+    trainset = datasets["trainset"]
+    p = dict(model_params or {})
+    return FlowModel(trainset.image_shape, levels=int(p.get("levels", 2)),
+                     features=int(p.get("features", 16)))
+
+
+def train_flow(datasets, model: FlowModel, hp, trackers=()):
+    from deepcv_tpu.train import train as train_fn
+    from deepcv_tpu.train.backend import BackendConfig
+    from deepcv_tpu.train.losses import mse_loss
+
+    backend = BackendConfig(**dict(hp.get("backend_conf") or {}))
+    state, history = train_fn(hp, model, mse_loss, datasets,
+                              backend_conf=backend,
+                              metrics={"epe": endpoint_error},
+                              loggers=list(trackers))
+    return {"state": state, "history": history, "model": model}
+
+
 def get_pipelines() -> Dict[str, Pipeline]:
-    # reference parity: video training pipelines are WIP stubs (video/*);
-    # deep_feature_flow_inference + SimpleFlowNet are the working runtime parts
-    return {}
+    from deepcv_tpu.pipelines.framework import Node
+    from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
+
+    def preprocess(trainset, testset, params):
+        return preprocess_fn({"trainset": trainset, "testset": testset}, params)
+
+    flow_pipeline = Pipeline([
+        Node(preprocess, ["flow_train", "flow_test", "params:flow_preprocessing"],
+             "datasets", name="preprocess"),
+        Node(create_flow_model, ["datasets", "params:optical_flow_model"],
+             "model", name="create_flow_model"),
+        Node(train_flow, ["datasets", "model", "params:train_optical_flow",
+                          "trackers"],
+             "train_results", name="train"),
+    ], name="train_optical_flow", tags={"train", "video"})
+    return {"train_optical_flow": flow_pipeline}

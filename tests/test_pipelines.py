@@ -248,3 +248,25 @@ def test_extract_keypoints():
     # (10, 13) suppressed by NMS (neighbor of a higher peak)
     kept = {tuple(np.asarray(coords[0, i])) for i in range(4) if scores[0, i] > 0}
     assert (10, 13) not in kept
+
+
+def test_optical_flow_pipeline_learns(tmp_path):
+    """Flow training reduces endpoint error below the zero-flow baseline."""
+    from deepcv_tpu.pipelines.video import (generate_flow_dataset,
+                                            create_flow_model, train_flow,
+                                            endpoint_error)
+    raw = generate_flow_dataset(n=192, image_size=12, max_shift=2, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.2},
+                       "transforms": ["to_tensor"]})
+    model = create_flow_model(data, {"levels": 2, "features": 16})
+    hp = {"epochs": 40, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
+          "validate_every_epochs": 20}
+    out = train_flow(data, model, hp)
+    h = out["history"]
+    zero_baseline = float(np.mean(np.sqrt((raw.targets ** 2).sum(-1))))
+    assert h["valid"][-1]["valid_epe"] < 0.95 * zero_baseline  # beats zero-flow
+    # note: train-history records are chunk MEANS; with the whole run fused
+    # into one dispatch they describe the same window, so no first-vs-last
+    # loss comparison here (the EPE-vs-baseline check is the learning signal)
