@@ -423,10 +423,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     if ckpt:
                         ckpt.maybe_save(step, jax.device_get(state))
             else:
-                epoch_batches = iterator.epoch(epoch)
-                if skip:
-                    import itertools
-                    epoch_batches = itertools.islice(epoch_batches, skip, None)
+                epoch_batches = _streaming_epoch(iterator, trainset, epoch, skip,
+                                                 hp, backend, seed)
                 batches = prefetch_to_device(epoch_batches, sharding=data_shd)
                 for raw_x, y in batches:
                     if crash_at >= 0 and step == crash_at:
@@ -482,6 +480,39 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     history["output_path"] = str(out_dir)
     events.fire(TrainingEvents.COMPLETED, count=1, state=state, history=history)
     return state, history
+
+
+def _streaming_epoch(iterator, trainset, epoch, skip, hp, backend, seed):
+    """One epoch of host batches: the C++ ring-buffer loader when available
+    (hp 'native_loader', default auto: single-process + lib importable), else
+    the numpy BatchIterator. Both honor the exact-resume skip."""
+    import itertools
+
+    use_native = hp.get("native_loader", "auto")
+    if use_native in ("auto", True) and backend.process_count == 1:
+        try:
+            from deepcv_tpu.runtime import NativeBatchLoader, native_available
+            if native_available():
+                data = trainset.dataset if hasattr(trainset, "dataset") else trainset
+                loader = NativeBatchLoader(data.images, data.targets,
+                                           iterator.batch_size, depth=3,
+                                           seed=seed + epoch)
+                n = iterator.num_batches
+                def gen():
+                    try:
+                        for i in range(n):
+                            b = next(loader)
+                            if i >= skip:
+                                yield b
+                    finally:
+                        loader.close()
+                return gen()
+        except Exception as e:  # pragma: no cover
+            _logger.debug("native loader unavailable (%s); numpy path", e)
+        if use_native is True:
+            raise RuntimeError("native_loader=True but libdeepcv_io unavailable")
+    batches = iterator.epoch(epoch)
+    return itertools.islice(batches, skip, None) if skip else batches
 
 
 def _log_progress(m, step, log_every, train_acc, history, rank0, loggers):
