@@ -22,3 +22,23 @@ __version__ = "0.1.0"
 
 from deepcv_tpu import utils  # noqa: F401
 from deepcv_tpu.hyperparams import Hyperparameters, to_hyperparameters, merge_hyperparameters  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax-heavy modules on bare
+    ``import deepcv_tpu``): DeepcvModule, train, BackendConfig, load_yaml,
+    ProjectContext, Predictor, SearchRunner."""
+    lazy = {
+        "DeepcvModule": ("deepcv_tpu.spec", "DeepcvModule"),
+        "train": ("deepcv_tpu.train", "train"),
+        "BackendConfig": ("deepcv_tpu.train", "BackendConfig"),
+        "load_yaml": ("deepcv_tpu.config", "load_yaml"),
+        "ProjectContext": ("deepcv_tpu.pipelines", "ProjectContext"),
+        "Predictor": ("deepcv_tpu.serve", "Predictor"),
+        "SearchRunner": ("deepcv_tpu.search", "SearchRunner"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'deepcv_tpu' has no attribute '{name}'")
