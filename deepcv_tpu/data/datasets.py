@@ -184,6 +184,36 @@ def _synthetic(root=None, train=True, n: int = 512, image_shape=(32, 32, 3),
                         name=f"synthetic_{'train' if train else 'test'}")
 
 
+@_dataset_loader("image_folder")
+def _image_folder(root=None, train=True, image_size: int = 224,
+                  extensions=(".png", ".jpg", ".jpeg", ".bmp"), **kw) -> ArrayDataset:
+    """ImageNet-style directory dataset: ``root/<class_name>/*.jpg``
+    (the catalog.yml ImageNet/custom entries the reference left commented).
+    Decodes with PIL on the host, resizes to ``image_size`` squares,
+    materializes to NHWC uint8."""
+    from PIL import Image
+
+    root = Path(root or DEFAULT_DATA_ROOT)
+    if not root.exists():
+        raise FileNotFoundError(f"image_folder root not found: {root}")
+    classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+    if not classes:
+        raise ValueError(f"image_folder root has no class subdirectories: {root}")
+    images, targets = [], []
+    for ci, cname in enumerate(classes):
+        for f in sorted((root / cname).iterdir()):
+            if f.suffix.lower() not in extensions:
+                continue
+            img = Image.open(f).convert("RGB").resize((image_size, image_size),
+                                                      Image.BILINEAR)
+            images.append(np.asarray(img, np.uint8))
+            targets.append(ci)
+    if not images:
+        raise ValueError(f"no images found under {root}")
+    return ArrayDataset(np.stack(images), np.asarray(targets, np.int64),
+                        classes=classes, name=f"image_folder_{root.name}")
+
+
 def load_dataset(name_or_spec: Union[str, Mapping[str, Any]],
                  root: Optional[Union[str, Path]] = None, train: bool = True,
                  **kwargs) -> ArrayDataset:

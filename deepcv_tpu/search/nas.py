@@ -145,27 +145,102 @@ def single_shot_neural_architecture_search(
         input_shape, model_hp: Mapping[str, Any], training_hp: Mapping[str, Any],
         losses, datasets, backend_conf=None, metrics=None,
         arch_export_path: Optional[Union[str, Path]] = None,
+        algorithm: str = "darts", eval_candidates: bool = False,
+        eval_metric: str = "accuracy", max_eval_archs: int = 16,
         **model_kwargs) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
-    """Single-shot (weight-sharing) NAS: train the supernet, export argmax.
+    """Single-shot (weight-sharing) NAS: train the supernet, export the arch.
 
     Reference ``nni_single_shot_neural_architecture_search``
-    (nni_tools.py:231-343): builds a NAS trainer (ENAS/SPOS/Proxyless), trains,
-    validates, exports the fixed architecture JSON (+ experiment artifact).
-    Here the supernet is the DARTS-style softmax-mixture DeepcvModule; the
-    standard train() loop optimizes weights and architecture logits jointly.
+    (nni_tools.py:231-343) with its algorithm registry {ENAS, SPOS,
+    ProxylessNAS}. Two supernet regimes here:
+      * algorithm='darts': softmax mixture over trainable arch logits,
+        export = argmax;
+      * algorithm='spos' (ENAS-style too): ONE path sampled per step
+        (Gumbel + straight-through), weight sharing without mixing.
+    ``eval_candidates=True`` additionally scores each candidate architecture
+    on the validation set with the shared weights and exports the best
+    (reference ``_single_shot_nas_retrain_for_eval`` intent,
+    nni_tools.py:193-228 — the BN-stat reset happens implicitly because the
+    fixed-arch evaluation recomputes activations with eval-mode stats).
 
     Returns (architecture_dict, final_state, history).
     """
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.train import train
 
+    sampling = {"darts": "softmax", "spos": "sampled", "enas": "sampled",
+                "proxylessnas": "sampled"}.get(str(algorithm).lower())
+    if sampling is None:
+        raise ValueError(f"Unknown single-shot NAS algorithm '{algorithm}' "
+                         "(darts|spos|enas|proxylessnas)")
     supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
-                            **model_kwargs)
+                            nas_sampling=sampling, **model_kwargs)
     state, history = train(training_hp, supernet, losses, datasets,
                            backend_conf=backend_conf, metrics=metrics)
     arch = export_architecture({"params": state.params})
+
+    if eval_candidates:
+        arch = _select_arch_by_validation(
+            input_shape, model_hp, state, datasets, losses, arch,
+            metric=eval_metric, max_archs=max_eval_archs, supernet=supernet,
+            **model_kwargs)
+
     if arch_export_path:
         Path(arch_export_path).parent.mkdir(parents=True, exist_ok=True)
         Path(arch_export_path).write_text(json.dumps(arch, indent=1))
         _logger.info("exported architecture to %s: %s", arch_export_path, arch)
     return arch, state, history
+
+
+def _select_arch_by_validation(input_shape, model_hp, state, datasets, losses,
+                               default_arch, metric: str = "accuracy",
+                               max_archs: int = 16, supernet=None, **model_kwargs):
+    """Enumerate candidate architectures (capped), score each by FORCING its
+    one-hot path on the trained supernet (identical param tree -> true weight
+    sharing), return the best-scoring architecture."""
+    import itertools
+    import jax.numpy as jnp
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train.metrics import METRIC_FNS
+
+    muts = list_mutables(model_hp)
+    axes = []
+    for name, m in muts.items():
+        if m["kind"] == "layer":
+            axes.append([(name, i) for i in range(m["n_candidates"])])
+        else:
+            axes.append([(name, [i]) for i in range(m["n_candidates"])])
+    combos = list(itertools.islice(itertools.product(*axes), max_archs))
+    if not combos:
+        return default_arch
+    if supernet is None:
+        supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
+                                **model_kwargs)
+
+    validset = datasets.get("validset", datasets["trainset"])
+    inner = getattr(validset, "dataset", validset)
+    n = min(len(inner), 512)
+    x = jnp.asarray(inner.images[:n])
+    y = jnp.asarray(inner.targets[:n])
+    tf = getattr(validset, "batch_transform", None)
+    xb = tf(x, augment=False) if tf is not None else x
+    metric_fn = METRIC_FNS.get(metric)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+
+    best, best_score = default_arch, -float("inf")
+    for combo in combos:
+        arch = dict(combo)
+        forced = supernet.module.clone(forced_arch=arch)
+        logits = forced.apply(variables, xb, train=False)
+        if metric_fn is not None:
+            score = float(metric_fn(logits, y))
+        else:
+            from deepcv_tpu.train.losses import WeightedLosses
+            wl = losses if isinstance(losses, WeightedLosses) else WeightedLosses(losses)
+            score = -float(wl(logits, y)[0])
+        _logger.info("candidate arch %s: %s=%.4f", arch, metric, score)
+        if score > best_score:
+            best, best_score = arch, score
+    return best

@@ -295,12 +295,46 @@ def _call_node(mod: fnn.Module, x, train: bool):
 
 class SpecModule(fnn.Module):
     """Executes a compiled architecture DAG (DeepcvModule core forward,
-    reference base_module.py:113-155 — with the §8 early-return bug fixed)."""
+    reference base_module.py:113-155 — with the §8 early-return bug fixed).
+
+    Supernet choice mixing (``sampling``):
+      * 'softmax' (DARTS): candidates mixed by softmax over trainable
+        ``arch__*`` logits;
+      * 'sampled' (SPOS/ENAS-style weight sharing): per-call ONE candidate is
+        drawn from the softmax distribution (Gumbel trick over the same
+        logits, 'nas' rng stream) and only its output used — straight-through
+        one-hot keeps logits trainable; eval uses argmax.
+    """
     node_metas: Tuple[NodeMeta, ...]
     node_impls: Dict[str, Any]
     referenced: Tuple[str, ...] = ()
     # optional host-side shape recorder called at trace time (descriptor use)
     shape_cb: Optional[Callable] = None
+    sampling: str = "softmax"
+    #: force specific choices (name -> candidate idx) while KEEPING the
+    #: supernet param tree — used to evaluate candidate architectures with
+    #: shared weights (SPOS evaluation flow)
+    forced_arch: Optional[Any] = None
+
+    def _choice_weights(self, name: str, n: int, train: bool):
+        logits = self.param(f"{ARCH_PARAM_PREFIX}{name}",
+                            fnn.initializers.zeros, (n,))
+        if self.forced_arch is not None and name in self.forced_arch:
+            c = self.forced_arch[name]
+            idx = int(c[0]) if isinstance(c, (list, tuple)) else int(c)
+            return jax.nn.one_hot(idx, n)
+        if self.sampling == "sampled":
+            if train and self.has_rng("nas"):
+                g = -jnp.log(-jnp.log(
+                    jax.random.uniform(self.make_rng("nas"), (n,), minval=1e-6,
+                                       maxval=1.0 - 1e-6)))
+                idx = jnp.argmax(logits + g)
+            else:
+                idx = jnp.argmax(logits)
+            hard = jax.nn.one_hot(idx, n)
+            soft = jax.nn.softmax(logits)
+            return hard + soft - jax.lax.stop_gradient(soft)  # straight-through
+        return jax.nn.softmax(logits)
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
@@ -312,17 +346,13 @@ class SpecModule(fnn.Module):
                 refs = [stored[r] for r in meta.refs]
                 if meta.input_choice is not None:
                     cname, n_cand, n_chosen = meta.input_choice
-                    logits = self.param(f"{ARCH_PARAM_PREFIX}{cname}",
-                                        fnn.initializers.zeros, (n_cand,))
-                    w = jax.nn.softmax(logits)
+                    w = self._choice_weights(cname, n_cand, train)
                     combined = sum(w[i] * refs[i] for i in range(n_cand))
                     refs = [combined]
                 x = impl(x, refs)
             elif meta.kind == "choice":
                 outs = [_call_node(c, x, train) for c in impl]
-                logits = self.param(f"{ARCH_PARAM_PREFIX}{meta.name}",
-                                    fnn.initializers.zeros, (len(outs),))
-                w = jax.nn.softmax(logits)
+                w = self._choice_weights(meta.name, len(outs), train)
                 x = sum(w[i] * outs[i] for i in range(len(outs)))
             else:
                 x = _call_node(impl, x, train)

@@ -69,6 +69,7 @@ class DeepcvModule:
                  dtype: Any = None, param_dtype: Any = jnp.float32,
                  axis_name: Optional[str] = None, nas_mode: str = "fixed",
                  nas_arch: Optional[Mapping[str, Any]] = None,
+                 nas_sampling: str = "softmax",
                  name: Optional[str] = None):
         #: channel-last input shape WITHOUT batch dim, e.g. (32, 32, 3)
         self.input_shape = tuple(int(s) for s in input_shape)
@@ -86,7 +87,7 @@ class DeepcvModule:
             spectral_norm=self._hp.get("spectral_norm"))
         metas, impls, refd = define_nn_architecture(self._hp["architecture"], self._hp, ctx)
         self.module = SpecModule(node_metas=metas, node_impls=impls, referenced=refd,
-                                 name=name)
+                                 sampling=nas_sampling, name=name)
 
     # ------------------------------------------------------------------ API
     @property
@@ -107,7 +108,8 @@ class DeepcvModule:
         """Initialize all variable collections (params + batch_stats...)."""
         if not hasattr(rng, "shape"):
             rng = jax.random.PRNGKey(int(rng))
-        rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+        rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+                "nas": jax.random.fold_in(rng, 2)}
         return self.module.init(rngs, self.dummy_input(batch_size), train=False)
 
     def apply(self, variables, x, *, train: bool = False, rngs=None,

@@ -43,8 +43,8 @@ from deepcv_tpu.train.schedules import build_schedule
 from deepcv_tpu.train.checkpoint import CheckpointManager, resume_from_path
 from deepcv_tpu.utils import EventsHandler
 
-__all__ = ["TrainState", "train", "TRAINING_HP_DEFAULTS", "build_optimizer",
-           "CrashIteration", "TrainingEvents"]
+__all__ = ["TrainState", "train", "train_with_retries", "TRAINING_HP_DEFAULTS",
+           "build_optimizer", "CrashIteration", "TrainingEvents"]
 
 _logger = logging.getLogger(__name__)
 
@@ -240,7 +240,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, x, train=True, rngs={"dropout": key},
+        out = model.apply(variables, x, train=True,
+                          rngs={"dropout": key, "nas": jax.random.fold_in(key, 7)},
                           mutable=["batch_stats"] if batch_stats is not None else False)
         return out if isinstance(out, tuple) else (out, {})
 
@@ -545,3 +546,36 @@ if __name__ == "__main__":  # per-module self-test CLI (reference parity)
     sys.path.insert(0, str(_repo.parent))
     from deepcv_tpu.utils import test_module_cli
     test_module_cli(__file__)
+
+
+def train_with_retries(hp: Mapping[str, Any], model, losses, datasets,
+                       max_retries: int = 2, **kwargs):
+    """Fault-tolerant wrapper: on a crash mid-training, resume from the run's
+    latest checkpoint and continue (up to ``max_retries`` times).
+
+    The reference had NO elasticity (SURVEY §5.3: "world is fixed at
+    init_process_group"); here recovery is checkpoint-resume in-process —
+    checkpointing must be on (``save_every_iters`` > 0) for retries to make
+    progress. Returns (state, history) of the successful attempt.
+    """
+    import glob as _glob
+
+    hp = dict(hp)
+    if int(hp.get("save_every_iters", TRAINING_HP_DEFAULTS["save_every_iters"])) <= 0:
+        raise ValueError("train_with_retries requires save_every_iters > 0")
+    last_exc = None
+    for attempt in range(max_retries + 1):
+        try:
+            return train(hp, model, losses, datasets, **kwargs)
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all recovery
+            last_exc = e
+            ckpts = sorted(_glob.glob(str(Path(hp.get(
+                "output_path", TRAINING_HP_DEFAULTS["output_path"])) /
+                "run_*" / "checkpoints")))
+            if attempt >= max_retries or not ckpts:
+                raise
+            hp["resume_from"] = ckpts[-1]
+            hp["crash_iteration"] = -1  # do not re-inject the test fault
+            _logger.warning("training attempt %d failed (%s); resuming from %s",
+                            attempt + 1, e, ckpts[-1])
+    raise last_exc  # pragma: no cover

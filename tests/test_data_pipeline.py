@@ -155,3 +155,42 @@ def test_device_dataset_gather(trainset):
     perm = dd.epoch_permutation(jax.random.PRNGKey(1))
     x2, _ = jax.jit(dd.batch_at)(perm, jnp.asarray(3))
     assert x2.shape == (16, 8, 8, 3)
+
+
+def test_image_folder_loader(tmp_path):
+    from PIL import Image
+    for cls in ("cats", "dogs"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(np.random.default_rng(i).integers(
+                0, 255, (20, 30, 3), dtype=np.uint8).astype(np.uint8)).save(
+                d / f"{i}.png")
+    ds = load_dataset("image_folder", root=tmp_path, image_size=16)
+    assert len(ds) == 6 and ds.image_shape == (16, 16, 3)
+    assert ds.classes == ["cats", "dogs"]
+    assert set(np.unique(ds.targets)) == {0, 1}
+    with pytest.raises(FileNotFoundError):
+        load_dataset("image_folder", root=tmp_path / "nope")
+
+
+def test_train_with_retries(tmp_path):
+    from deepcv_tpu.train.training import train_with_retries
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.data.preprocess import preprocess as pp
+
+    raw = load_dataset("synthetic", n=256, image_shape=(8, 8, 3), num_classes=4)
+    data = pp({"trainset": raw}, {"seed": 0, "split_dataset": {"validset_ratio": 0.2},
+                                  "transforms": ["to_tensor"]})
+    m = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n  - flatten: {}\n"
+        "  - fully_connected: {out_features: 4}"))
+    hp = {"epochs": 2, "batch_size": 32, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 2, "output_path": str(tmp_path), "seed": 0,
+          "crash_iteration": 5, "device_resident_dataset": False}
+    # injected crash at step 5 -> auto-resume from step-4 ckpt -> finish 12
+    state, hist = train_with_retries(hp, m, "cross_entropy", data, max_retries=1)
+    assert hist["steps"] == 12
+    with pytest.raises(ValueError, match="save_every_iters"):
+        train_with_retries(dict(hp, save_every_iters=0), m, "cross_entropy", data)

@@ -228,3 +228,36 @@ def test_scaling_prediction_trial(tmp_path):
     assert len(out["observations"]) == 4
     # more data should not be predicted to hurt: error at full size <= smallest subset's fit
     assert out["predicted_error"] <= out["observations"][0]["val_error"] + 0.5
+
+
+def test_spos_sampled_supernet_and_candidate_eval(tmp_path):
+    """SPOS-style single-shot NAS: sampled paths train; candidate evaluation
+    with forced one-hot paths on the shared weights picks an architecture."""
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+
+    raw = load_dataset("synthetic", n=128, image_shape=(8, 8, 3), num_classes=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model_hp = load_yaml("""
+act_fn: relu
+architecture:
+  - _nas_layer_choice:
+      _name: "m1"
+      _candidates:
+        - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+        - conv2d: { kernel_size: [5, 5], out_channels: 8, padding: 2 }
+  - flatten: {}
+  - fully_connected: { out_features: 4, act_fn: null }
+""")
+    hp = {"epochs": 2, "batch_size": 24, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path),
+          "validate_every_epochs": 100}
+    arch, state, hist = single_shot_neural_architecture_search(
+        (8, 8, 3), model_hp, hp, "cross_entropy", data, algorithm="spos",
+        eval_candidates=True, max_eval_archs=4)
+    assert arch["m1"] in (0, 1)
+    with pytest.raises(ValueError, match="Unknown single-shot"):
+        single_shot_neural_architecture_search(
+            (8, 8, 3), model_hp, hp, "cross_entropy", data, algorithm="bogus")
