@@ -23,7 +23,70 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Predictor"]
+__all__ = ["Predictor", "save_model_bundle", "load_model_bundle"]
+
+
+def save_model_bundle(directory: Union[str, Path], model, variables,
+                      extra_meta: Optional[Dict[str, Any]] = None) -> Path:
+    """Persist a self-contained deployable artifact: the model's YAML spec
+    (hp + input shape) alongside its variables.
+
+    ``load_model_bundle(dir)`` reconstructs the model WITHOUT the training
+    code path — the serving-side counterpart the reference never had.
+    """
+    import json
+
+    import orbax.checkpoint as ocp
+    import yaml
+
+    def yamlable(obj):
+        """YAML-safe hp tree: TaggedFactory/callables -> identifier strings
+        (strings resolve back through the registry + reference aliases)."""
+        if hasattr(obj, "identifier"):  # TaggedFactory
+            return obj.identifier
+        if isinstance(obj, dict):
+            return {k: yamlable(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return [yamlable(v) for v in obj]
+        if callable(obj):
+            from deepcv_tpu.utils import identifier_to_str
+            from deepcv_tpu.ops.nn import ACTIVATION_FNS
+            for name, fn in ACTIVATION_FNS.items():
+                if obj is fn:
+                    return name
+            return identifier_to_str(obj)
+        return obj
+
+    d = Path(directory)
+    d.mkdir(parents=True, exist_ok=True)
+    meta = {"input_shape": list(model.input_shape),
+            "hp": yamlable(model.hp.to_dict()),
+            "nas_mode": getattr(model, "nas_mode", "fixed"),
+            "nas_arch": yamlable(dict(getattr(model, "nas_arch", {}))),
+            **(extra_meta or {})}
+    (d / "model.yaml").write_text(yaml.safe_dump(meta, sort_keys=False,
+                                                 default_flow_style=False))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((d / "variables").absolute(), dict(variables), force=True)
+    ckptr.wait_until_finished()
+    return d
+
+
+def load_model_bundle(directory: Union[str, Path], dtype=None):
+    """Reconstruct (model, variables) from a saved bundle."""
+    import orbax.checkpoint as ocp
+    import yaml
+
+    from deepcv_tpu.spec import DeepcvModule
+
+    d = Path(directory)
+    meta = yaml.safe_load((d / "model.yaml").read_text())
+    model = DeepcvModule(tuple(meta["input_shape"]), meta["hp"],
+                         nas_mode=meta.get("nas_mode", "fixed"),
+                         nas_arch=meta.get("nas_arch") or {}, dtype=dtype)
+    ckptr = ocp.StandardCheckpointer()
+    variables = ckptr.restore((d / "variables").absolute())
+    return model, variables
 
 _logger = logging.getLogger(__name__)
 

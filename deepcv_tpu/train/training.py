@@ -203,7 +203,6 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         trainset, global_batch, shuffle=True, seed=seed,
         process_index=backend.rank, process_count=backend.process_count)
     steps_per_epoch = (device_ds.steps_per_epoch if resident else len(iterator))
-    total_steps = steps_per_epoch * epochs
 
     # ---------------- optimizer & schedule --------------------------------- #
     hp_plain = hp.to_dict()
@@ -371,7 +370,6 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     train_acc = MetricAccumulator()
     step = int(state.step)
     t_start = time.perf_counter()
-    perm_key = jax.random.fold_in(root_rng, 999)
 
     validate_every = max(1, int(hp["validate_every_epochs"]))
     # resident sampling is with-replacement, so epoch boundaries carry no data
@@ -426,7 +424,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             else:
                 epoch_batches = _streaming_epoch(iterator, trainset, epoch, skip,
                                                  hp, backend, seed)
-                batches = prefetch_to_device(epoch_batches, sharding=data_shd)
+                # reference 'prefetch_batches' hp: depth of the H2D double buffer
+                depth = 2 if hp.get("prefetch_batches", True) else 1
+                batches = prefetch_to_device(epoch_batches, size=depth,
+                                             sharding=data_shd)
                 for raw_x, y in batches:
                     if crash_at >= 0 and step == crash_at:
                         raise CrashIteration(f"Injected crash at iteration {crash_at}")

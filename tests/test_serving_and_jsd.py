@@ -93,3 +93,19 @@ architecture:
     assert y.shape == (2, 8, 8, 32)
     # SE scales are per-channel in (0, 1): output magnitude <= input path
     assert bool(jnp.isfinite(y).all())
+
+
+def test_model_bundle_roundtrip(tmp_path, setup):
+    """save_model_bundle -> load_model_bundle reconstructs an equivalent model
+    without the original construction code path."""
+    from deepcv_tpu.serve import save_model_bundle, load_model_bundle
+
+    model, data, ckpt, state = setup
+    variables = {"params": jax.device_get(state.params)}
+    d = save_model_bundle(tmp_path / "bundle", model, variables)
+    assert (d / "model.yaml").exists()
+    model2, variables2 = load_model_bundle(d)
+    x = jnp.asarray(data["trainset"].dataset.images[:4], jnp.float32) / 255.0
+    y1 = model.apply(variables, x)
+    y2 = model2.apply(variables2, x)
+    assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
