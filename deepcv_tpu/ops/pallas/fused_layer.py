@@ -12,9 +12,8 @@ Strategy: im2col **inside VMEM**. Each grid step loads one padded-image batch
 tile into VMEM, builds the (TB*H*W, kh*kw*C) patch matrix with cheap on-chip
 shifted slices (never materialized in HBM), runs a single MXU matmul against
 the (kh*kw*C, Cout) weight matrix, and applies bias + activation in the
-epilogue before the single HBM write. For the small-channel convs that
-dominate DeepCV-style CIFAR models this avoids both XLA's small-channel conv
-inefficiency and any intermediate HBM traffic.
+epilogue before the single HBM write, avoiding any intermediate HBM traffic
+for the patch matrix.
 
 Backward: custom VJP delegating to the XLA reference implementation
 (pallas guide "Patterns: Custom VJP") — identical math, so gradients agree
@@ -40,12 +39,11 @@ __all__ = ["fused_conv2d_bias_act", "supports"]
 def supports(kernel_size, strides, padding, ndim: int,
              in_channels: Optional[int] = None,
              out_channels: Optional[int] = None) -> bool:
-    """True when the fused kernel covers this conv configuration AND the
-    channel regime where it beats XLA.
-
-    Measured on v5e (batch 256, 32x32): 3x3 64->64 Pallas 0.029ms vs XLA
-    0.750ms (26x); but <32 channels the VPU lane padding (c -> 128 lanes)
-    blows VMEM 4-16x and XLA's conv is already bandwidth-optimal there.
+    """True when the fused kernel covers this conv configuration and a
+    channel regime it can run at all (<32 channels the VPU lane padding
+    (c -> 128 lanes) blows VMEM 4-16x). NOTE: even in-regime, measured XLA is
+    faster (see pallas_convs_enabled's honest table) — this gate only guards
+    feasibility for the opt-in path.
     """
     if ndim != 4:
         return False
@@ -179,7 +177,6 @@ fused_conv2d_bias_act.defvjp(_fwd, _bwd)
 
 import os
 import flax.linen as fnn
-from deepcv_tpu.ops import nn as _dnn
 
 
 def pallas_convs_enabled() -> bool:

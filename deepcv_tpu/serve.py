@@ -34,8 +34,6 @@ def save_model_bundle(directory: Union[str, Path], model, variables,
     ``load_model_bundle(dir)`` reconstructs the model WITHOUT the training
     code path — the serving-side counterpart the reference never had.
     """
-    import json
-
     import orbax.checkpoint as ocp
     import yaml
 
