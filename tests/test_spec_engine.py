@@ -384,3 +384,60 @@ architecture:
     # meta params exist
     node = v["params"]["node_impls__submodule_0_conv_with_meta_layer"]
     assert "meta_gamma" in node and "conv" in node
+
+
+def test_reference_hrnet_spec_fails_with_clear_error():
+    """The reference's own hrnet_backbone YAML (parameters.yml:53-77) has a
+    channel inconsistency (16ch stem vs 32ch parallel streams feeding a
+    no-scaling residual link, SURVEY §8). Our build must fail with a TARGETED
+    message at trace time, not an opaque XLA error (the corrected spec lives
+    in conf/base/parameters.yml)."""
+    from pathlib import Path
+    ref = Path("/root/reference/conf/base/parameters.yml")
+    if not ref.exists():
+        pytest.skip("reference not mounted")
+    doc = load_yaml(ref)
+    models = {k: v for d in doc["models"] for k, v in d.items()}
+    m = DeepcvModule((64, 64, 3), models["hrnet_backbone"])  # builds fine
+    with pytest.raises(ValueError, match="channel mismatch"):
+        m.eval_output_shape()
+
+
+def test_weight_norm_global(rng):
+    m = build("""
+act_fn: relu
+weight_norm: { eps: 1e-12 }
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+""", shape=(8, 8, 3))
+    v = m.init(rng)
+    # WeightNorm adds a scale param alongside the kernel
+    flat = jax.tree_util.tree_leaves_with_path(v["params"])
+    names = {"/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat}
+    assert any("scale" in n.lower() for n in names), names
+    y = m.apply(v, jnp.ones((1, 8, 8, 3)))
+    assert y.shape == (1, 8, 8, 8)
+
+
+def test_preactivation_order(rng):
+    """preactivation=True must run norm->act->op (negative inputs survive to
+    the op through the norm, unlike post-activation relu-before-norm)."""
+    pre = build("""
+act_fn: relu
+preactivation: true
+architecture:
+  - conv2d: { kernel_size: [1, 1], out_channels: 1, padding: 0, use_bias: false }
+""", shape=(2, 2, 3))
+    post = build("""
+act_fn: relu
+preactivation: false
+architecture:
+  - conv2d: { kernel_size: [1, 1], out_channels: 1, padding: 0, use_bias: false }
+""", shape=(2, 2, 3))
+    x = -jnp.ones((1, 2, 2, 3))
+    v = pre.init(rng)
+    y_pre = pre.apply(v, x)
+    y_post = post.apply(v, x)
+    # pre: relu(x)=0 -> conv(0)=0 exactly; post: conv(x) then relu >= 0
+    assert float(jnp.abs(y_pre).max()) == 0.0
+    assert float(y_post.min()) >= 0.0
