@@ -97,6 +97,15 @@ def main(argv=None) -> int:
                                "<task>_model inferred from the pipeline)")
     p_search.add_argument("--project-path", default=".")
 
+    p_pred = sub.add_parser("predict", help="batch inference from a saved model bundle")
+    p_pred.add_argument("--bundle", required=True,
+                        help="directory from serve.save_model_bundle")
+    p_pred.add_argument("--input", required=True,
+                        help=".npy file of NHWC images (uint8 or float)")
+    p_pred.add_argument("--output", default="predictions.npy")
+    p_pred.add_argument("--batch-size", type=int, default=256)
+    p_pred.add_argument("--dtype", default=None)
+
     p_lr = sub.add_parser("lr-find", help="LR range test on a pipeline's model+data")
     p_lr.add_argument("--pipeline", default="train_image_classifier")
     p_lr.add_argument("--steps", type=int, default=100)
@@ -129,6 +138,9 @@ def main(argv=None) -> int:
         ctx = ProjectContext(args.project_path)
         print(ctx.pipelines[args.pipeline].describe())
         return 0
+
+    if args.command == "predict":
+        return _cmd_predict(args)
 
     if args.command == "search":
         return _cmd_search(args)
@@ -204,6 +216,40 @@ def _cmd_search(args) -> int:
                       "best_params": summary["best"]["params"] if summary["best"] else None,
                       "trials": len(summary["trials"]),
                       "total_seconds": round(summary["total_seconds"], 1)}))
+    return 0
+
+
+def _cmd_predict(args) -> int:
+    """Batch inference: bundle + .npy images -> .npy predictions."""
+    import json
+    import sys
+
+    import numpy as np
+
+    from deepcv_tpu.serve import Predictor, load_model_bundle
+
+    if not (Path(args.bundle) / "model.yaml").exists():
+        print(f"error: --bundle {args.bundle!r} is not a model bundle "
+              "(no model.yaml; expected a directory from serve.save_model_bundle)",
+              file=sys.stderr)
+        return 2
+    if not Path(args.input).exists():
+        print(f"error: --input file not found: {args.input!r}", file=sys.stderr)
+        return 2
+    if args.batch_size < 1:
+        print(f"error: --batch-size must be >= 1 (got {args.batch_size})",
+              file=sys.stderr)
+        return 2
+    model, variables = load_model_bundle(args.bundle, dtype=args.dtype)
+    images = np.load(args.input)
+    pred = Predictor(model, variables, batch_size=args.batch_size)
+    out = np.asarray(pred(images))
+    if out.dtype.kind == "V" or out.dtype.name == "bfloat16":
+        # keep the output readable by plain numpy (bf16 .npy needs ml_dtypes)
+        out = out.astype(np.float32)
+    np.save(args.output, out)
+    print(json.dumps({"inputs": len(images), "output": args.output,
+                      "output_shape": list(out.shape)}))
     return 0
 
 

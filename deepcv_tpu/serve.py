@@ -65,7 +65,10 @@ def save_model_bundle(directory: Union[str, Path], model, variables,
     (d / "model.yaml").write_text(yaml.safe_dump(meta, sort_keys=False,
                                                  default_flow_style=False))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save((d / "variables").absolute(), dict(variables), force=True)
+    # store host numpy: keeps the bundle loadable on ANY backend (a checkpoint
+    # of device arrays pins restore to the saving device type)
+    host_vars = jax.device_get(dict(variables))
+    ckptr.save((d / "variables").absolute(), host_vars, force=True)
     ckptr.wait_until_finished()
     return d
 
@@ -77,6 +80,8 @@ def load_model_bundle(directory: Union[str, Path], dtype=None):
 
     from deepcv_tpu.spec import DeepcvModule
 
+    import numpy as _np
+
     d = Path(directory)
     meta = yaml.safe_load((d / "model.yaml").read_text())
     model = DeepcvModule(tuple(meta["input_shape"]), meta["hp"],
@@ -84,6 +89,9 @@ def load_model_bundle(directory: Union[str, Path], dtype=None):
                          nas_arch=meta.get("nas_arch") or {}, dtype=dtype)
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore((d / "variables").absolute())
+    # tolerate bundles written before the host-numpy convention: pull any
+    # device-typed leaves to host so the current backend can consume them
+    variables = jax.tree_util.tree_map(_np.asarray, variables)
     return model, variables
 
 _logger = logging.getLogger(__name__)

@@ -109,3 +109,27 @@ def test_model_bundle_roundtrip(tmp_path, setup):
     y1 = model.apply(variables, x)
     y2 = model2.apply(variables2, x)
     assert np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    # the bundle must be backend-portable: every stored leaf restores as host
+    # numpy (a checkpoint of device arrays would pin restore to the saving
+    # device type, e.g. a CPU-saved bundle failing to load on TPU)
+    for leaf in jax.tree_util.tree_leaves(variables2):
+        assert isinstance(leaf, np.ndarray)
+
+
+def test_predict_cli(tmp_path, setup):
+    """`deepcv_tpu predict` end-to-end: bundle dir + .npy in -> .npy out."""
+    from deepcv_tpu.serve import save_model_bundle
+    from deepcv_tpu.cli import main
+
+    model, data, ckpt, state = setup
+    variables = {"params": jax.device_get(state.params)}
+    bundle = save_model_bundle(tmp_path / "bundle", model, variables)
+    imgs = np.asarray(data["trainset"].dataset.images[:10])
+    np.save(tmp_path / "imgs.npy", imgs)
+    out = tmp_path / "preds.npy"
+    rc = main(["predict", "--bundle", str(bundle),
+               "--input", str(tmp_path / "imgs.npy"),
+               "--output", str(out), "--batch-size", "4"])
+    assert rc == 0
+    preds = np.load(out)
+    assert preds.shape[0] == 10 and preds.ndim == 2
