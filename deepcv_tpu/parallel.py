@@ -12,6 +12,13 @@ This module adds the pieces a *framework* should expose beyond parity:
     matching collectives, so annotating params is ALL that is needed;
   * :func:`cross_replica_mean` — explicit-collective helper for
     shard_map-style code;
+  * :func:`spatial_sharding` — spatial partitioning (SP) for large images:
+    shard activations on H over the mesh; XLA inserts the conv halo
+    exchanges automatically (no manual ghost-cell code);
+  * :func:`pipeline_parallel_apply` — GPipe-style pipeline parallelism
+    (PP) over a 'stage' mesh axis: microbatched schedule written with
+    ``jax.shard_map`` + ``lax.ppermute`` so stage-to-stage transfers ride
+    ICI point-to-point links;
   * :func:`data_parallelism_usefulness_heuristic` — reference
     ``is_data_parallelization_usefull_heuristic`` parity (nn.py:618-637):
     sigmoid score over model capacity / batch size / device count, used to
@@ -20,7 +27,7 @@ This module adds the pieces a *framework* should expose beyond parity:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -28,7 +35,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "tensor_parallel_rules", "shard_params",
-           "cross_replica_mean", "data_parallelism_usefulness_heuristic"]
+           "cross_replica_mean", "spatial_sharding", "pipeline_parallel_apply",
+           "data_parallelism_usefulness_heuristic"]
 
 
 def make_mesh(axis_sizes: Mapping[str, int],
@@ -78,6 +86,90 @@ def cross_replica_mean(tree, axis_name: str = "data"):
     """pmean over a named axis — for shard_map/pmap-style code (the explicit
     SyncBatchNorm collective, reference ignite_training.py:382-386)."""
     return jax.tree_util.tree_map(lambda v: jax.lax.pmean(v, axis_name), tree)
+
+
+def spatial_sharding(mesh: Mesh, axis_name: str = "data",
+                     spatial_dim: int = 1) -> NamedSharding:
+    """Spatial partitioning: a NamedSharding that splits NHWC activations on
+    the height dim over ``axis_name``.
+
+    For images too large for one chip's HBM (the regime the reference never
+    reaches — its DataParallel splits batch only), put the INPUT on this
+    sharding and jit the model as usual: GSPMD propagates the spatial split
+    through every conv and inserts halo exchanges at kernel boundaries
+    automatically. Works for any batch size, including batch 1.
+    """
+    spec = [None, None, None, None]
+    spec[spatial_dim] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def pipeline_parallel_apply(stage_fn: Callable, stage_params, x,
+                            *, mesh: Mesh, n_microbatches: int,
+                            stage_axis: str = "stage"):
+    """GPipe-style pipeline-parallel forward over ``mesh[stage_axis]``.
+
+    ``stage_params``: pytree whose leaves are stacked per-stage, leading dim
+    = number of stages S (stage i's slice lives on stage-i devices only —
+    the point of PP: each chip holds 1/S of the params). ``stage_fn(params_i,
+    h) -> h`` must preserve the activation shape (the classic uniform-stage
+    constraint). ``x``: (batch, ...) with batch divisible by
+    ``n_microbatches``.
+
+    Schedule: S + M - 1 steps; at step t stage s processes microbatch
+    t - s; activations hop stage->stage+1 via ``lax.ppermute`` (neighbor
+    ICI transfers, no all-to-all). Bubble fraction = (S-1)/(S+M-1) — pick
+    M >= 4*S. Written with shard_map so the collective schedule is explicit
+    rather than left to GSPMD sharding propagation (pipelining is the one
+    pattern GSPMD cannot derive from shardings alone).
+    """
+    S = mesh.shape[stage_axis]
+    M = int(n_microbatches)
+    n = x.shape[0]
+    if n % M:
+        raise ValueError(f"batch {n} not divisible by n_microbatches {M}")
+    leaves = jax.tree_util.tree_leaves(stage_params)
+    if leaves and leaves[0].shape[0] != S:
+        raise ValueError(f"stage_params leading dim {leaves[0].shape[0]} != "
+                         f"number of stages {S}")
+    xm = x.reshape(M, n // M, *x.shape[1:])
+
+    fwd = [(s, s + 1) for s in range(S - 1)]          # stage s -> s+1
+
+    def local(params, xm):
+        params = jax.tree_util.tree_map(lambda p: p[0], params)  # my slice
+        stage = jax.lax.axis_index(stage_axis)
+        mb = xm.shape[1]
+        h0 = jnp.zeros_like(xm[0])
+
+        def body(carry, t):
+            h, outs = carry
+            # stage 0 ingests microbatch t (while t < M), others their input
+            src = jnp.where(t < M, jnp.clip(t, 0, M - 1), 0)
+            h = jnp.where(stage == 0, jax.lax.dynamic_index_in_dim(
+                xm, src, axis=0, keepdims=False), h)
+            y = stage_fn(params, h)
+            # last stage finishes microbatch t-(S-1) at step t
+            w = jnp.maximum(t - (S - 1), 0)
+            cur = jax.lax.dynamic_index_in_dim(outs, w, axis=0, keepdims=False)
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, jnp.where(t >= S - 1, y, cur), w, axis=0)
+            # hop activations one stage forward (point-to-point ICI)
+            h_next = jax.lax.ppermute(y, stage_axis, fwd)
+            return (h_next, outs), None
+
+        outs0 = jnp.zeros((M, *jax.eval_shape(stage_fn, params, h0).shape),
+                          h0.dtype)
+        (_, outs), _ = jax.lax.scan(body, (h0, outs0), jnp.arange(S + M - 1))
+        # only the last stage holds real outputs; broadcast to every stage
+        outs = jax.lax.psum(jnp.where(stage == S - 1, outs, 0.0), stage_axis)
+        return outs
+
+    in_specs = (jax.tree_util.tree_map(lambda _: P(stage_axis), stage_params),
+                P())
+    out = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                        check_vma=False)(stage_params, xm)
+    return out.reshape(n, *out.shape[2:])
 
 
 def data_parallelism_usefulness_heuristic(model_capacity: int, batch_size: int,

@@ -12,8 +12,8 @@ from deepcv_tpu.data.training_metadata import (
 from deepcv_tpu.data.datasets import load_dataset
 from deepcv_tpu.data.viz import to_uint8, make_grid, save_image_grid
 from deepcv_tpu.parallel import (
-    make_mesh, tensor_parallel_rules, shard_params,
-    data_parallelism_usefulness_heuristic,
+    make_mesh, tensor_parallel_rules, shard_params, spatial_sharding,
+    pipeline_parallel_apply, data_parallelism_usefulness_heuristic,
 )
 from deepcv_tpu.train.lr_finder import (
     run_lr_range_test, find_optimal_params, plot_search_curves,
@@ -80,6 +80,53 @@ def test_tensor_parallel_sharding(devices):
     assert y.shape == (8, 8)
     with pytest.raises(ValueError, match="devices"):
         make_mesh({"data": 3})
+
+
+def test_spatial_partitioning(devices):
+    """SP: input sharded on H over 8 devices must give the same conv result
+    as unsharded — GSPMD's automatic halo exchange at tile boundaries."""
+    mesh = make_mesh({"data": 8})
+    k = jax.random.normal(jax.random.PRNGKey(0), (5, 5, 3, 8), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32, 3), jnp.float32)
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = conv(x)
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    out = jax.jit(conv)(xs)
+    assert "data" in str(out.sharding.spec)  # split propagated, not gathered
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_parallel_apply(devices):
+    """PP: GPipe microbatch schedule over a 4-stage mesh axis must match
+    applying the stages sequentially on one device."""
+    mesh = make_mesh({"stage": 4, "data": 2})
+    S, F = 4, 16
+    keys = jax.random.split(jax.random.PRNGKey(0), S)
+    stage_params = {
+        "w": jnp.stack([jax.random.normal(k, (F, F)) * 0.3 for k in keys]),
+        "b": jnp.stack([jnp.full((F,), 0.01 * i) for i in range(S)]),
+    }
+
+    def stage_fn(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, F))
+    ref = x
+    for i in range(S):
+        ref = stage_fn(jax.tree_util.tree_map(lambda v: v[i], stage_params), ref)
+
+    out = pipeline_parallel_apply(stage_fn, stage_params, x,
+                                  mesh=mesh, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="divisible"):
+        pipeline_parallel_apply(stage_fn, stage_params, x,
+                                mesh=mesh, n_microbatches=3)
 
 
 def test_dp_heuristic():
