@@ -43,6 +43,7 @@ class BackendConfig:
                  mesh_shape: Optional[Sequence[int]] = None,
                  axis_names: Sequence[str] = ("data",),
                  n_devices: Optional[int] = None,
+                 tensor_parallel: int = 1,
                  distributed: bool = False,
                  # --- reference-compat kwargs (ignored on TPU) ---
                  dist_backend: Optional[str] = None, dist_url: Optional[str] = None,
@@ -60,7 +61,17 @@ class BackendConfig:
         if n_devices:
             devices = devices[:n_devices]
         self.devices = devices
+        self.tensor_parallel = int(tensor_parallel)
         self.axis_names = tuple(axis_names)
+        if self.tensor_parallel > 1 and mesh_shape is None \
+                and self.axis_names == ("data",):
+            # dp x tp mesh: batch over 'data', kernel out-features over 'model'
+            if len(devices) % self.tensor_parallel:
+                raise ValueError(f"tensor_parallel={tensor_parallel} does not "
+                                 f"divide {len(devices)} devices")
+            self.axis_names = ("data", "model")
+            mesh_shape = (len(devices) // self.tensor_parallel,
+                          self.tensor_parallel)
         if mesh_shape is None:
             mesh_shape = (len(devices),) + (1,) * (len(self.axis_names) - 1)
         mesh_shape = tuple(int(s) for s in mesh_shape)
@@ -108,6 +119,31 @@ class BackendConfig:
     @property
     def replicated_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
+
+    def state_sharding(self, state) -> Any:
+        """Sharding pytree for the full TrainState.
+
+        Replicated unless the mesh has a >1 'model' axis (``tensor_parallel``),
+        in which case every 'kernel' leaf — params AND their optimizer moments,
+        which mirror the params tree inside optax states — is column-parallel
+        on its output-features dim (Megatron-style, parallel.py rules). XLA
+        inserts the matching collectives in the jitted train step; activations
+        stay batch-sharded so the TP all-gathers ride the 'model' axis only.
+        """
+        model_axis = dict(self.mesh.shape).get("model", 1)
+        if model_axis <= 1:
+            return self.replicated_sharding
+
+        def rule(path, leaf):
+            last = str(getattr(path[-1], "key", path[-1])) if path else ""
+            if last == "kernel" and getattr(leaf, "ndim", 0) >= 2 \
+                    and leaf.shape[-1] % model_axis == 0 \
+                    and leaf.shape[-1] // model_axis >= 2:
+                return NamedSharding(
+                    self.mesh, P(*([None] * (leaf.ndim - 1)), "model"))
+            return self.replicated_sharding
+
+        return jax.tree_util.tree_map_with_path(rule, state)
 
     def __str__(self):
         plat = self.devices[0].platform

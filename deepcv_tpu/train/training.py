@@ -221,8 +221,9 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         state = resume_from_path(hp["resume_from"], state)
         _logger.info("Resumed from %s at step %d", hp["resume_from"], int(state.step))
 
-    # replicate state over the mesh
-    state = jax.device_put(state, backend.replicated_sharding)
+    # place state over the mesh: replicated, or TP-sharded kernels when the
+    # backend has a 'model' axis (BackendConfig(tensor_parallel=...))
+    state = jax.device_put(state, backend.state_sharding(state))
     dtype = hp.get("dtype")
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)

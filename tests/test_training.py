@@ -175,6 +175,33 @@ def test_train_loss_decreases_multidevice(tiny_setup, tmp_path):
     assert isinstance(state, TrainState) and int(state.step) == hist["steps"]
 
 
+def test_train_tensor_parallel(tiny_setup, tmp_path):
+    """dp x tp training: BackendConfig(tensor_parallel=2) shards kernel
+    out-features over a 'model' axis; training must still converge and the
+    result must match the pure-DP run exactly (sharding is layout, not math)."""
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    be = BackendConfig(tensor_parallel=2)
+    assert dict(be.mesh.shape) == {"data": 4, "model": 2}
+    state, hist = train(dict(hp), model, cross_entropy_loss, data,
+                        backend_conf=be)
+    assert hist["train"][-1]["main_loss"] < hist["train"][0]["main_loss"]
+    # the conv kernel (out_channels=8, divisible by 2) is model-sharded
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: str(getattr(l, "sharding", "")), state.params)
+    flat = {jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(specs)[0]}
+    assert any("model" in v for k, v in flat.items() if "kernel" in k), flat
+    # math unchanged vs pure DP
+    state_dp, hist_dp = train(dict(hp), model, cross_entropy_loss, data,
+                              backend_conf=BackendConfig())
+    np.testing.assert_allclose(hist["train"][-1]["main_loss"],
+                               hist_dp["train"][-1]["main_loss"],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_crash_and_resume(tiny_setup, tmp_path):
     model, data = tiny_setup
     hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
