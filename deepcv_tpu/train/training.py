@@ -72,6 +72,9 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     "output_path": "data/04_training",
     "eval_batch_multiplier": 32,     # reference: eval batch = 32 x train batch (:215)
     "nni_compression": None,         # reserved (reference :335-344)
+    "grad_accumulation_steps": 1,    # optax.MultiSteps: params update every k
+    "remat": False,                  # jax.checkpoint the forward: trade FLOPs
+                                     # for activation memory (big models/images)
     # 'input' => self-supervised/autoencoder: loss target is the transformed
     # input batch (reference keypoints autoencoder, keypoints/detector.py:44-84)
     "self_supervised_target": None,
@@ -208,6 +211,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     hp_plain = hp.to_dict()
     schedule = build_schedule(hp.get("scheduler"), hp_plain, steps_per_epoch)
     tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"], schedule)
+    accum = int(hp.get("grad_accumulation_steps", 1) or 1)
+    if accum > 1:
+        # large effective batches without the HBM for them: gradients average
+        # over k micro-steps, params update on the k-th (optax MultiSteps)
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
 
     # ---------------- state init / resume ---------------------------------- #
     init_rng, state_rng = jax.random.split(root_rng)
@@ -236,13 +244,23 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     jsd_cfg = dict(hp.get("augmix_jsd") or {})
     jsd_weight = float(jsd_cfg.get("weight", 12.0)) if jsd_cfg else 0.0
 
+    def _apply(variables, x, key):
+        return model.apply(variables, x, train=True,
+                           rngs={"dropout": key, "nas": jax.random.fold_in(key, 7)},
+                           mutable=["batch_stats"] if "batch_stats" in variables
+                           else False)
+
+    if hp.get("remat"):
+        # rematerialize the forward in the backward pass: activations are
+        # recomputed instead of held in HBM — the standard TPU memory/FLOP
+        # trade for deep models or big images
+        _apply = jax.checkpoint(_apply)
+
     def _forward(params, batch_stats, x, key):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, x, train=True,
-                          rngs={"dropout": key, "nas": jax.random.fold_in(key, 7)},
-                          mutable=["batch_stats"] if batch_stats is not None else False)
+        out = _apply(variables, x, key)
         return out if isinstance(out, tuple) else (out, {})
 
     def loss_fn(params, batch_stats, raw_x, y, key):

@@ -202,6 +202,30 @@ def test_train_tensor_parallel(tiny_setup, tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_grad_accumulation_and_remat(tiny_setup, tmp_path):
+    """grad_accumulation_steps wraps the optimizer in optax.MultiSteps
+    (params update every k micro-steps); remat=True recomputes the forward in
+    the backward pass and must not change the math at all."""
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    # remat is a memory/FLOP trade, not a math change: identical trajectories
+    _, h_plain = train(dict(hp), model, cross_entropy_loss, data,
+                       backend_conf=BackendConfig())
+    _, h_remat = train(dict(hp, remat=True), model, cross_entropy_loss, data,
+                       backend_conf=BackendConfig())
+    np.testing.assert_allclose(
+        [r["main_loss"] for r in h_remat["train"]],
+        [r["main_loss"] for r in h_plain["train"]], rtol=1e-6)
+    # accumulation: same number of train steps, 1/k as many optimizer updates
+    state, h_acc = train(dict(hp, grad_accumulation_steps=2), model,
+                         cross_entropy_loss, data, backend_conf=BackendConfig())
+    assert h_acc["steps"] == h_plain["steps"]
+    assert int(state.opt_state.gradient_step) == h_acc["steps"] // 2
+    assert np.isfinite([r["main_loss"] for r in h_acc["train"]]).all()
+
+
 def test_crash_and_resume(tiny_setup, tmp_path):
     model, data = tiny_setup
     hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
