@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Predictor", "save_model_bundle", "load_model_bundle"]
+__all__ = ["Predictor", "save_model_bundle", "load_model_bundle",
+           "export_stablehlo", "load_stablehlo"]
 
 
 def save_model_bundle(directory: Union[str, Path], model, variables,
@@ -93,6 +94,41 @@ def load_model_bundle(directory: Union[str, Path], dtype=None):
     # device-typed leaves to host so the current backend can consume them
     variables = jax.tree_util.tree_map(_np.asarray, variables)
     return model, variables
+
+def export_stablehlo(path: Union[str, Path], model, variables,
+                     batch_size: int = 256, dtype=jnp.float32,
+                     platforms: Optional[Sequence[str]] = None) -> Path:
+    """Serialize the jitted forward (params baked in) as a StableHLO artifact
+    via ``jax.export`` — a deployable program that needs NO model-construction
+    code (not even this framework) to run, only jax: the TPU-native analogue
+    of the reference's absent torchscript/ONNX export story.
+
+    The artifact is shape-specialized to ``(batch_size, *input_shape)``;
+    serve ragged tails by padding (see Predictor.__call__).
+    """
+    from jax import export as jexport
+
+    x_spec = jax.ShapeDtypeStruct((batch_size, *model.input_shape), dtype)
+    host_vars = jax.device_get(dict(variables))
+
+    def fwd(x):
+        return model.apply(host_vars, x, train=False)
+
+    kw = {"platforms": list(platforms)} if platforms else {}
+    exported = jexport.export(jax.jit(fwd), **kw)(x_spec)
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(exported.serialize())
+    return p
+
+
+def load_stablehlo(path: Union[str, Path]) -> Callable:
+    """Rehydrate an export_stablehlo artifact into a callable ``f(x)``."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(Path(path).read_bytes())
+    return jax.jit(exported.call)
+
 
 _logger = logging.getLogger(__name__)
 

@@ -116,6 +116,24 @@ def test_model_bundle_roundtrip(tmp_path, setup):
         assert isinstance(leaf, np.ndarray)
 
 
+def test_stablehlo_export_roundtrip(tmp_path, setup):
+    """export_stablehlo -> load_stablehlo: the serialized program reproduces
+    model.apply exactly and rejects wrong shapes/dtypes with clear errors."""
+    from deepcv_tpu.serve import export_stablehlo, load_stablehlo
+
+    model, data, ckpt, state = setup
+    variables = {"params": jax.device_get(state.params)}
+    p = export_stablehlo(tmp_path / "m.stablehlo", model, variables, batch_size=4)
+    f = load_stablehlo(p)
+    x = jnp.asarray(data["trainset"].dataset.images[:4], jnp.float32) / 255.0
+    np.testing.assert_array_equal(np.asarray(f(x)),
+                                  np.asarray(model.apply(variables, x)))
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        f(x[:3])
+    with pytest.raises(ValueError, match="Dtype mismatch"):
+        f(x.astype(jnp.int32))
+
+
 def test_predict_cli(tmp_path, setup):
     """`deepcv_tpu predict` end-to-end: bundle dir + .npy in -> .npy out."""
     from deepcv_tpu.serve import save_model_bundle
