@@ -37,8 +37,10 @@ class CheckpointManager:
     """
 
     def __init__(self, directory, save_every_iters: int = 1000, keep: int = 3,
-                 best_k: int = 3, metric_name: str = "accuracy", mode: str = "max"):
+                 best_k: int = 3, metric_name: str = "accuracy", mode: str = "max",
+                 async_save: bool = True):
         self.dir = Path(directory)
+        self.async_save = bool(async_save)
         self.save_every_iters = int(save_every_iters)
         self.best_k = int(best_k)
         self.metric_name = metric_name
@@ -62,13 +64,19 @@ class CheckpointManager:
         return True
 
     def save(self, step: int, state):
+        """Checkpoint at ``step``. With ``async_save`` (default) orbax copies
+        the arrays to host synchronously (donation-safe) and persists to disk
+        in the background — the train loop's next scan chunk overlaps the
+        write; ``restore``/``close`` join the pending write first."""
         self._mgr.save(int(step), args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
 
     def restore(self, state_template=None, step: Optional[int] = None):
         """Restore latest (or given step); ``state_template=None`` returns the
         raw pytree dict (useful for inference-only restores that do not carry
         optimizer state templates)."""
+        self._mgr.wait_until_finished()   # join any in-flight async save
         step = int(step) if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {self.dir / 'steps'}")
@@ -115,6 +123,7 @@ class CheckpointManager:
         return out
 
     def close(self):
+        self._mgr.wait_until_finished()   # join any in-flight async save
         self._mgr.close()
 
 
