@@ -305,8 +305,13 @@ _RECIPE_TRANSFORMS: Dict[str, Callable] = {
     "scale": lambda x, k, s: T.random_scale(x, k, s),
     "crop": lambda x, k, s: T.random_crop(
         x, k, (x.shape[1], x.shape[2]), padding=max(1, int(0.1 * x.shape[1]))),
+    # severity == flip probability for these two
+    "random_horizontal_flip": lambda x, k, s: T.random_horizontal_flip(x, k, p=s),
+    "random_vertical_flip": lambda x, k, s: T.random_vertical_flip(x, k, p=s),
     "smooth_non_linear_deformation": None,  # reference stub too (augmentation.py:167)
 }
+_RECIPE_TRANSFORMS["hflip"] = _RECIPE_TRANSFORMS["random_horizontal_flip"]
+_RECIPE_TRANSFORMS["vflip"] = _RECIPE_TRANSFORMS["random_vertical_flip"]
 
 
 def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:

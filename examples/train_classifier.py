@@ -37,7 +37,8 @@ def main():
         {"seed": 1, "split_dataset": {"validset_ratio": 0.1},
          "transforms": ["to_tensor", "normalize"],
          "augmentation_recipe": {"transforms": [
-             {"brightness": 0.2}, {"noise": 0.03}]}})
+             {"random_horizontal_flip": 0.5}, {"brightness": 0.2},
+             {"noise": 0.03}]}})
 
     model = DeepcvModule((32, 32, 3), load_yaml(MODEL))
     print(model.describe())

@@ -179,3 +179,21 @@ def test_recipe_parser_reference_format(x):
 def test_unknown_recipe_transform_raises():
     with pytest.raises(ValueError, match="Unknown augmentation transform"):
         A.apply_augmentation_recipe({"transforms": [{"not_a_transform": 0.4}]})
+
+
+def test_recipe_flips():
+    """Flips in the recipe namespace: severity == flip probability."""
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (16, 8, 8, 3)),
+                    jnp.uint8)
+    always = A.apply_augmentation_recipe(
+        {"transforms": [{"random_horizontal_flip": 1.0}],
+         "augmentation_ops_depth": [1, 1]})(x, KEY)
+    assert bool((always == x[:, :, ::-1, :]).all())
+    never = A.apply_augmentation_recipe(
+        {"transforms": [{"vflip": 0}], "augmentation_ops_depth": [1, 1]})(x, KEY)
+    assert bool((never == x).all())
+    half = A.apply_augmentation_recipe(
+        {"transforms": [{"hflip": 0.5}], "augmentation_ops_depth": [1, 1]})(
+        x, jax.random.PRNGKey(3))
+    frac = float((half == x[:, :, ::-1, :]).all(axis=(1, 2, 3)).mean())
+    assert 0.2 <= frac <= 0.8
