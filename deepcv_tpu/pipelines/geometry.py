@@ -1,0 +1,288 @@
+"""Video stabilization, image stitching, sequence synchronization — working
+implementations of the reference's EMPTY WIP packages (reference repo dirs
+``deepcv/stabilize``, ``deepcv/stitching``, ``deepcv/synchronization`` hold
+no code; SURVEY §2.6 lists them as absent).
+
+All three are built from the framework's own primitives, TPU-style:
+  * global motion via **phase correlation** (two FFTs + one argmax — no
+    training, no iterative host loop);
+  * homography via **normalized DLT** (one SVD) inside a **fixed-iteration
+    vmapped RANSAC** (all hypotheses evaluated in parallel on device — no
+    data-dependent loop, so the whole estimator jits);
+  * frame warps through :func:`deepcv_tpu.pipelines.video.flow_warp`;
+  * time alignment via normalized cross-correlation of frame embeddings.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcv_tpu.pipelines.video import flow_warp
+
+__all__ = ["phase_correlation", "stabilize_video", "estimate_homography",
+           "ransac_homography", "stitch_pair", "synchronize_sequences"]
+
+_logger = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------------- #
+# Global translation: phase correlation
+# --------------------------------------------------------------------------- #
+
+def phase_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Translation (dy, dx) such that ``b`` shifted by it best aligns with
+    ``a`` — i.e. ``a[y, x] ~= b[y - dy, x - dx]``. Inputs (H, W) float.
+
+    Whole-pixel accuracy; two rfft2 + one argmax, all on device.
+    """
+    h, w = a.shape
+    fa = jnp.fft.rfft2(a)
+    fb = jnp.fft.rfft2(b)
+    r = fa * jnp.conj(fb)
+    r = r / (jnp.abs(r) + 1e-8)
+    corr = jnp.fft.irfft2(r, (h, w))
+    idx = jnp.argmax(corr)
+    dy, dx = idx // w, idx % w
+    # wrap large positive peaks to negative shifts
+    dy = jnp.where(dy > h // 2, dy - h, dy)
+    dx = jnp.where(dx > w // 2, dx - w, dx)
+    return jnp.stack([dy, dx]).astype(jnp.float32)
+
+
+def _moving_average(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Edge-replicated moving average along axis 0 ((T, D) input)."""
+    pad = window // 2
+    xp = jnp.concatenate([jnp.repeat(x[:1], pad, 0), x,
+                          jnp.repeat(x[-1:], pad, 0)], axis=0)
+    kernel = jnp.ones((window,)) / window
+    return jnp.stack([jnp.convolve(xp[:, d], kernel, mode="valid")
+                      for d in range(x.shape[1])], axis=-1)[:x.shape[0]]
+
+
+def stabilize_video(frames: jnp.ndarray, smoothing: int = 9,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stabilize a jittery sequence (T, H, W, C) in [0, 1].
+
+    Per-step camera translation comes from phase correlation of consecutive
+    luma frames; the cumulative trajectory is low-passed with a moving
+    average; each frame is warped by (smoothed - actual) trajectory so the
+    residual motion is the smooth component only.
+
+    Returns (stabilized_frames, estimated_trajectory (T, 2) as (dy, dx)).
+    """
+    t = frames.shape[0]
+    luma = frames.mean(axis=-1)
+    steps = jax.vmap(phase_correlation)(luma[1:], luma[:-1])  # motion t-1 -> t
+    traj = jnp.concatenate([jnp.zeros((1, 2)), jnp.cumsum(steps, 0)], axis=0)
+    smooth = _moving_average(traj, smoothing)
+    corr = smooth - traj                                       # (T, 2) (dy, dx)
+    # backward warp: output(y, x) = frame(y + flow_y, x + flow_x); to MOVE a
+    # frame by +corr we sample at -corr
+    flow = jnp.broadcast_to(-corr[:, None, None, ::-1],       # (dx, dy) order
+                            (t, *frames.shape[1:3], 2))
+    return flow_warp(frames, flow), traj
+
+
+# --------------------------------------------------------------------------- #
+# Homography: normalized DLT + vmapped-RANSAC
+# --------------------------------------------------------------------------- #
+
+def _normalize_pts(p: jnp.ndarray, w: Optional[jnp.ndarray] = None):
+    """Hartley normalization: zero-mean, mean distance sqrt(2)."""
+    w = jnp.ones((p.shape[0],)) if w is None else w
+    wsum = jnp.sum(w) + 1e-8
+    mean = jnp.sum(p * w[:, None], 0) / wsum
+    d = jnp.sqrt(jnp.sum((p - mean) ** 2, -1))
+    scale = jnp.sqrt(2.0) / (jnp.sum(d * w) / wsum + 1e-8)
+    T = jnp.array([[scale, 0.0, -scale * mean[0]],
+                   [0.0, scale, -scale * mean[1]],
+                   [0.0, 0.0, 1.0]])
+    pn = (p - mean) * scale
+    return pn, T
+
+
+def estimate_homography(pts_a: jnp.ndarray, pts_b: jnp.ndarray,
+                        weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """DLT homography H with ``pts_b ~ H @ pts_a`` ((N, 2) arrays, (x, y)).
+
+    Weighted least squares via SVD on the normalized 2Nx9 system; H is
+    denormalized and scaled so H[2,2] == 1.
+    """
+    n = pts_a.shape[0]
+    w = jnp.ones((n,)) if weights is None else weights
+    an, Ta = _normalize_pts(pts_a, w)
+    bn, Tb = _normalize_pts(pts_b, w)
+    x, y = an[:, 0], an[:, 1]
+    u, v = bn[:, 0], bn[:, 1]
+    z, o = jnp.zeros((n,)), jnp.ones((n,))
+    r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], -1)
+    r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], -1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    Hn = vt[-1].reshape(3, 3)
+    H = jnp.linalg.inv(Tb) @ Hn @ Ta
+    return H / (H[2, 2] + 1e-12)
+
+
+def _reproj_err2(H, pts_a, pts_b):
+    ones = jnp.ones((pts_a.shape[0], 1))
+    proj = (jnp.concatenate([pts_a, ones], -1) @ H.T)
+    proj = proj[:, :2] / (proj[:, 2:3] + 1e-12)
+    return jnp.sum((proj - pts_b) ** 2, -1)
+
+
+def ransac_homography(pts_a: jnp.ndarray, pts_b: jnp.ndarray,
+                      valid: Optional[jnp.ndarray] = None,
+                      n_iters: int = 128, threshold: float = 2.0,
+                      sample_size: int = 6,
+                      key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Outlier-robust homography: ``n_iters`` random hypotheses are built and
+    scored IN PARALLEL (vmap) — the classic sequential RANSAC loop becomes
+    one device program. Returns (H, inlier_mask).
+
+    ``sample_size`` defaults to 6, NOT the minimal 4: a 4-point DLT is an
+    exactly-determined 8x9 system whose float32 SVD solution reprojects with
+    >10 px error even on clean points (measured); 6-point overdetermined fits
+    are pixel-exact, at a modest cost in all-inlier hypothesis probability.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    n = pts_a.shape[0]
+    v = jnp.ones((n,), bool) if valid is None else valid
+    # random sample-size subsets biased to valid correspondences (gumbel top-k)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, (n_iters, n), minval=1e-6, maxval=1.0)))
+    scores = jnp.where(v[None, :], gumbel, -jnp.inf)
+    sets = jax.lax.top_k(scores, sample_size)[1]              # (n_iters, k)
+
+    def hypothesis(idx):
+        H = estimate_homography(pts_a[idx], pts_b[idx])
+        err2 = _reproj_err2(H, pts_a, pts_b)
+        inl = (err2 <= threshold ** 2) & v
+        return jnp.sum(inl), inl
+
+    counts, inls = jax.vmap(hypothesis)(sets)
+    best = jnp.argmax(counts)
+    # least-squares refit on the best hypothesis's inliers, then one more
+    # refit on the refit's own consensus (a 2-step IRLS that tightens the
+    # estimate without a data-dependent loop)
+    H = estimate_homography(pts_a, pts_b,
+                            weights=inls[best].astype(jnp.float32))
+    inliers = (_reproj_err2(H, pts_a, pts_b) <= threshold ** 2) & v
+    H = estimate_homography(pts_a, pts_b, weights=inliers.astype(jnp.float32))
+    inliers = (_reproj_err2(H, pts_a, pts_b) <= threshold ** 2) & v
+    return H, inliers
+
+
+# --------------------------------------------------------------------------- #
+# Stitching
+# --------------------------------------------------------------------------- #
+
+def _harris_score(gray: jnp.ndarray, k: float = 0.05) -> jnp.ndarray:
+    """Harris corner response of a (H, W) image (conv-built structure tensor)."""
+    dy, dx = jnp.gradient(gray)
+    win = jnp.ones((5, 5)) / 25.0
+
+    def smooth(x):
+        return jax.scipy.signal.convolve2d(x, win, mode="same")
+
+    ixx, iyy, ixy = smooth(dx * dx), smooth(dy * dy), smooth(dx * dy)
+    det = ixx * iyy - ixy * ixy
+    tr = ixx + iyy
+    return det - k * tr * tr
+
+
+def _patch_descriptors(gray: jnp.ndarray, coords: jnp.ndarray,
+                       patch: int = 7) -> jnp.ndarray:
+    """L2-normalized local patches at (k, 2) (y, x) coords -> (k, patch^2)."""
+    p = patch // 2
+    gp = jnp.pad(gray, p, mode="edge")
+
+    def one(c):
+        sl = jax.lax.dynamic_slice(gp, (c[0], c[1]), (patch, patch))
+        d = sl.reshape(-1)
+        d = d - d.mean()
+        return d / (jnp.linalg.norm(d) + 1e-8)
+
+    return jax.vmap(one)(coords.astype(jnp.int32))
+
+
+def stitch_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, k: int = 128,
+                threshold: float = 2.0, key=None,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stitch two overlapping views ((H, W, C) in [0, 1]): Harris keypoints ->
+    patch descriptors -> mutual-NN matching (keypoints.match_descriptors
+    math) -> vmapped-RANSAC homography -> warp b into a's canvas with
+    feathered blending. Returns (panorama (H, 2W, C), H_ab, inlier_mask).
+    """
+    from deepcv_tpu.pipelines.keypoints import extract_keypoints, \
+        match_descriptors
+
+    ga, gb = img_a.mean(-1), img_b.mean(-1)
+    ca, sa = extract_keypoints(_harris_score(ga)[None], k=k)
+    cb, sb = extract_keypoints(_harris_score(gb)[None], k=k)
+    ca, cb = ca[0], cb[0]
+    da = _patch_descriptors(ga, ca)
+    db = _patch_descriptors(gb, cb)
+    best_b, valid = match_descriptors(da, db, mutual=True)
+    pts_a = ca[:, ::-1].astype(jnp.float32)                   # (x, y)
+    pts_b = cb[best_b][:, ::-1].astype(jnp.float32)
+    # map a -> b so we can backward-sample b on a's extended canvas
+    H_ab, inliers = ransac_homography(pts_a, pts_b, valid=valid,
+                                      threshold=threshold, key=key)
+
+    h, w, c = img_a.shape
+    canvas_w = 2 * w
+    jj, ii = jnp.meshgrid(jnp.arange(canvas_w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+    ones = jnp.ones_like(jj)
+    src = jnp.stack([jj, ii, ones], -1) @ H_ab.T              # canvas -> b
+    sx = src[..., 0] / (src[..., 2] + 1e-12)
+    sy = src[..., 1] / (src[..., 2] + 1e-12)
+    # reuse flow_warp's bilinear gather: flow = sample_pos - identity
+    flow = jnp.stack([sx - jj, sy - ii], -1)[None]
+    b_pad = jnp.pad(img_b, ((0, 0), (0, canvas_w - w), (0, 0)))
+    bw = flow_warp(b_pad[None].astype(jnp.float32), flow)[0]
+    b_mask = ((sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+              ).astype(jnp.float32)[..., None]
+    a_pad = jnp.pad(img_a, ((0, 0), (0, canvas_w - w), (0, 0)))
+    a_mask = jnp.pad(jnp.ones((h, w, 1)), ((0, 0), (0, canvas_w - w), (0, 0)))
+    wsum = a_mask + b_mask
+    pano = jnp.where(wsum > 0, (a_pad * a_mask + bw * b_mask) / (wsum + 1e-12),
+                     0.0)
+    return pano, H_ab, inliers
+
+
+# --------------------------------------------------------------------------- #
+# Synchronization
+# --------------------------------------------------------------------------- #
+
+def synchronize_sequences(emb_a: jnp.ndarray, emb_b: jnp.ndarray,
+                          max_lag: int = 16) -> Tuple[int, jnp.ndarray]:
+    """Temporal offset between two recordings of the same scene.
+
+    ``emb_a``/``emb_b``: (T, D) per-frame embeddings (any encoder — e.g. a
+    DeepcvModule penultimate layer, or plain downsampled luma). Returns
+    (lag, scores) where ``b[t] ~ a[t + lag]`` at the best normalized
+    cross-correlation; scores has one entry per candidate lag in
+    [-max_lag, max_lag].
+    """
+    def norm(e):
+        e = e - e.mean(axis=0, keepdims=True)
+        return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
+
+    a, b = norm(emb_a), norm(emb_b)
+    ta, tb = a.shape[0], b.shape[0]
+
+    def score(lag):
+        ia = jnp.clip(jnp.arange(tb) + lag, 0, ta - 1)
+        ok = ((jnp.arange(tb) + lag) >= 0) & ((jnp.arange(tb) + lag) < ta)
+        sims = jnp.sum(a[ia] * b, -1) * ok
+        return jnp.sum(sims) / (jnp.sum(ok) + 1e-8)
+
+    lags = jnp.arange(-max_lag, max_lag + 1)
+    scores = jax.vmap(score)(lags)
+    return int(lags[int(jnp.argmax(scores))]), scores
