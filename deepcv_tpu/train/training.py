@@ -72,6 +72,8 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     "output_path": "data/04_training",
     "eval_batch_multiplier": 32,     # reference: eval batch = 32 x train batch (:215)
     "nni_compression": None,         # reserved (reference :335-344)
+    "log_grad_norm": True,           # global grad-norm as a per-step metric
+    "log_param_histograms": False,   # param histograms at validation points
     "grad_accumulation_steps": 1,    # optax.MultiSteps: params update every k
     "remat": False,                  # jax.checkpoint the forward: trade FLOPs
                                      # for activation memory (big models/images)
@@ -299,6 +301,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    log_grad_norm = bool(hp.get("log_grad_norm", True))
+
     def train_step(state: TrainState, raw_x, y):
         rng, step_key = jax.random.split(state.rng)
         (_, (terms, new_bs, logits, y_t)), grads = grad_fn(
@@ -306,6 +310,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         step_metrics = dict(terms)
+        if log_grad_norm:
+            # observability parity with the reference's per-iteration gradient
+            # histograms (GradsHistHandler, ignite_training.py:278-283) at TPU
+            # cost: one scalar reduction fused into the step, no host traffic
+            step_metrics["grad_norm"] = optax.global_norm(grads)
         for mname, mfn in metrics.items():
             step_metrics[mname] = mfn(logits, y_t)
         new_state = state.replace(params=new_params, batch_stats=new_bs,
@@ -479,6 +488,17 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                             state=state, metrics=val)
                 for lg in loggers:
                     lg.log_metrics(val, step=step)
+                if hp.get("log_param_histograms") and rank0:
+                    # TensorBoard weight histograms (reference
+                    # WeightsHistHandler parity) — host pull, so only at
+                    # validation boundaries, never per step
+                    flat = jax.tree_util.tree_flatten_with_path(
+                        jax.device_get(state.params))[0]
+                    for lg in loggers:
+                        if hasattr(lg, "log_histogram"):
+                            for path, leaf in flat:
+                                lg.log_histogram(
+                                    jax.tree_util.keystr(path), leaf, step)
                 if ckpt:
                     key0 = f"valid_{next(iter(metrics))}"
                     if key0 in val:
