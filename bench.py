@@ -96,6 +96,8 @@ def main():
         "seed": 563454, "output_path": "data/04_training",
         "device_resident_dataset": True, "dtype": "bfloat16",
         "max_epochs_per_dispatch": 25,  # fuse idle epoch boundaries into one scan
+        "log_grad_norm": False,         # pure-throughput run: drop the
+                                        # per-step observability reduction (~3%)
     }
     state, hist = train(hp, model, cross_entropy_loss, data,
                         backend_conf=backend)
