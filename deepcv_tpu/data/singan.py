@@ -208,3 +208,14 @@ def distilled_singan_augmentation(image: jnp.ndarray, key,
     if start_scale is None:
         start_scale = max(1, len(model.shapes) - 2)  # keep global layout
     return model.sample(key, n=n_variants, start_scale=start_scale)
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -286,3 +286,14 @@ def synchronize_sequences(emb_a: jnp.ndarray, emb_b: jnp.ndarray,
     lags = jnp.arange(-max_lag, max_lag + 1)
     scores = jax.vmap(score)(lags)
     return int(lags[int(jnp.argmax(scores))]), scores
+
+
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

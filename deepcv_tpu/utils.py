@@ -256,6 +256,14 @@ def test_module_cli(module_file: str):
         "config.py": "test_config.py", "hyperparams.py": "test_hyperparams.py",
         "utils.py": "test_utils.py", "fused_layer.py": "test_pallas.py",
         "fused_augment.py": "test_pallas.py", "native.py": "test_runtime_native.py",
+        "geometry.py": "test_geometry.py", "singan.py": "test_singan.py",
+        "serve.py": "test_serving_and_jsd.py",
+        "parallel.py": "test_meta_subsystems.py",
+        "metrics.py": "test_training.py", "loggers.py": "test_pipelines.py",
+        "nas.py": "test_search.py", "tuners.py": "test_search.py",
+        "runner.py": "test_search.py", "detection.py": "test_detection.py",
+        "video.py": "test_meta_subsystems.py",
+        "keypoints.py": "test_serving_and_jsd.py",
     }
     target = tests_dir / mapping.get(mod.name, "")
     args = [str(target) if target.is_file() else str(tests_dir), "-q"]
