@@ -111,21 +111,27 @@ def estimate_homography(pts_a: jnp.ndarray, pts_b: jnp.ndarray,
 
     Weighted least squares via SVD on the normalized 2Nx9 system; H is
     denormalized and scaled so H[2,2] == 1.
+
+    Runs under ``default_matmul_precision('highest')``: TPU matmuls default
+    to reduced precision, which costs ~5e-2 absolute error on the recovered
+    H (measured on v5e); full fp32 restores CPU-grade accuracy for the tiny
+    matrices involved at negligible cost.
     """
-    n = pts_a.shape[0]
-    w = jnp.ones((n,)) if weights is None else weights
-    an, Ta = _normalize_pts(pts_a, w)
-    bn, Tb = _normalize_pts(pts_b, w)
-    x, y = an[:, 0], an[:, 1]
-    u, v = bn[:, 0], bn[:, 1]
-    z, o = jnp.zeros((n,)), jnp.ones((n,))
-    r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], -1)
-    r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], -1)
-    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    Hn = vt[-1].reshape(3, 3)
-    H = jnp.linalg.inv(Tb) @ Hn @ Ta
-    return H / (H[2, 2] + 1e-12)
+    with jax.default_matmul_precision("highest"):
+        n = pts_a.shape[0]
+        w = jnp.ones((n,)) if weights is None else weights
+        an, Ta = _normalize_pts(pts_a, w)
+        bn, Tb = _normalize_pts(pts_b, w)
+        x, y = an[:, 0], an[:, 1]
+        u, v = bn[:, 0], bn[:, 1]
+        z, o = jnp.zeros((n,)), jnp.ones((n,))
+        r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], -1)
+        r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], -1)
+        A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
+        _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+        Hn = vt[-1].reshape(3, 3)
+        H = jnp.linalg.inv(Tb) @ Hn @ Ta
+        return H / (H[2, 2] + 1e-12)
 
 
 def _reproj_err2(H, pts_a, pts_b):
