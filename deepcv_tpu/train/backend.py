@@ -54,8 +54,14 @@ class BackendConfig:
             if v is not None:
                 _logger.debug("BackendConfig: torch-specific option %s=%r ignored "
                               "(TPU mesh handles distribution)", k, v)
-        if distributed and jax.process_count() == 1 and "JAX_COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()  # pragma: no cover (multi-host only)
+        # Multi-host init MUST happen before ANY backend query (jax.devices /
+        # process_count would initialize the runtime and lock out the
+        # coordinator), so gate on env + flag only.
+        if distributed and "JAX_COORDINATOR_ADDRESS" in os.environ:
+            try:  # pragma: no cover (multi-host only)
+                jax.distributed.initialize()
+            except RuntimeError as e:  # already initialized — fine
+                _logger.debug("jax.distributed.initialize skipped: %s", e)
 
         devices = jax.devices(device) if device else jax.devices()
         if n_devices:

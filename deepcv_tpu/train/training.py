@@ -77,6 +77,12 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     "grad_accumulation_steps": 1,    # optax.MultiSteps: params update every k
     "remat": False,                  # jax.checkpoint the forward: trade FLOPs
                                      # for activation memory (big models/images)
+    # 'epoch' (default) visits each sample exactly once per epoch (reference
+    # DataLoader semantics, ignite_training.py:260-262); 'with_replacement'
+    # is the opt-in uniform-sampling throughput mode
+    "sampling": "epoch",
+    "max_epochs_per_dispatch": 1,    # fuse k quiet epochs into one dispatch
+    "run_dir": None,                 # explicit run directory name (else timestamped)
     # 'input' => self-supervised/autoencoder: loss target is the transformed
     # input batch (reference keypoints autoencoder, keypoints/detector.py:44-84)
     "self_supervised_target": None,
@@ -187,7 +193,14 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     metrics = dict(metrics or {"accuracy": accuracy})
 
     rank0 = backend.rank == 0
-    seed = int(hp["seed"]) + backend.rank  # per-process seed offset (:208)
+    # ONE base seed for everything replicated: under multi-controller GSPMD
+    # every process runs the SAME global program over the SAME global state,
+    # so params init, the shuffle permutation, and the step RNG must be
+    # bit-identical on every host (a torch-style per-rank seed offset would
+    # silently diverge params and overlap data shards). Per-sample
+    # augmentation decorrelation comes from fold_in(sample position) INSIDE
+    # the program, not from per-host seeds.
+    seed = int(hp["seed"])
     root_rng = jax.random.PRNGKey(seed)
 
     trainset = _as_preprocessed(datasets["trainset"])
@@ -321,25 +334,39 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                                   opt_state=new_opt, step=state.step + 1, rng=rng)
         return new_state, step_metrics
 
-    def train_step_resident(state: TrainState, images, targets):
-        # dataset arrays enter as jit args, NOT closure constants — capturing
-        # them makes XLA embed the whole dataset at compile time (minutes)
-        rng, batch_key = jax.random.split(state.rng)
-        raw_x, y = device_ds.batch_for_step(batch_key, images, targets)
-        return train_step(state.replace(rng=rng), raw_x, y)
-
+    sampling = str(hp.get("sampling", "epoch"))
     data_shd = backend.data_sharding()
     if resident:
-        jit_step = jax.jit(train_step_resident, donate_argnums=(0,))
+        # dataset arrays enter the jitted programs as ARGUMENTS, not closure
+        # constants — capturing them makes XLA embed the whole dataset at
+        # compile time (minutes for CIFAR-sized arrays).
+        #
+        # Scanning a whole logging window into ONE device program removes the
+        # ~100ms/step host-dispatch wall on tunneled TPUs (measured: 40k ->
+        # millions img/s). Both variants return chunk-mean metrics.
+        def scan_steps_epoch(state: TrainState, images, targets,
+                             perms, epoch0_step, n_steps: int):
+            """Exact-epoch scan: ``perms[e]`` is epoch ``e``'s on-device
+            permutation (rows cover the fused-epoch block); each step slices
+            its batch from the permutation, so every sample is visited exactly
+            once per epoch (reference DataLoader semantics)."""
+            spe, bs = device_ds.steps_per_epoch, device_ds.batch_size
 
-        def scan_steps(state: TrainState, images, targets, n_steps: int):
-            """Run ``n_steps`` train steps in ONE device program (lax.scan).
+            def body(st, _):
+                rng, step_key = jax.random.split(st.rng)
+                rel = st.step - epoch0_step
+                idx = jax.lax.dynamic_slice(
+                    perms, (rel // spe, (rel % spe) * bs), (1, bs))[0]
+                raw_x = jnp.take(images, idx, axis=0)
+                y = jnp.take(targets, idx, axis=0)
+                return train_step(st.replace(rng=rng), raw_x, y)
 
-            Per-step host dispatch through the runtime costs ~100ms on this
-            TPU tunnel while the step itself takes ~0.3ms — scanning an
-            entire logging window per dispatch removes that wall entirely
-            (measured: 40k -> millions img/s). Returns chunk-mean metrics.
-            """
+            state, ms = jax.lax.scan(body, state, None, length=n_steps)
+            return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), ms)
+
+        def scan_steps_uniform(state: TrainState, images, targets, n_steps: int):
+            """With-replacement scan (opt-in ``sampling='with_replacement'``):
+            uniform random batch indices, no epoch semantics."""
             def body(st, _):
                 rng, batch_key = jax.random.split(st.rng)
                 raw_x, y = device_ds.batch_for_step(batch_key, images, targets)
@@ -348,27 +375,47 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             state, ms = jax.lax.scan(body, state, None, length=n_steps)
             return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), ms)
 
-        jit_scan = jax.jit(scan_steps, static_argnums=(3,), donate_argnums=(0,))
+        if sampling == "with_replacement":
+            jit_scan = jax.jit(scan_steps_uniform, static_argnums=(3,),
+                               donate_argnums=(0,))
+        else:
+            jit_scan = jax.jit(scan_steps_epoch, static_argnums=(5,),
+                               donate_argnums=(0,))
+        # epoch permutations are keyed by (seed, epoch index) alone, so exact
+        # resume replays the same data order without extra checkpoint state
+        perm_key = jax.random.PRNGKey(seed ^ 0x5EED)
+        make_perms = jax.jit(
+            lambda epochs_arr: jax.vmap(
+                lambda e: jax.random.permutation(
+                    jax.random.fold_in(perm_key, e), device_ds.n))(epochs_arr))
     else:
         jit_step = jax.jit(train_step, donate_argnums=(0,),
                            in_shardings=(None, data_shd, data_shd))
 
-    def eval_step(state: TrainState, raw_x, y):
+    def eval_step(state: TrainState, raw_x, y, n_valid: int):
+        """Eval on a batch whose first ``n_valid`` samples are real; the rest
+        are wrap-around padding that keeps shapes static (pipeline.py). The
+        forward runs on the full padded batch (sharding-friendly), losses and
+        metrics on the statically-sliced real prefix — so the last partial
+        batch never double-counts samples. ``n_valid`` takes only two values
+        per dataset (full / tail), i.e. at most one extra compile."""
         x = trainset.batch_transform(raw_x, augment=False)
         if dtype is not None:
             x = x.astype(dtype)
         logits = model.apply(state.variables(), x, train=False)
         y_t = x if self_target else trainset.transform_targets(y)
+        logits, y_t = logits[:n_valid], y_t[:n_valid]
         _, terms = losses(logits, y_t)
         out = dict(terms)
         for mname, mfn in metrics.items():
             out[mname] = mfn(logits, y_t)
         return out
 
-    jit_eval = jax.jit(eval_step, in_shardings=(None, data_shd, data_shd))
+    jit_eval = jax.jit(eval_step, static_argnums=(3,),
+                       in_shardings=(None, data_shd, data_shd))
 
     # ---------------- checkpointing ---------------------------------------- #
-    out_dir = Path(hp["output_path"]) / _run_dir_name(backend)
+    out_dir = Path(hp["output_path"]) / (hp.get("run_dir") or _run_dir_name(backend))
     ckpt = None
     if rank0 and int(hp["save_every_iters"]) > 0:
         ckpt = CheckpointManager(out_dir / "checkpoints",
@@ -386,10 +433,12 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         it = BatchIterator(validset, eval_bs, shuffle=False, drop_last=False,
                            process_index=backend.rank,
                            process_count=backend.process_count)
-        for raw_x, y in prefetch_to_device(it.epoch(0), sharding=data_shd):
-            acc.update(jit_eval(state, raw_x, y))
-        return {f"valid_{k}": v for k, v in acc.compute()}.copy() if False else \
-            {f"valid_{k}": v for k, v in acc.compute().items()}
+        per_host = len(validset) // backend.process_count
+        for b, (raw_x, y) in enumerate(
+                prefetch_to_device(it.epoch(0), sharding=data_shd)):
+            n_valid = min(eval_bs, per_host - b * eval_bs)
+            acc.update(jit_eval(state, raw_x, y, n_valid), weight=n_valid)
+        return {f"valid_{k}": v for k, v in acc.compute().items()}
 
     # ---------------- the loop ---------------------------------------------- #
     history: Dict[str, Any] = {"train": [], "valid": [], "throughput_img_s": []}
@@ -400,9 +449,9 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     t_start = time.perf_counter()
 
     validate_every = max(1, int(hp["validate_every_epochs"]))
-    # resident sampling is with-replacement, so epoch boundaries carry no data
-    # semantics — consecutive epochs with no validation/logging in between can
-    # run as ONE device dispatch (another ~3x on tunneled hosts at bench scale)
+    # consecutive epochs with no validation/logging in between can run as ONE
+    # device dispatch (another ~3x on tunneled hosts at bench scale); the
+    # exact-epoch sampler passes one permutation row per fused epoch
     fuse_epochs = int(hp.get("max_epochs_per_dispatch", 1))
 
     try:
@@ -420,6 +469,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             if resident:
                 epoch_end = step + (n_fused * steps_per_epoch - skip)
                 save_every = ckpt.save_every_iters if ckpt else 0
+                if sampling != "with_replacement":
+                    # one permutation row per fused epoch, generated on device
+                    perms = make_perms(jnp.arange(epoch, epoch + n_fused))
+                    epoch0_step = jnp.asarray(epoch * steps_per_epoch, jnp.int32)
                 while step < epoch_end:
                     if crash_at >= 0 and step == crash_at:
                         raise CrashIteration(f"Injected crash at iteration {crash_at}")
@@ -431,8 +484,13 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                         bounds.append(crash_at)
                     target = min(b for b in bounds if b > step)
                     chunk = target - step
-                    state, m = jit_scan(state, device_ds.images,
-                                        device_ds.targets, chunk)
+                    if sampling == "with_replacement":
+                        state, m = jit_scan(state, device_ds.images,
+                                            device_ds.targets, chunk)
+                    else:
+                        state, m = jit_scan(state, device_ds.images,
+                                            device_ds.targets, perms,
+                                            epoch0_step, chunk)
                     step = target
                     n_seen += chunk * global_batch
                     train_acc.update(m, weight=chunk)
@@ -447,8 +505,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                                 lg.log_metrics(vals, step=step)
                     events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
                                 state=state, metrics=m)
-                    if ckpt:
-                        ckpt.maybe_save(step, jax.device_get(state))
+                    # gate the host transfer on the save boundary: device_get
+                    # pulls the full TrainState and blocks, which would stall
+                    # the async-dispatch pipeline on every chunk otherwise
+                    if ckpt and save_every > 0 and step % save_every == 0:
+                        ckpt.save(step, jax.device_get(state))
             else:
                 epoch_batches = _streaming_epoch(iterator, trainset, epoch, skip,
                                                  hp, backend, seed)
@@ -465,8 +526,9 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     _log_progress(m, step, log_every, train_acc, history, rank0, loggers)
                     events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
                                 state=state, metrics=m)
-                    if ckpt:
-                        ckpt.maybe_save(step, jax.device_get(state))
+                    if ckpt and ckpt.save_every_iters > 0 \
+                            and step % ckpt.save_every_iters == 0:
+                        ckpt.save(step, jax.device_get(state))
 
             # force a REAL host sync for honest timing: on tunneled backends
             # block_until_ready can return before remote execution finishes;
@@ -597,25 +659,42 @@ def train_with_retries(hp: Mapping[str, Any], model, losses, datasets,
     init_process_group"); here recovery is checkpoint-resume in-process —
     checkpointing must be on (``save_every_iters`` > 0) for retries to make
     progress. Returns (state, history) of the successful attempt.
+
+    Resume is scoped to THE RUN DIRECTORY THIS CALL CREATED (a unique
+    ``run_dir`` pinned up front), never to checkpoints of other concurrent or
+    previous runs under the same output_path; a crash before the first
+    periodic save (checkpoint dir exists but holds no restorable step)
+    re-raises the ORIGINAL exception instead of burning retries on a
+    FileNotFoundError.
     """
-    import glob as _glob
+    import datetime
+    import os as _os
+    import uuid
 
     hp = dict(hp)
     if int(hp.get("save_every_iters", TRAINING_HP_DEFAULTS["save_every_iters"])) <= 0:
         raise ValueError("train_with_retries requires save_every_iters > 0")
-    last_exc = None
+    if not hp.get("run_dir"):
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        hp["run_dir"] = f"run_{stamp}_{_os.getpid()}_{uuid.uuid4().hex[:6]}"
+    ckpt_dir = (Path(hp.get("output_path", TRAINING_HP_DEFAULTS["output_path"]))
+                / hp["run_dir"] / "checkpoints")
     for attempt in range(max_retries + 1):
         try:
             return train(hp, model, losses, datasets, **kwargs)
         except Exception as e:  # noqa: BLE001 — deliberate catch-all recovery
-            last_exc = e
-            ckpts = sorted(_glob.glob(str(Path(hp.get(
-                "output_path", TRAINING_HP_DEFAULTS["output_path"])) /
-                "run_*" / "checkpoints")))
-            if attempt >= max_retries or not ckpts:
-                raise
-            hp["resume_from"] = ckpts[-1]
+            latest = None
+            if (ckpt_dir / "steps").exists():
+                try:
+                    mgr = CheckpointManager(ckpt_dir)
+                    latest = mgr.latest_step
+                    mgr.close()
+                except Exception:  # unreadable/corrupt manager dir
+                    latest = None
+            if attempt >= max_retries or latest is None:
+                raise  # re-raise the ORIGINAL failure, chained context intact
+            hp["resume_from"] = str(ckpt_dir)
             hp["crash_iteration"] = -1  # do not re-inject the test fault
-            _logger.warning("training attempt %d failed (%s); resuming from %s",
-                            attempt + 1, e, ckpts[-1])
-    raise last_exc  # pragma: no cover
+            _logger.warning("training attempt %d failed (%s); resuming from %s "
+                            "at step %d", attempt + 1, e, ckpt_dir, latest)
+    raise AssertionError("unreachable")  # pragma: no cover

@@ -261,3 +261,91 @@ def test_metric_accumulator():
     assert acc.compute() == {"a": 2.0}
     acc.reset()
     assert acc.compute() == {}
+
+
+def test_exact_epoch_sampling_visits_each_sample_once(tmp_path):
+    """Resident default sampling='epoch': within one epoch every train sample
+    is visited exactly once (reference DataLoader semantics); the opt-in
+    with-replacement mode does not have that property."""
+    from deepcv_tpu.data.datasets import ArrayDataset
+
+    n, bs = 192, 64
+    images = np.random.default_rng(0).integers(
+        0, 255, (n, 8, 8, 3), dtype=np.uint8).astype(np.uint8)
+    ids = np.arange(n, dtype=np.int32)  # unique per-sample IDs as 'targets'
+    data = {"trainset": ArrayDataset(images, ids)}
+
+    model = DeepcvModule((8, 8, 3), load_yaml(MODEL_YML))
+    target_sum = lambda logits, y: jnp.sum(y).astype(jnp.float32)
+    hp = {"epochs": 2, "batch_size": bs, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "validate_every_epochs": 10,  # no validation: pure train path
+          "output_path": str(tmp_path), "seed": 11}
+    _, hist = train(hp, model, cross_entropy_loss, data,
+                    backend_conf=BackendConfig(),
+                    metrics={"target_sum": target_sum})
+    spe = n // bs
+    per_epoch = [sum(r["target_sum"] for r in hist["train"][e * spe:(e + 1) * spe])
+                 for e in range(2)]
+    expected = float(ids.sum())
+    # exact-epoch: the IDs seen in each epoch sum to the full-dataset sum
+    assert np.allclose(per_epoch, expected), (per_epoch, expected)
+
+    _, hist_wr = train(dict(hp, sampling="with_replacement", seed=12), model,
+                       cross_entropy_loss, data, backend_conf=BackendConfig(),
+                       metrics={"target_sum": target_sum})
+    wr_epoch0 = sum(r["target_sum"] for r in hist_wr["train"][:spe])
+    assert not np.isclose(wr_epoch0, expected)
+
+
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_validation_metrics_exact_on_odd_validset(tiny_setup, tmp_path, n_dev):
+    """The last eval batch is wrap-padded to keep shapes static; metrics must
+    still equal the hand-computed value over the UNIQUE samples, for both a
+    1-device and the full 8-device mesh."""
+    model, data = tiny_setup
+    hp = {"epochs": 1, "batch_size": 8, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "eval_batch_multiplier": 6,  # eval_bs=48 < 51
+          "output_path": str(tmp_path), "seed": 5}
+    be = BackendConfig(n_devices=n_dev)
+    state, hist = train(hp, model, cross_entropy_loss, data, backend_conf=be)
+    validset = data["validset"]
+    raw_x = validset.dataset.images
+    y = validset.dataset.targets
+    assert len(y) == 51  # odd size: 48 + 3-sample tail in a 48-wide batch
+    x = validset.batch_transform(jnp.asarray(raw_x), augment=False)
+    logits = model.apply(state.variables(), x, train=False)
+    expected = float(np.mean(np.argmax(np.asarray(logits), -1) == np.asarray(y)))
+    assert np.isclose(hist["valid"][-1]["valid_accuracy"], expected, atol=1e-6), \
+        (hist["valid"][-1]["valid_accuracy"], expected)
+
+
+def test_retries_reraise_original_before_first_save(tiny_setup, tmp_path):
+    """A crash before the first periodic save must re-raise the ORIGINAL
+    exception (no FileNotFoundError masking, no burned retries)."""
+    from deepcv_tpu.train.training import train_with_retries
+    model, data = tiny_setup
+    hp = {"epochs": 1, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 1000,  # crash happens before any save
+          "output_path": str(tmp_path), "seed": 3, "crash_iteration": 1,
+          "device_resident_dataset": False}
+    with pytest.raises(CrashIteration):
+        train_with_retries(hp, model, cross_entropy_loss, data, max_retries=2)
+
+
+def test_retries_scoped_to_own_run_dir(tiny_setup, tmp_path):
+    """train_with_retries resumes from the run directory IT created, even when
+    a foreign run_* directory with a lexicographically-later checkpoint exists
+    under the same output_path."""
+    from deepcv_tpu.train.training import train_with_retries
+    model, data = tiny_setup
+    # decoy: a foreign run dir that a naive glob would pick up
+    decoy = tmp_path / "run_zzzz" / "checkpoints" / "steps"
+    decoy.mkdir(parents=True)
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 2, "output_path": str(tmp_path), "seed": 3,
+          "crash_iteration": 3, "device_resident_dataset": False}
+    state, hist = train_with_retries(hp, model, cross_entropy_loss, data,
+                                     max_retries=1)
+    assert hist["steps"] == 6
+    assert "run_zzzz" not in hist["output_path"]
