@@ -110,6 +110,7 @@ def main():
         "value": round(per_chip, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+        "data": data["trainset"].dataset.provenance,
     }))
 
 
@@ -149,7 +150,8 @@ augmentation_recipe:
     per_s = batch * n_it / (time.perf_counter() - t0)
     print(json.dumps({"metric": "preprocess_augment_throughput",
                       "value": round(per_s, 1), "unit": "img/s",
-                      "vs_baseline": round(per_s / BASELINE_IMG_S, 3)}))
+                      "vs_baseline": round(per_s / BASELINE_IMG_S, 3),
+                      "data": tr.dataset.provenance}))
 
 
 def bench_one_cycle_cifar100():
@@ -181,7 +183,8 @@ def bench_one_cycle_cifar100():
     steady = max(tps[1:]) if len(tps) > 1 else tps[0]
     print(json.dumps({"metric": "one_cycle_cifar100_throughput",
                       "value": round(steady, 1), "unit": "img/s",
-                      "vs_baseline": round(steady / BASELINE_IMG_S, 3)}))
+                      "vs_baseline": round(steady / BASELINE_IMG_S, 3),
+                      "data": data["trainset"].dataset.provenance}))
 
 
 def bench_keypoints_matching():
@@ -206,7 +209,8 @@ def bench_keypoints_matching():
     pairs_s = 64 * n_it / (time.perf_counter() - t0)
     print(json.dumps({"metric": "descriptor_matching_throughput",
                       "value": round(pairs_s, 1), "unit": "image_pairs/s",
-                      "vs_baseline": round(pairs_s / 100.0, 3)}))
+                      "vs_baseline": round(pairs_s / 100.0, 3),
+                      "data": "synthetic"}))
 
 
 def bench_hp_search():
@@ -247,7 +251,8 @@ def bench_hp_search():
     print(json.dumps({"metric": "hp_search_jit_cache_speedup",
                       "value": round(speedup, 2),
                       "unit": "x (trial1 vs fastest later trial)",
-                      "vs_baseline": round(speedup / 1.0, 2)}))
+                      "vs_baseline": round(speedup / 1.0, 2),
+                      "data": "synthetic"}))
 
 
 if __name__ == "__main__":

@@ -41,13 +41,17 @@ class ArrayDataset:
     """
 
     def __init__(self, images: np.ndarray, targets: np.ndarray,
-                 classes: Optional[Sequence[str]] = None, name: str = "dataset"):
+                 classes: Optional[Sequence[str]] = None, name: str = "dataset",
+                 provenance: str = "real"):
         if len(images) != len(targets):
             raise ValueError(f"images/targets length mismatch: {len(images)} vs {len(targets)}")
         self.images = images
         self.targets = targets
         self.classes = list(classes) if classes is not None else None
         self.name = name
+        #: 'real' (on-disk pixels) or 'synthetic' (generated fallback) —
+        #: surfaced in benchmark JSON so throughput claims disclose their data
+        self.provenance = provenance
 
     def __len__(self):
         return len(self.images)
@@ -69,7 +73,8 @@ class ArrayDataset:
 
     def subset(self, indices: np.ndarray, name: Optional[str] = None) -> "ArrayDataset":
         return ArrayDataset(self.images[indices], self.targets[indices],
-                            classes=self.classes, name=name or f"{self.name}_subset")
+                            classes=self.classes, name=name or f"{self.name}_subset",
+                            provenance=self.provenance)
 
     def __repr__(self):
         return (f"ArrayDataset({self.name}, n={len(self)}, "
@@ -116,16 +121,101 @@ def _synthetic_like(name: str, train: bool) -> ArrayDataset:
     noise = rng.integers(0, 64, size=(n, *shape), dtype=np.uint8)
     images = np.clip(base[targets].astype(np.int16) + noise - 32, 0, 255).astype(np.uint8)
     return ArrayDataset(images, targets, classes=[str(i) for i in range(ncls)],
-                        name=f"{name}_{'train' if train else 'test'}_synthetic")
+                        name=f"{name}_{'train' if train else 'test'}_synthetic",
+                        provenance="synthetic")
 
 
-def _load_torchvision(name: str, root: Path, train: bool) -> ArrayDataset:
-    """Materialize a torchvision dataset to NHWC uint8 numpy, cached as .npz.
+# ------------------------- stdlib on-disk parsers --------------------------- #
+# The reference loads CIFAR via torchvision (conf/base/catalog.yml:46-68,
+# datasets.py:61-63); these formats need only stdlib pickle/gzip + numpy, so
+# real pixels are usable in torchvision-free environments.
 
-    torch/torchvision are used only for dataset download/decode on the host;
-    nothing torch crosses into the compute path. In environments without
-    torchvision or network egress this falls back to a deterministic
-    CIFAR/MNIST-shaped synthetic dataset (clearly named *_synthetic).
+def _parse_cifar_pickle(name: str, root: Path, train: bool) -> Optional[ArrayDataset]:
+    """Parse the canonical CIFAR python-pickle layout if present under root:
+    ``cifar-10-batches-py/data_batch_{1..5}|test_batch`` or
+    ``cifar-100-python/train|test`` (row-major CHW uint8 rows -> NHWC)."""
+    if name == "cifar10":
+        sub, files = "cifar-10-batches-py", (
+            [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"])
+        label_key, meta_file, names_key = b"labels", "batches.meta", b"label_names"
+    else:
+        sub, files = "cifar-100-python", (["train"] if train else ["test"])
+        label_key, meta_file, names_key = b"fine_labels", "meta", b"fine_label_names"
+    d = root / sub
+    if not (d / files[0]).exists():
+        d = root  # allow root to BE the extracted batches dir
+        if not (d / files[0]).exists():
+            return None
+    xs, ys = [], []
+    for f in files:
+        with open(d / f, "rb") as fh:
+            batch = pickle.load(fh, encoding="bytes")
+        rows = np.asarray(batch[b"data"], np.uint8)
+        xs.append(rows.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        ys.extend(batch[label_key])
+    classes = None
+    if (d / meta_file).exists():
+        with open(d / meta_file, "rb") as fh:
+            meta = pickle.load(fh, encoding="bytes")
+        classes = [c.decode() for c in meta[names_key]]
+    return ArrayDataset(np.ascontiguousarray(np.concatenate(xs)),
+                        np.asarray(ys, np.int64), classes=classes,
+                        name=f"{name}_{'train' if train else 'test'}")
+
+
+def _read_idx(path: Path) -> np.ndarray:
+    """Read an MNIST idx{1,3}-ubyte file (optionally gzipped): big-endian
+    magic byte 4 = ndim, then ndim uint32 dims, then uint8 payload."""
+    import gzip
+
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    ndim = data[3]
+    dims = [int.from_bytes(data[4 + 4 * i:8 + 4 * i], "big") for i in range(ndim)]
+    return np.frombuffer(data, np.uint8, offset=4 + 4 * ndim).reshape(dims)
+
+
+def _parse_mnist_idx(name: str, root: Path, train: bool) -> Optional[ArrayDataset]:
+    """Parse MNIST/FashionMNIST idx files if present under root (searched in
+    the torchvision layouts ``<root>/<Name>/raw`` and root itself)."""
+    prefix = "train" if train else "t10k"
+    subdirs = [root, root / "MNIST" / "raw", root / "FashionMNIST" / "raw",
+               root / name, root / "raw"]
+    for d in subdirs:
+        for ext in ("", ".gz"):
+            img_p = d / f"{prefix}-images-idx3-ubyte{ext}"
+            lbl_p = d / f"{prefix}-labels-idx1-ubyte{ext}"
+            if img_p.exists() and lbl_p.exists():
+                images = _read_idx(img_p)[..., None]  # (N, 28, 28, 1)
+                targets = _read_idx(lbl_p).astype(np.int64)
+                classes = ([str(i) for i in range(10)] if name == "mnist" else
+                           ["T-shirt/top", "Trouser", "Pullover", "Dress", "Coat",
+                            "Sandal", "Shirt", "Sneaker", "Bag", "Ankle boot"])
+                return ArrayDataset(np.ascontiguousarray(images), targets,
+                                    classes=classes,
+                                    name=f"{name}_{'train' if train else 'test'}")
+    return None
+
+
+def _parse_local(name: str, root: Path, train: bool) -> Optional[ArrayDataset]:
+    if name in ("cifar10", "cifar100"):
+        return _parse_cifar_pickle(name, root, train)
+    if name in ("mnist", "fashion_mnist"):
+        return _parse_mnist_idx(name, root, train)
+    return None  # pragma: no cover
+
+
+def _load_builtin(name: str, root: Path, train: bool) -> ArrayDataset:
+    """Load a real CIFAR/MNIST-family dataset, preferring torchvision-free
+    paths, with an .npz materialization cache. Resolution order:
+
+      1. the .npz cache from a previous load;
+      2. stdlib parse of the canonical on-disk formats (pickle batches /
+         idx-ubyte) — no torchvision needed when the files exist under root;
+      3. torchvision download+decode, when importable and egress exists;
+      4. a deterministic dataset-shaped SYNTHETIC fallback, clearly marked
+         (name suffix ``_synthetic``, ``provenance='synthetic'``).
     """
     cache = _npz_cache(root, f"{name}_{'train' if train else 'test'}")
     if cache.exists():
@@ -134,33 +224,43 @@ def _load_torchvision(name: str, root: Path, train: bool) -> ArrayDataset:
                             classes=list(z["classes"]) if "classes" in z else None,
                             name=f"{name}_{'train' if train else 'test'}")
     try:
+        ds = _parse_local(name, root, train)
+    except Exception as e:  # corrupt/truncated files: fall through
+        _logger.warning("on-disk %s parse failed (%s)", name, e)
+        ds = None
+    if ds is not None:
+        np.savez_compressed(cache, images=ds.images, targets=ds.targets,
+                            classes=np.asarray(ds.classes or []))
+        return ds
+    try:
         import torchvision
         cls = {"cifar10": torchvision.datasets.CIFAR10,
                "cifar100": torchvision.datasets.CIFAR100,
                "mnist": torchvision.datasets.MNIST,
                "fashion_mnist": torchvision.datasets.FashionMNIST}[name]
-        ds = cls(root=str(root), train=train, download=True)
+        tvds = cls(root=str(root), train=train, download=True)
     except Exception as e:  # no torchvision / no network
         _logger.warning("Cannot load real %s (%s); using synthetic fallback", name, e)
         syn_cache = _npz_cache(root, f"{name}_{'train' if train else 'test'}_synthetic")
         if syn_cache.exists():
             z = np.load(syn_cache, allow_pickle=True)
             return ArrayDataset(z["images"], z["targets"], classes=list(z["classes"]),
-                                name=f"{name}_{'train' if train else 'test'}_synthetic")
+                                name=f"{name}_{'train' if train else 'test'}_synthetic",
+                                provenance="synthetic")
         ds = _synthetic_like(name, train)
         np.savez(syn_cache, images=ds.images, targets=ds.targets,
                  classes=np.asarray(ds.classes))
         return ds
-    if hasattr(ds, "data"):
-        images = np.asarray(ds.data)
+    if hasattr(tvds, "data"):
+        images = np.asarray(tvds.data)
         if images.ndim == 3:  # MNIST (N, H, W) -> (N, H, W, 1)
             images = images[..., None]
-        targets = np.asarray(ds.targets)
+        targets = np.asarray(tvds.targets)
     else:  # pragma: no cover
-        pairs = [(np.asarray(img), t) for img, t in ds]
+        pairs = [(np.asarray(img), t) for img, t in tvds]
         images = np.stack([p[0] for p in pairs])
         targets = np.asarray([p[1] for p in pairs])
-    classes = list(getattr(ds, "classes", [])) or None
+    classes = list(getattr(tvds, "classes", [])) or None
     np.savez_compressed(cache, images=images, targets=targets,
                         classes=np.asarray(classes if classes else []))
     return ArrayDataset(images.astype(np.uint8), targets, classes=classes,
@@ -169,7 +269,7 @@ def _load_torchvision(name: str, root: Path, train: bool) -> ArrayDataset:
 
 for _n in ("cifar10", "cifar100", "mnist", "fashion_mnist"):
     _dataset_loader(_n)(lambda root=None, train=True, _n=_n, **kw:
-                        _load_torchvision(_n, Path(root or DEFAULT_DATA_ROOT), train))
+                        _load_builtin(_n, Path(root or DEFAULT_DATA_ROOT), train))
 
 
 @_dataset_loader("synthetic")
@@ -181,7 +281,8 @@ def _synthetic(root=None, train=True, n: int = 512, image_shape=(32, 32, 3),
     targets = rng.integers(0, num_classes, size=(n,)).astype(np.int32)
     return ArrayDataset(images, targets,
                         classes=[str(i) for i in range(num_classes)],
-                        name=f"synthetic_{'train' if train else 'test'}")
+                        name=f"synthetic_{'train' if train else 'test'}",
+                        provenance="synthetic")
 
 
 @_dataset_loader("image_folder")

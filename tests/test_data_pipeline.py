@@ -194,3 +194,73 @@ def test_train_with_retries(tmp_path):
     assert hist["steps"] == 12
     with pytest.raises(ValueError, match="save_every_iters"):
         train_with_retries(dict(hp, save_every_iters=0), m, "cross_entropy", data)
+
+
+def test_cifar_pickle_parser_real_pixels(tmp_path):
+    """load_dataset('cifar10') consumes the canonical pickle-batch layout with
+    stdlib only (no torchvision), marks provenance='real', and caches to npz."""
+    import pickle
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    per_batch, total = 4, 0
+    for i in range(1, 6):
+        rows = rng.integers(0, 256, (per_batch, 3072), dtype=np.uint8)
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": rows,
+                         b"labels": list(range(per_batch))}, f)
+        total += per_batch
+    with open(d / "test_batch", "wb") as f:
+        pickle.dump({b"data": rng.integers(0, 256, (2, 3072), dtype=np.uint8),
+                     b"labels": [0, 1]}, f)
+    with open(d / "batches.meta", "wb") as f:
+        pickle.dump({b"label_names": [f"c{i}".encode() for i in range(10)]}, f)
+
+    ds = load_dataset("cifar10", root=tmp_path, train=True)
+    assert ds.provenance == "real" and "synthetic" not in ds.name
+    assert ds.images.shape == (total, 32, 32, 3) and ds.images.dtype == np.uint8
+    assert ds.classes == [f"c{i}" for i in range(10)]
+    # CHW rows -> NHWC: first batch row reshaped per the CIFAR spec
+    with open(d / "data_batch_1", "rb") as f:
+        row0 = pickle.load(f, encoding="bytes")[b"data"][0]
+    np.testing.assert_array_equal(
+        ds.images[0], row0.reshape(3, 32, 32).transpose(1, 2, 0))
+    assert (tmp_path / "cifar10_train.npz").exists()  # materialization cache
+    test_ds = load_dataset("cifar10", root=tmp_path, train=False)
+    assert len(test_ds) == 2 and test_ds.provenance == "real"
+    # provenance survives splitting (bench provenance disclosure depends on it)
+    from deepcv_tpu.data.datasets import split_dataset
+    parts = split_dataset(ds, validset_ratio=0.25)
+    assert parts["trainset"].provenance == "real"
+
+
+def test_mnist_idx_parser(tmp_path):
+    """load_dataset('mnist') consumes gzipped idx-ubyte files with stdlib."""
+    import gzip
+    raw = tmp_path / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (6, 28, 28), dtype=np.uint8)
+    lbls = np.arange(6, dtype=np.uint8)
+
+    def idx_bytes(arr):
+        head = bytes([0, 0, 8, arr.ndim]) + b"".join(
+            d.to_bytes(4, "big") for d in arr.shape)
+        return head + arr.tobytes()
+
+    with gzip.open(raw / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(idx_bytes(imgs))
+    with gzip.open(raw / "train-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(idx_bytes(lbls))
+    ds = load_dataset("mnist", root=tmp_path, train=True)
+    assert ds.provenance == "real"
+    assert ds.images.shape == (6, 28, 28, 1)
+    np.testing.assert_array_equal(ds.images[..., 0], imgs)
+    np.testing.assert_array_equal(ds.targets, lbls)
+
+
+def test_synthetic_fallback_is_marked(tmp_path):
+    """Without files/torchvision/egress the loader falls back to synthetic —
+    and SAYS so (name suffix + provenance)."""
+    ds = load_dataset("fashion_mnist", root=tmp_path, train=True)
+    assert ds.provenance == "synthetic" and "synthetic" in ds.name
