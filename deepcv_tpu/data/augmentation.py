@@ -117,34 +117,85 @@ def _enhance_factor(key, level, n):
     return _float_param(_sample_level(key, level, n), 1.8) + 0.1
 
 
+# PIL ImageEnhance parity, byte-exact (verified against Pillow):
+#   * enhance(f) == Image.blend(degenerate, img, f): v = base + f*(img-base)
+#     computed on u8 levels, then CLIPPED and TRUNCATED to uint8 (C cast);
+#   * the L greyscale uses Pillow's integer formula
+#     (r*19595 + g*38470 + b*7471 + 0x8000) >> 16;
+#   * Contrast's grey level is int(L.mean() + 0.5);
+#   * Sharpness's SMOOTH filter is sum/13 rounded HALF-UP, 1px border kept.
+
+def _u8_levels(x):
+    return jnp.round(jnp.clip(x, 0, 1) * 255.0)
+
+
+def _blend_trunc_u8(base_u8, img_u8, factor):
+    v = base_u8 + factor.reshape(-1, 1, 1, 1) * (img_u8 - base_u8)
+    return jnp.clip(jnp.floor(v), 0, 255) / 255.0
+
+
+def _pil_grey_u8(img_u8):
+    """Pillow convert('L') on u8 levels (exact integer arithmetic)."""
+    if img_u8.shape[-1] != 3:  # L-mode images: convert('L') is identity
+        return img_u8
+    rgb = img_u8.astype(jnp.int32)
+    l = (rgb[..., 0] * 19595 + rgb[..., 1] * 38470 + rgb[..., 2] * 7471
+         + 0x8000) >> 16
+    return jnp.broadcast_to(l[..., None].astype(img_u8.dtype), img_u8.shape)
+
+
+def color_with_factor(x, factor):
+    """ImageEnhance.Color: blend from the L-greyscale image."""
+    u8 = _u8_levels(x)
+    return _blend_trunc_u8(_pil_grey_u8(u8), u8, factor).astype(x.dtype)
+
+
+def contrast_with_factor(x, factor):
+    """ImageEnhance.Contrast: blend from a constant int(L.mean()+0.5) image."""
+    u8 = _u8_levels(x)
+    grey = _pil_grey_u8(u8)
+    mean = jnp.floor(jnp.mean(grey, axis=(1, 2, 3), keepdims=True) + 0.5)
+    return _blend_trunc_u8(mean, u8, factor).astype(x.dtype)
+
+
+def brightness_with_factor(x, factor):
+    """ImageEnhance.Brightness: blend from black."""
+    u8 = _u8_levels(x)
+    return _blend_trunc_u8(jnp.zeros_like(u8), u8, factor).astype(x.dtype)
+
+
+def sharpness_with_factor(x, factor):
+    """ImageEnhance.Sharpness: blend from the SMOOTH-filtered image
+    (kernel [[1,1,1],[1,5,1],[1,1,1]]/13, half-up rounded, border kept)."""
+    u8 = _u8_levels(x)
+    kernel = jnp.array([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]],
+                       jnp.float32)
+    c = x.shape[-1]
+    k4 = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
+    acc = jax.lax.conv_general_dilated(
+        u8.astype(jnp.float32), k4, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    smoothed = jnp.clip(jnp.floor(acc / 13.0 + 0.5), 0, 255)
+    # keep border pixels from the original (PIL filter border behavior)
+    mask = jnp.zeros(x.shape[1:3], bool).at[1:-1, 1:-1].set(True)[None, :, :, None]
+    smoothed = jnp.where(mask, smoothed, u8)
+    return _blend_trunc_u8(smoothed, u8, factor).astype(x.dtype)
+
+
 def color(x, key, level):
-    return T.adjust_saturation(x, _enhance_factor(key, level, x.shape[0]))
+    return color_with_factor(x, _enhance_factor(key, level, x.shape[0]))
 
 
 def contrast(x, key, level):
-    return T.adjust_contrast(x, _enhance_factor(key, level, x.shape[0]))
+    return contrast_with_factor(x, _enhance_factor(key, level, x.shape[0]))
 
 
 def brightness(x, key, level):
-    return T.adjust_brightness(x, _enhance_factor(key, level, x.shape[0]))
+    return brightness_with_factor(x, _enhance_factor(key, level, x.shape[0]))
 
 
-def sharpness(x: jnp.ndarray, key, level) -> jnp.ndarray:
-    """PIL ImageEnhance.Sharpness: blend with SMOOTH-filtered image
-    (kernel [[1,1,1],[1,5,1],[1,1,1]]/13; PIL leaves the 1px border
-    unfiltered)."""
-    factor = _enhance_factor(key, level, x.shape[0])
-    kernel = jnp.array([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]], x.dtype) / 13.0
-    k4 = kernel[:, :, None, None]  # HWIO, per-channel via feature groups
-    c = x.shape[-1]
-    k4 = jnp.tile(k4, (1, 1, 1, c))
-    smoothed = jax.lax.conv_general_dilated(
-        x, k4, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    # keep border pixels from the original (PIL filter border behavior)
-    mask = jnp.zeros(x.shape[1:3], bool).at[1:-1, 1:-1].set(True)[None, :, :, None]
-    smoothed = jnp.where(mask, smoothed, x)
-    return T._blend(x, smoothed, factor)
+def sharpness(x, key, level):
+    return sharpness_with_factor(x, _enhance_factor(key, level, x.shape[0]))
 
 
 def _shear(x, key, level, axis: int):
@@ -159,7 +210,7 @@ def _shear(x, key, level, axis: int):
     else:          # shear_y: (1, 0, 0, s, 1, 0)
         m = jnp.stack([jnp.stack([one, zero, zero], -1),
                        jnp.stack([s, one, zero], -1)], axis=1)
-    return T.affine_transform(x, m)
+    return T.affine_transform(x, m, pil_exact_u8=True)
 
 
 def shear_x(x, key, level):
@@ -181,7 +232,7 @@ def _translate(x, key, level, axis: int):
     ty = t if axis == 1 else zero
     m = jnp.stack([jnp.stack([one, zero, tx], -1),
                    jnp.stack([zero, one, ty], -1)], axis=1)
-    return T.affine_transform(x, m)
+    return T.affine_transform(x, m, pil_exact_u8=True)
 
 
 def translate_x(x, key, level):
@@ -200,7 +251,7 @@ def rotate(x: jnp.ndarray, key, level) -> jnp.ndarray:
     # PIL counterclockwise convention (Image.rotate negates the angle)
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     m = T._center_affine(n, x.shape[1], x.shape[2], cos, -sin, sin, cos)
-    return T.affine_transform(x, m)
+    return T.affine_transform(x, m, pil_exact_u8=True)
 
 
 #: the reference's 13-op table (augmentation.py:65-132)

@@ -228,20 +228,39 @@ def color_jitter(x: jnp.ndarray, key, brightness: float = 0.0, contrast: float =
 # --------------------------------------------------------------------------- #
 
 def affine_transform(x: jnp.ndarray, matrices: jnp.ndarray,
-                     order: int = 1, cval: float = 0.0) -> jnp.ndarray:
+                     order: int = 1, cval: float = 0.0,
+                     pil_exact_u8: bool = False) -> jnp.ndarray:
     """Apply per-sample inverse affine ``matrices`` (N, 2, 3) to NHWC batch.
 
-    Uses the PIL convention: output pixel (i, j) samples input at
-    ``M @ (j + 0.5, i + 0.5) - 0.5`` (PIL Image.transform AFFINE with
-    BILINEAR). Implemented as a bilinear gather — pure VPU work on TPU.
+    PIL ``Image.transform(AFFINE, BILINEAR)`` semantics (verified byte-exact
+    against Pillow's Geometry.c over randomized affines):
+
+      * output pixel (i, j) samples the source at ``src = M @ (j+0.5, i+0.5)``;
+      * the pixel is FILLED with ``cval`` iff the (unshifted) source center
+        falls outside ``[0, W) x [0, H)``;
+      * otherwise the 4 taps around ``src - 0.5`` are EDGE-CLAMPED and
+        combined as ``a + d*(b - a)`` lerps.
+
+    With ``pil_exact_u8`` the op additionally quantizes like PIL's uint8
+    store: inputs snapped to the u8 grid, result truncated to an integer
+    level (<= 1 u8 level from Pillow in float32; bit-exact where the
+    interpolation weights are exact, e.g. integer translations / 90-degree
+    rotations). Implemented as a bilinear gather — pure VPU work on TPU.
     """
     n, h, w, c = x.shape
-    jj, ii = jnp.meshgrid(jnp.arange(w, dtype=x.dtype), jnp.arange(h, dtype=x.dtype))
+    jj, ii = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
     ones = jnp.ones_like(ii)
     coords = jnp.stack([jj + 0.5, ii + 0.5, ones], axis=0).reshape(3, -1)  # (3, H*W)
+    fill = cval * 255.0 if pil_exact_u8 else cval
 
     def warp_one(img, m):
+        img = img.astype(jnp.float32)
+        if pil_exact_u8:
+            img = jnp.round(jnp.clip(img, 0, 1) * 255.0)
         src = m @ coords                      # (2, H*W): (x_src, y_src)
+        inside = ((src[0] >= 0) & (src[0] < w) &
+                  (src[1] >= 0) & (src[1] < h))
         sx = src[0] - 0.5
         sy = src[1] - 0.5
         x0 = jnp.floor(sx)
@@ -250,22 +269,23 @@ def affine_transform(x: jnp.ndarray, matrices: jnp.ndarray,
         dy = sy - y0
 
         def gather(yi, xi):
-            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
             yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
             xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            vals = img[yc, xc]                # (H*W, C)
-            return jnp.where(valid[:, None], vals, cval)
+            return img[yc, xc]                # (H*W, C)
 
         v00 = gather(y0, x0)
         v01 = gather(y0, x0 + 1)
         v10 = gather(y0 + 1, x0)
         v11 = gather(y0 + 1, x0 + 1)
-        top = v00 * (1 - dx)[:, None] + v01 * dx[:, None]
-        bot = v10 * (1 - dx)[:, None] + v11 * dx[:, None]
-        out = top * (1 - dy)[:, None] + bot * dy[:, None]
-        return out.reshape(h, w, c)
+        top = v00 + dx[:, None] * (v01 - v00)
+        bot = v10 + dx[:, None] * (v11 - v10)
+        out = top + dy[:, None] * (bot - top)
+        out = jnp.where(inside[:, None], out, fill)
+        if pil_exact_u8:
+            out = jnp.floor(out) / 255.0
+        return out.reshape(h, w, c).astype(x.dtype)
 
-    return jax.vmap(warp_one)(x, matrices.astype(x.dtype))
+    return jax.vmap(warp_one)(x, matrices.astype(jnp.float32))
 
 
 def _center_affine(n: int, h: int, w: int, a, b, c_, d, tx=None, ty=None):

@@ -15,6 +15,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compilation cache: identical-shape jits across test runs (and
+# across test files re-creating the same tiny models) skip compilation
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jit_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
