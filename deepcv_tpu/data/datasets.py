@@ -315,6 +315,57 @@ def _image_folder(root=None, train=True, image_size: int = 224,
                         classes=classes, name=f"image_folder_{root.name}")
 
 
+@_dataset_loader("memmap")
+def _memmap_dataset(root=None, train=True, images_path=None, targets_path=None,
+                    classes=None, **kw) -> ArrayDataset:
+    """Larger-than-RAM dataset over on-disk ``.npy`` files: images/targets
+    open as ``np.memmap`` views, so only the pages each batch touches are
+    ever read into memory. The training runtime keeps memmap datasets on the
+    streaming path (never device-resident) and the batch iterator shuffles
+    chunk-wise to keep reads sequential. Replaces the reference's lazy
+    per-item DataLoader design (datasets.py:30-115) for ImageNet-scale
+    catalog entries."""
+    root = Path(root) if root else None
+    images_path = Path(images_path) if images_path else (root / "images.npy")
+    targets_path = Path(targets_path) if targets_path else (root / "targets.npy")
+    images = np.load(images_path, mmap_mode="r")
+    targets = np.load(targets_path, mmap_mode="r")
+    return ArrayDataset(images, targets, classes=classes,
+                        name=f"memmap_{images_path.stem}")
+
+
+def materialize_image_folder_to_memmap(root, out_dir, image_size: int = 224,
+                                       extensions=(".png", ".jpg", ".jpeg", ".bmp"),
+                                       ) -> ArrayDataset:
+    """One-time conversion of an ``image_folder`` tree into memmap-backed
+    ``.npy`` files, decoding incrementally so peak RSS stays at ~one image
+    regardless of dataset size. Returns the opened memmap dataset."""
+    from PIL import Image
+    from numpy.lib.format import open_memmap
+
+    root, out_dir = Path(root), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+    files = [(f, ci) for ci, cname in enumerate(classes)
+             for f in sorted((root / cname).iterdir())
+             if f.suffix.lower() in extensions]
+    if not files:
+        raise ValueError(f"no images found under {root}")
+    images = open_memmap(out_dir / "images.npy", mode="w+", dtype=np.uint8,
+                         shape=(len(files), image_size, image_size, 3))
+    targets = open_memmap(out_dir / "targets.npy", mode="w+", dtype=np.int64,
+                          shape=(len(files),))
+    for i, (f, ci) in enumerate(files):
+        img = Image.open(f).convert("RGB").resize((image_size, image_size),
+                                                  Image.BILINEAR)
+        images[i] = np.asarray(img, np.uint8)
+        targets[i] = ci
+    images.flush()
+    targets.flush()
+    (out_dir / "classes.txt").write_text("\n".join(classes))
+    return _memmap_dataset(root=out_dir, classes=classes)
+
+
 def load_dataset(name_or_spec: Union[str, Mapping[str, Any]],
                  root: Optional[Union[str, Path]] = None, train: bool = True,
                  **kwargs) -> ArrayDataset:
@@ -399,21 +450,35 @@ def split_dataset(trainset: ArrayDataset, testset: Optional[ArrayDataset] = None
                   seed: int = 434546) -> Dict[str, ArrayDataset]:
     """Deterministic train/valid[/test] split by ratios
     (reference preprocess.py:181-215: testset_ratio ignored when a testset
-    already exists)."""
+    already exists).
+
+    Memmap-backed datasets split by CONTIGUOUS ranges (slices of a memmap
+    stay memmap views — a permutation gather would materialize the whole
+    dataset in RAM); within-split shuffling happens chunk-wise in the batch
+    iterator instead.
+    """
     n = len(trainset)
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
+    mmap = isinstance(trainset.images, np.memmap)
     n_valid = int(round(validset_ratio * n))
     n_test = 0 if testset is not None else int(round(testset_ratio * n))
     out: Dict[str, ArrayDataset] = {}
     cursor = 0
+    if mmap:
+        def take(lo, hi):
+            return slice(lo, hi)  # memmap slice = zero-copy view
+    else:
+        perm = rng.permutation(n)
+
+        def take(lo, hi):
+            return perm[lo:hi]
     if n_test:
-        out["testset"] = trainset.subset(perm[:n_test], name="testset")
+        out["testset"] = trainset.subset(take(0, n_test), name="testset")
         cursor = n_test
     if testset is not None:
         out["testset"] = testset
-    out["validset"] = trainset.subset(perm[cursor:cursor + n_valid], name="validset")
-    out["trainset"] = trainset.subset(perm[cursor + n_valid:], name="trainset")
+    out["validset"] = trainset.subset(take(cursor, cursor + n_valid), name="validset")
+    out["trainset"] = trainset.subset(take(cursor + n_valid, n), name="trainset")
     return out
 
 

@@ -46,7 +46,8 @@ class BatchIterator:
     def __init__(self, dataset: Union[ArrayDataset, PreprocessedDataset],
                  batch_size: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 shuffle_chunk: Optional[int] = None):
         self.data = _unwrap(dataset)
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -54,6 +55,12 @@ class BatchIterator:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        # memmap-backed data shuffles CHUNK-wise (shuffled chunk order +
+        # within-chunk permutation): reads stay page-local instead of seeking
+        # across the whole file for every batch
+        if shuffle_chunk is None and isinstance(self.data.images, np.memmap):
+            shuffle_chunk = max(self.batch_size, 8192)
+        self.shuffle_chunk = shuffle_chunk
         n = len(self.data) // process_count
         self.num_batches = n // self.batch_size if drop_last else -(-n // self.batch_size)
         if self.num_batches == 0:
@@ -62,7 +69,14 @@ class BatchIterator:
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n_total = len(self.data)
-        if self.shuffle:
+        if self.shuffle and self.shuffle_chunk:
+            rng = np.random.default_rng(self.seed + epoch)
+            c = int(self.shuffle_chunk)
+            starts = np.arange(0, n_total, c)
+            order = np.concatenate(
+                [s + rng.permutation(min(c, n_total - s))
+                 for s in starts[rng.permutation(len(starts))]])
+        elif self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             order = rng.permutation(n_total)
         else:

@@ -58,12 +58,30 @@ def process_normalization_stats(trainset: ArrayDataset,
         z = np.load(cache)
         return z["mean"], z["std"]
     imgs = trainset.images
-    x = jnp.asarray(imgs, dtype=jnp.float32)
-    if imgs.dtype == np.uint8:
-        x = x / 255.0
-    axes = tuple(range(x.ndim - 1))
-    mean = np.asarray(jnp.mean(x, axis=axes))
-    std = np.asarray(jnp.std(x, axis=axes))
+    if isinstance(imgs, np.memmap) or imgs.nbytes > 512 * 1024 ** 2:
+        # larger-than-RAM/HBM path: one sequential sweep in bounded chunks,
+        # accumulating per-channel sum/sumsq in float64 on the host
+        c = imgs.shape[-1]
+        s = np.zeros((c,), np.float64)
+        sq = np.zeros((c,), np.float64)
+        count = 0
+        for lo in range(0, len(imgs), 8192):
+            chunk = np.asarray(imgs[lo:lo + 8192], np.float64)
+            if imgs.dtype == np.uint8:
+                chunk /= 255.0
+            flat = chunk.reshape(-1, c)
+            s += flat.sum(0)
+            sq += (flat * flat).sum(0)
+            count += flat.shape[0]
+        mean = (s / count).astype(np.float32)
+        std = np.sqrt(np.maximum(sq / count - (s / count) ** 2, 0.0)).astype(np.float32)
+    else:
+        x = jnp.asarray(imgs, dtype=jnp.float32)
+        if imgs.dtype == np.uint8:
+            x = x / 255.0
+        axes = tuple(range(x.ndim - 1))
+        mean = np.asarray(jnp.mean(x, axis=axes))
+        std = np.asarray(jnp.std(x, axis=axes))
     cache_dir.mkdir(parents=True, exist_ok=True)
     np.savez(cache, mean=mean, std=std)
     return mean, std

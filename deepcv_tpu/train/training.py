@@ -214,7 +214,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     data_bytes = trainset.dataset.images.nbytes
     resident = hp["device_resident_dataset"]
     if resident == "auto":
-        resident = data_bytes <= 2 * 1024 ** 3 and backend.process_count == 1
+        # memmap datasets are larger-than-RAM by contract: stream them
+        resident = (data_bytes <= 2 * 1024 ** 3
+                    and backend.process_count == 1
+                    and not isinstance(trainset.dataset.images, np.memmap))
     device_ds = DeviceDataset(trainset, global_batch,
                               sharding=backend.replicated_sharding) if resident else None
     iterator = None if resident else BatchIterator(

@@ -264,3 +264,65 @@ def test_synthetic_fallback_is_marked(tmp_path):
     and SAYS so (name suffix + provenance)."""
     ds = load_dataset("fashion_mnist", root=tmp_path, train=True)
     assert ds.provenance == "synthetic" and "synthetic" in ds.name
+
+
+def test_memmap_streaming_training(tmp_path):
+    """Larger-than-RAM path: an on-disk memmap dataset trains WITHOUT being
+    materialized — splits stay memmap views, the iterator shuffles chunk-wise,
+    stats sweep in bounded chunks, and train() streams (never resident)."""
+    from numpy.lib.format import open_memmap
+    from deepcv_tpu.data.preprocess import preprocess as pp
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.train import train, BackendConfig
+
+    n = 512
+    imgs = open_memmap(tmp_path / "images.npy", mode="w+", dtype=np.uint8,
+                       shape=(n, 8, 8, 3))
+    tgts = open_memmap(tmp_path / "targets.npy", mode="w+", dtype=np.int64,
+                       shape=(n,))
+    rng = np.random.default_rng(0)
+    for lo in range(0, n, 128):  # incremental fill, bounded RSS
+        imgs[lo:lo + 128] = rng.integers(0, 255, (128, 8, 8, 3), dtype=np.uint8)
+        tgts[lo:lo + 128] = rng.integers(0, 4, (128,))
+    imgs.flush(); tgts.flush()
+    del imgs, tgts
+
+    ds = load_dataset("memmap", root=tmp_path)
+    assert isinstance(ds.images, np.memmap)
+    data = pp({"trainset": ds}, {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                                 "transforms": ["to_tensor", "normalize"]},
+              cache_dir=tmp_path / "stats")
+    # splits are memmap VIEWS, not RAM copies
+    assert isinstance(data["trainset"].dataset.images, np.memmap)
+    assert isinstance(data["validset"].dataset.images, np.memmap)
+
+    # chunk-wise shuffle: every sample exactly once per epoch
+    it = BatchIterator(data["trainset"], batch_size=64, seed=1, shuffle_chunk=128)
+    seen = np.concatenate([np.asarray(y) for _, y in it.epoch(0)])
+    assert len(seen) == 384
+
+    m = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n  - flatten: {}\n"
+        "  - fully_connected: {out_features: 4}"))
+    hp = {"epochs": 1, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path / "out"), "seed": 0}
+    state, hist = train(hp, m, "cross_entropy", data, backend_conf=BackendConfig())
+    assert hist["steps"] == 6  # 384/64: streamed path ran a full epoch
+
+
+def test_image_folder_to_memmap(tmp_path):
+    from PIL import Image
+    from deepcv_tpu.data.datasets import materialize_image_folder_to_memmap
+    for cls in ("a", "b"):
+        d = tmp_path / "tree" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(np.full((10, 10, 3), 7 * (i + 1), np.uint8)).save(
+                d / f"{i}.png")
+    ds = materialize_image_folder_to_memmap(tmp_path / "tree", tmp_path / "mm",
+                                            image_size=8)
+    assert isinstance(ds.images, np.memmap)
+    assert ds.images.shape == (4, 8, 8, 3) and ds.classes == ["a", "b"]
+    reopened = load_dataset("memmap", root=tmp_path / "mm")
+    np.testing.assert_array_equal(np.asarray(reopened.targets), [0, 0, 1, 1])
