@@ -255,15 +255,111 @@ def bench_hp_search():
                       "data": "synthetic"}))
 
 
+# Peak dense bf16 FLOP/s per chip by jax device_kind (public spec sheets).
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+WIDE_CLASSIFIER_YML = """
+act_fn: leaky_relu
+dropout_prob: 0.0
+batch_norm: { affine: true, eps: 1e-05, momentum: 0.1 }
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 64, padding: 1 }
+  - conv2d: { kernel_size: [3, 3], out_channels: 64, padding: 1 }
+  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
+  - conv2d: { kernel_size: [3, 3], out_channels: 128, padding: 1 }
+  - conv2d: { kernel_size: [3, 3], out_channels: 128, padding: 1 }
+  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
+  - conv2d: { kernel_size: [3, 3], out_channels: 256, padding: 1 }
+  - conv2d: { kernel_size: [3, 3], out_channels: 256, padding: 1 }
+  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
+  - flatten: {}
+  - fully_connected: { act_fn: null, out_features: 10, batch_norm: null }
+"""
+
+
+def _fwd_flops_per_image(model, batch: int) -> float:
+    """Model forward FLOPs per image, counted by XLA on the lowered apply.
+
+    XLA's cost analysis counts each dot/conv as 2*MACs, i.e. the standard
+    model-FLOPs convention. MFU then uses the fwd+bwd ~= 3x fwd rule.
+    """
+    variables = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((batch, *model.input_shape), jnp.bfloat16)
+    lowered = jax.jit(
+        lambda v, x: model.apply(v, x, train=False)).lower(variables, x)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):   # older jax returns [dict]
+        cost = cost[0]
+    return float(cost["flops"]) / batch
+
+
+def bench_mfu():
+    """Config 6 (VERDICT r1 #5): non-toy model throughput + MFU.
+
+    Trains a 64-256-channel VGG-style classifier (the smallest spec where the
+    MXU, not dispatch overhead, is the limiter) at batch 4096 through the
+    REAL train() path (on-device gather + augment + fwd/bwd + AdamW), and
+    reports images/sec plus model-FLOPs MFU = img_s * 3 * fwd_flops_per_img
+    / peak_bf16_flops on the current chip.
+    """
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train import train, BackendConfig
+    from deepcv_tpu.train.losses import cross_entropy_loss
+
+    data, _ = build()
+    backend = BackendConfig()
+    model = DeepcvModule((32, 32, 3), load_yaml(WIDE_CLASSIFIER_YML),
+                         dtype=jnp.bfloat16)
+    batch = 4096 if backend.is_tpu else 512
+    hp = {
+        "epochs": 8 if backend.is_tpu else 1, "batch_size": batch,
+        "optimizer": "adamw",
+        "optimizer_opts": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 1e-2},
+        "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
+        "validate_every_epochs": 1000, "seed": 7,
+        "output_path": "data/04_training",
+        "device_resident_dataset": True, "dtype": "bfloat16",
+        "max_epochs_per_dispatch": 4, "log_grad_norm": False,
+    }
+    state, hist = train(hp, model, cross_entropy_loss, data,
+                        backend_conf=backend)
+    tps = hist["throughput_img_s"]
+    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+    per_chip = steady / max(1, backend.n_devices)
+
+    fwd_flops = _fwd_flops_per_image(model, batch)
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_FLOPS.get(kind)
+    mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else float("nan")
+    print(json.dumps({
+        "metric": "mfu_wide_classifier_cifar10",
+        "value": round(mfu * 100, 2) if peak else None,
+        "unit": "% MFU (model-FLOPs, fwd+bwd=3x fwd)",
+        "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+        "img_s_per_chip": round(per_chip, 1),
+        "fwd_mflops_per_img": round(fwd_flops / 1e6, 2),
+        "device_kind": kind,
+        "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
+        "data": data["trainset"].dataset.provenance,
+    }))
+
+
 if __name__ == "__main__":
     import argparse
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=1, choices=[1, 2, 3, 4, 5],
+    ap.add_argument("--config", type=int, default=1, choices=[1, 2, 3, 4, 5, 6],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
-                         "5=hp-search jit reuse")
+                         "5=hp-search jit reuse, 6=non-toy model MFU")
     args = ap.parse_args()
     [main, bench_preprocess, bench_one_cycle_cifar100,
-     bench_keypoints_matching, bench_hp_search][args.config - 1]()
+     bench_keypoints_matching, bench_hp_search, bench_mfu][args.config - 1]()
