@@ -15,6 +15,7 @@ All three are built from the framework's own primitives, TPU-style:
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -63,6 +64,7 @@ def _moving_average(x: jnp.ndarray, window: int) -> jnp.ndarray:
                       for d in range(x.shape[1])], axis=-1)[:x.shape[0]]
 
 
+@partial(jax.jit, static_argnames=("smoothing",))
 def stabilize_video(frames: jnp.ndarray, smoothing: int = 9,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stabilize a jittery sequence (T, H, W, C) in [0, 1].
@@ -141,6 +143,7 @@ def _reproj_err2(H, pts_a, pts_b):
     return jnp.sum((proj - pts_b) ** 2, -1)
 
 
+@partial(jax.jit, static_argnames=("n_iters", "sample_size"))
 def ransac_homography(pts_a: jnp.ndarray, pts_b: jnp.ndarray,
                       valid: Optional[jnp.ndarray] = None,
                       n_iters: int = 128, threshold: float = 2.0,
@@ -216,6 +219,7 @@ def _patch_descriptors(gray: jnp.ndarray, coords: jnp.ndarray,
     return jax.vmap(one)(coords.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("k",))
 def stitch_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, k: int = 128,
                 threshold: float = 2.0, key=None,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -280,6 +284,17 @@ def synchronize_sequences(emb_a: jnp.ndarray, emb_b: jnp.ndarray,
         e = e - e.mean(axis=0, keepdims=True)
         return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
 
+    lags = jnp.arange(-max_lag, max_lag + 1)
+    scores = _sync_scores(emb_a, emb_b, lags)
+    return int(lags[int(jnp.argmax(scores))]), scores
+
+
+@jax.jit
+def _sync_scores(emb_a, emb_b, lags):
+    def norm(e):
+        e = e - e.mean(axis=0, keepdims=True)
+        return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
+
     a, b = norm(emb_a), norm(emb_b)
     ta, tb = a.shape[0], b.shape[0]
 
@@ -289,9 +304,7 @@ def synchronize_sequences(emb_a: jnp.ndarray, emb_b: jnp.ndarray,
         sims = jnp.sum(a[ia] * b, -1) * ok
         return jnp.sum(sims) / (jnp.sum(ok) + 1e-8)
 
-    lags = jnp.arange(-max_lag, max_lag + 1)
-    scores = jax.vmap(score)(lags)
-    return int(lags[int(jnp.argmax(scores))]), scores
+    return jax.vmap(score)(lags)
 
 
 if __name__ == "__main__":  # per-module self-test CLI (reference parity)

@@ -186,7 +186,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
       * ``backend_conf``: mesh/topology (defaults to all local devices).
     """
     hp, _ = to_hyperparameters(dict(hp), TRAINING_HP_DEFAULTS)
-    backend = backend_conf or BackendConfig()
+    # reference parity: pipelines configure the backend through
+    # hp['backend_conf'] (classification/image.py:68); an explicit
+    # backend_conf argument wins
+    backend = backend_conf or BackendConfig(**dict(hp.get("backend_conf") or {}))
     events = events or TrainingEvents()
     if not isinstance(losses, WeightedLosses):
         losses = WeightedLosses(losses, weights=hp.get("losses_weights"))

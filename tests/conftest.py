@@ -20,7 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jit_cache")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import pytest  # noqa: E402
 

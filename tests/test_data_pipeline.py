@@ -259,11 +259,17 @@ def test_mnist_idx_parser(tmp_path):
     np.testing.assert_array_equal(ds.targets, lbls)
 
 
-def test_synthetic_fallback_is_marked(tmp_path):
+def test_synthetic_fallback_is_marked(tmp_path, monkeypatch):
     """Without files/torchvision/egress the loader falls back to synthetic —
     and SAYS so (name suffix + provenance)."""
+    from deepcv_tpu.data import datasets as dsmod
+    # shrink the canonical shape so the fallback doesn't generate + npz-cache
+    # the full 60k-sample set inside the test (semantics are size-independent)
+    monkeypatch.setitem(dsmod._KNOWN_SHAPES, "fashion_mnist",
+                        ((28, 28, 1), 10, 512, 128))
     ds = load_dataset("fashion_mnist", root=tmp_path, train=True)
     assert ds.provenance == "synthetic" and "synthetic" in ds.name
+    assert len(ds) == 512 and ds.images.shape[1:] == (28, 28, 1)
 
 
 def test_memmap_streaming_training(tmp_path):
@@ -307,7 +313,8 @@ def test_memmap_streaming_training(tmp_path):
         "  - fully_connected: {out_features: 4}"))
     hp = {"epochs": 1, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
           "save_every_iters": 0, "output_path": str(tmp_path / "out"), "seed": 0}
-    state, hist = train(hp, m, "cross_entropy", data, backend_conf=BackendConfig())
+    state, hist = train(hp, m, "cross_entropy", data,
+                        backend_conf=BackendConfig(n_devices=1))
     assert hist["steps"] == 6  # 384/64: streamed path ran a full epoch
 
 

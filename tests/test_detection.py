@@ -74,7 +74,7 @@ def test_detector_training_improves_iou(tmp_path):
     assert model.eval_output_shape() == (1, 4, 4, 5 + len(SHAPE_CLASSES))
     hp = {"epochs": 4, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
           "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
-          "log_progress_every_iters": 1}
+          "log_progress_every_iters": 1, "backend_conf": {"n_devices": 1}}
     out = train_detector(data, model, hp)
     h = out["history"]
     assert h["train"][-1]["main_loss"] < h["train"][0]["main_loss"]

@@ -153,9 +153,11 @@ def test_lr_range_test_and_suggestion(tmp_path):
 
 def test_simple_flow_net_zero_motion():
     net = SimpleFlowNet(levels=2, features=8)
-    v = net.init(jax.random.PRNGKey(0), (16, 16, 3))
+    # jit both phases: unjitted op-by-op dispatch costs ~15s on this 1-core
+    # box, while the compiled programs land in the persistent test cache
+    v = jax.jit(lambda k: net.init(k, (16, 16, 3)))(jax.random.PRNGKey(0))
     a = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
-    flow = net.apply(v, a, a)
+    flow = jax.jit(net.apply)(v, a, a)
     assert flow.shape == (2, 16, 16, 2)
     assert bool(jnp.isfinite(flow).all())
 

@@ -260,9 +260,9 @@ def test_optical_flow_pipeline_learns(tmp_path):
                       {"seed": 0, "split_dataset": {"validset_ratio": 0.2},
                        "transforms": ["to_tensor"]})
     model = create_flow_model(data, {"levels": 2, "features": 16})
-    hp = {"epochs": 40, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+    hp = {"epochs": 24, "batch_size": 64, "optimizer_opts": {"lr": 6e-3},
           "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
-          "validate_every_epochs": 20}
+          "validate_every_epochs": 24, "backend_conf": {"n_devices": 1}}
     out = train_flow(data, model, hp)
     h = out["history"]
     zero_baseline = float(np.mean(np.sqrt((raw.targets ** 2).sum(-1))))

@@ -221,7 +221,8 @@ def test_scaling_prediction_trial(tmp_path):
         "out_channels: 8, padding: 1}\n  - flatten: {}\n"
         "  - fully_connected: {out_features: 4, act_fn: null}"))
     hp = {"epochs": 1, "batch_size": 16, "optimizer_opts": {"lr": 3e-3},
-          "output_path": str(tmp_path), "validate_every_epochs": 1, "seed": 0}
+          "output_path": str(tmp_path), "validate_every_epochs": 1, "seed": 0,
+          "backend_conf": {"n_devices": 1}}
     out = scaling_prediction_trial(m, "cross_entropy", data, hp,
                                    subset_fractions=(0.1, 0.2, 0.4, 0.6))
     assert 0.0 <= out["predicted_error"] <= 1.5

@@ -31,7 +31,8 @@ def setup(tmp_path_factory):
     model = DeepcvModule((8, 8, 3), load_yaml(MODEL))
     out = tmp_path_factory.mktemp("serve")
     hp = {"epochs": 2, "batch_size": 32, "optimizer_opts": {"lr": 3e-3},
-          "save_every_iters": 2, "output_path": str(out), "seed": 0}
+          "save_every_iters": 2, "output_path": str(out), "seed": 0,
+          "backend_conf": {"n_devices": 1}}
     state, hist = train(hp, model, "cross_entropy", data)
     ckpt = sorted(glob.glob(str(out / "run_*" / "checkpoints")))[-1]
     return model, data, ckpt, state
@@ -69,7 +70,7 @@ def test_augmix_jsd_training(tmp_path):
     model = DeepcvModule((8, 8, 3), load_yaml(MODEL))
     hp = {"epochs": 1, "batch_size": 24, "optimizer_opts": {"lr": 1e-3},
           "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
-          "log_progress_every_iters": 1,
+          "log_progress_every_iters": 1, "backend_conf": {"n_devices": 1},
           "augmix_jsd": {"views": 2, "severity": 2, "width": 2, "depth": 1,
                          "weight": 6.0,
                          "ops": ["posterize", "solarize", "brightness"]}}

@@ -194,9 +194,9 @@ def test_train_tensor_parallel(tiny_setup, tmp_path):
     flat = {jax.tree_util.keystr(k): v
             for k, v in jax.tree_util.tree_flatten_with_path(specs)[0]}
     assert any("model" in v for k, v in flat.items() if "kernel" in k), flat
-    # math unchanged vs pure DP
+    # math unchanged vs a single-device run (sharding is layout, not math)
     state_dp, hist_dp = train(dict(hp), model, cross_entropy_loss, data,
-                              backend_conf=BackendConfig())
+                              backend_conf=BackendConfig(n_devices=1))
     np.testing.assert_allclose(hist["train"][-1]["main_loss"],
                                hist_dp["train"][-1]["main_loss"],
                                rtol=1e-4, atol=1e-5)
@@ -211,16 +211,18 @@ def test_grad_accumulation_and_remat(tiny_setup, tmp_path):
           "save_every_iters": 0, "log_progress_every_iters": 1,
           "output_path": str(tmp_path), "seed": 7}
     # remat is a memory/FLOP trade, not a math change: identical trajectories
+    # (single-device: 8-way GSPMD on this 1-core box costs ~3x for no coverage)
+    be1 = BackendConfig(n_devices=1)
     _, h_plain = train(dict(hp), model, cross_entropy_loss, data,
-                       backend_conf=BackendConfig())
+                       backend_conf=be1)
     _, h_remat = train(dict(hp, remat=True), model, cross_entropy_loss, data,
-                       backend_conf=BackendConfig())
+                       backend_conf=be1)
     np.testing.assert_allclose(
         [r["main_loss"] for r in h_remat["train"]],
         [r["main_loss"] for r in h_plain["train"]], rtol=1e-6)
     # accumulation: same number of train steps, 1/k as many optimizer updates
     state, h_acc = train(dict(hp, grad_accumulation_steps=2), model,
-                         cross_entropy_loss, data, backend_conf=BackendConfig())
+                         cross_entropy_loss, data, backend_conf=be1)
     assert h_acc["steps"] == h_plain["steps"]
     assert int(state.opt_state.gradient_step) == h_acc["steps"] // 2
     assert np.isfinite([r["main_loss"] for r in h_acc["train"]]).all()
@@ -231,12 +233,13 @@ def test_crash_and_resume(tiny_setup, tmp_path):
     hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
           "save_every_iters": 2, "output_path": str(tmp_path), "seed": 3,
           "crash_iteration": 3, "device_resident_dataset": False}
+    be1 = BackendConfig(n_devices=1)
     with pytest.raises(CrashIteration):
-        train(hp, model, cross_entropy_loss, data, backend_conf=BackendConfig())
+        train(hp, model, cross_entropy_loss, data, backend_conf=be1)
     ckpt_dir = sorted(glob.glob(str(tmp_path / "run_*" / "checkpoints")))[-1]
     hp2 = dict(hp, crash_iteration=-1, resume_from=ckpt_dir)
     state, hist = train(hp2, model, cross_entropy_loss, data,
-                        backend_conf=BackendConfig())
+                        backend_conf=be1)
     assert hist["steps"] == 6  # resumed from step 2's epoch and completed
 
 
@@ -282,7 +285,7 @@ def test_exact_epoch_sampling_visits_each_sample_once(tmp_path):
           "validate_every_epochs": 10,  # no validation: pure train path
           "output_path": str(tmp_path), "seed": 11}
     _, hist = train(hp, model, cross_entropy_loss, data,
-                    backend_conf=BackendConfig(),
+                    backend_conf=BackendConfig(n_devices=1),
                     metrics={"target_sum": target_sum})
     spe = n // bs
     per_epoch = [sum(r["target_sum"] for r in hist["train"][e * spe:(e + 1) * spe])
@@ -292,7 +295,8 @@ def test_exact_epoch_sampling_visits_each_sample_once(tmp_path):
     assert np.allclose(per_epoch, expected), (per_epoch, expected)
 
     _, hist_wr = train(dict(hp, sampling="with_replacement", seed=12), model,
-                       cross_entropy_loss, data, backend_conf=BackendConfig(),
+                       cross_entropy_loss, data,
+                       backend_conf=BackendConfig(n_devices=1),
                        metrics={"target_sum": target_sum})
     wr_epoch0 = sum(r["target_sum"] for r in hist_wr["train"][:spe])
     assert not np.isclose(wr_epoch0, expected)
