@@ -143,11 +143,21 @@ class DeviceDataset:
         self.batch_size = int(batch_size)
         self.n = len(data)
         imgs, tgts = data.images, data.targets
+        # store items FLATTENED to (N, prod(item_shape)): XLA's TPU row gather
+        # tiles the minor dims, so an NHWC uint8 image (..., 32, 3) pads the
+        # 3-channel lane dim to 128 and moves ~40x the bytes — measured 4.65ms
+        # vs 1.17ms for the same CIFAR batch-4096 gather on v5e. The reshape
+        # back after the gather is free (fused into the consumer).
+        self.item_shape = tuple(int(s) for s in np.asarray(imgs).shape[1:])
+        imgs = np.asarray(imgs).reshape(self.n, -1)
         self.images = jax.device_put(imgs, sharding) if sharding is not None \
             else jnp.asarray(imgs)
         self.targets = jax.device_put(tgts, sharding) if sharding is not None \
             else jnp.asarray(tgts)
         self.steps_per_epoch = self.n // self.batch_size
+
+    def _unflatten(self, rows: jnp.ndarray) -> jnp.ndarray:
+        return rows.reshape(rows.shape[0], *self.item_shape)
 
     def batch_for_step(self, key, images=None, targets=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -161,7 +171,8 @@ class DeviceDataset:
         images = self.images if images is None else images
         targets = self.targets if targets is None else targets
         idx = jax.random.randint(key, (self.batch_size,), 0, self.n)
-        return jnp.take(images, idx, axis=0), jnp.take(targets, idx, axis=0)
+        return (self._unflatten(jnp.take(images, idx, axis=0)),
+                jnp.take(targets, idx, axis=0))
 
     def batch_at(self, perm: jnp.ndarray, step: jnp.ndarray,
                  images=None, targets=None):
@@ -170,7 +181,8 @@ class DeviceDataset:
         targets = self.targets if targets is None else targets
         start = (step % self.steps_per_epoch) * self.batch_size
         idx = jax.lax.dynamic_slice_in_dim(perm, start, self.batch_size)
-        return jnp.take(images, idx, axis=0), jnp.take(targets, idx, axis=0)
+        return (self._unflatten(jnp.take(images, idx, axis=0)),
+                jnp.take(targets, idx, axis=0))
 
     def epoch_permutation(self, key) -> jnp.ndarray:
         return jax.random.permutation(key, self.n)

@@ -363,7 +363,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 rel = st.step - epoch0_step
                 idx = jax.lax.dynamic_slice(
                     perms, (rel // spe, (rel % spe) * bs), (1, bs))[0]
-                raw_x = jnp.take(images, idx, axis=0)
+                raw_x = device_ds._unflatten(jnp.take(images, idx, axis=0))
                 y = jnp.take(targets, idx, axis=0)
                 return train_step(st.replace(rng=rng), raw_x, y)
 
