@@ -28,7 +28,8 @@ import numpy as np
 
 __all__ = ["magnitude_prune_masks", "AGPSchedule", "apply_masks",
            "prune_gradients", "make_pruning_hook", "sparsity_of",
-           "quantize_int8", "dequantize_int8"]
+           "quantize_int8", "dequantize_int8",
+           "int8_conv_general_dilated", "int8_dot_general"]
 
 _logger = logging.getLogger(__name__)
 
@@ -143,3 +144,71 @@ def quantize_int8(params) -> Tuple[Any, Any]:
 def dequantize_int8(values, scales, dtype=jnp.float32):
     return jax.tree_util.tree_map(
         lambda v, s: v.astype(dtype) * s.astype(dtype), values, scales)
+
+
+# --------------------------------------------------------------------------- #
+# int8 COMPUTE (w8a8): drop-in lax.conv/dot replacements for inference
+# --------------------------------------------------------------------------- #
+# The MXU runs int8 x int8 -> int32 at 2x the bf16 rate (v5e: 394 TOPS vs
+# 197 TFLOPs). These functions plug into flax's injection points
+# (nn.Conv(conv_general_dilated=...), nn.Dense(dot_general=...)) so a model
+# REBUILT with DeepcvModule(..., quantize='int8') runs every conv/dense in
+# int8 with dynamic symmetric per-tensor activation scales and per-output-
+# channel weight scales, while keeping the SAME float parameter tree (the
+# quantization happens inside the op, so trained checkpoints load unchanged).
+#
+# Honest measurements on v5e, batch 4096:
+#   * isolated 128ch 3x3 conv: 99.4 TOPS int8 vs 81.2 TFLOPs bf16 (1.22x);
+#   * wide 64-256ch classifier END TO END: 0.94x (SLOWER) — the dynamic
+#     activation quantization adds ~3 HBM passes per layer (amax reduce,
+#     scale+round+store, rescale) and this model is bandwidth-bound.
+# => the mode is OPT-IN for compute-bound regimes (large channel counts /
+# resolutions); dominant costs and the static-calibration fix are noted in
+# docs/design.md.
+
+def _quant_sym(x, axes, dtype=jnp.int8):
+    """Symmetric per-slice int8 quantization; returns (q, scale_f32)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(dtype)
+    return q, scale
+
+
+def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
+                              lhs_dilation=None, rhs_dilation=None,
+                              dimension_numbers=None, feature_group_count=1,
+                              batch_group_count=1, precision=None,
+                              preferred_element_type=None):
+    """``lax.conv_general_dilated`` in w8a8: per-tensor activation scale,
+    per-output-channel weight scale (flax kernel layout puts out-features
+    LAST), int32 accumulation, float rescale. Output dtype follows ``lhs``."""
+    out_dtype = lhs.dtype
+    ql, sl = _quant_sym(lhs, axes=None)
+    qr, sw = _quant_sym(rhs, axes=tuple(range(rhs.ndim - 1)))
+    y = jax.lax.conv_general_dilated(
+        ql, qr, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        batch_group_count=batch_group_count,
+        preferred_element_type=jnp.int32)
+    scale = sl.reshape(()) * sw.reshape((1,) * (y.ndim - 1) + (-1,))
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                     preferred_element_type=None):
+    """``lax.dot_general`` in w8a8 for the Dense contraction
+    ``(((lhs.ndim-1,), (0,)), ((), ()))`` (out-features last)."""
+    (lc, rc), batch = dimension_numbers
+    if tuple(rc) != (0,) or batch != ((), ()):
+        raise NotImplementedError(
+            "int8_dot_general supports the flax Dense contraction only; got "
+            f"dimension_numbers={dimension_numbers}")
+    out_dtype = lhs.dtype
+    ql, sl = _quant_sym(lhs, axes=None)
+    qr, sw = _quant_sym(rhs, axes=(0,))
+    y = jax.lax.dot_general(ql, qr, dimension_numbers,
+                            preferred_element_type=jnp.int32)
+    scale = sl.reshape(()) * sw.reshape((1,) * (y.ndim - 1) + (-1,))
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)

@@ -74,8 +74,15 @@ def save_model_bundle(directory: Union[str, Path], model, variables,
     return d
 
 
-def load_model_bundle(directory: Union[str, Path], dtype=None):
-    """Reconstruct (model, variables) from a saved bundle."""
+def load_model_bundle(directory: Union[str, Path], dtype=None,
+                      quantize: Optional[str] = None):
+    """Reconstruct (model, variables) from a saved bundle.
+
+    ``quantize='int8'`` rebuilds the model with every conv/dense computing in
+    w8a8 on the MXU's int8 path (dynamic activation scales, per-channel
+    weight scales) — the float variables restore unchanged because the
+    quantization lives inside the op, not in the params.
+    """
     import orbax.checkpoint as ocp
     import yaml
 
@@ -87,7 +94,8 @@ def load_model_bundle(directory: Union[str, Path], dtype=None):
     meta = yaml.safe_load((d / "model.yaml").read_text())
     model = DeepcvModule(tuple(meta["input_shape"]), meta["hp"],
                          nas_mode=meta.get("nas_mode", "fixed"),
-                         nas_arch=meta.get("nas_arch") or {}, dtype=dtype)
+                         nas_arch=meta.get("nas_arch") or {}, dtype=dtype,
+                         quantize=quantize)
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore((d / "variables").absolute())
     # tolerate bundles written before the host-numpy convention: pull any

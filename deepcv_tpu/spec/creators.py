@@ -97,6 +97,9 @@ class CreatorContext:
     # global weight reparameterizations (reference base_module.py:106-111):
     weight_norm: Optional[Mapping[str, Any]] = None
     spectral_norm: Optional[Mapping[str, Any]] = None
+    # 'int8' => conv/dense compute in w8a8 on the MXU's int8 path (inference;
+    # params stay float so trained checkpoints load unchanged)
+    quantize: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -280,6 +283,7 @@ def _make_conv_creator(rank: int, transpose: bool):
                  and tuple(strides) == (1, 1) and tuple(dilation) == (1, 1)
                  and same_pad and all(k % 2 == 1 for k in ks)
                  and not ctx.spectral_norm and not ctx.weight_norm
+                 and not ctx.quantize
                  and PF.pallas_convs_enabled())
         if plain:
             preact = bool(params.get("preactivation", False))
@@ -296,8 +300,13 @@ def _make_conv_creator(rank: int, transpose: bool):
                       dtype=ctx.dtype, param_dtype=ctx.param_dtype, kernel_init=kinit,
                       name=f"{name}_op")
         if transpose:
+            # no int8 path for transposed convs (flax ConvTranspose has no
+            # conv injection point); they stay in the float dtype
             op = fnn.ConvTranspose(kernel_dilation=dilation, **common)
         else:
+            if ctx.quantize == "int8":
+                from deepcv_tpu.compression import int8_conv_general_dilated
+                common["conv_general_dilated"] = int8_conv_general_dilated
             op = fnn.Conv(kernel_dilation=dilation,
                           feature_group_count=int(params.get("groups", 1)), **common)
         return _as_layer(op, params, ctx, name=name)
@@ -327,10 +336,15 @@ def _fully_connected(params: Mapping[str, Any], ctx: CreatorContext, name: str) 
             "inject it from dataset metadata (reference classification/image.py:40-53); "
             "set it explicitly for standalone use.")
     gain = dnn.get_gain(params.get("act_fn"))
+    extra = {}
+    if ctx.quantize == "int8":
+        from deepcv_tpu.compression import int8_dot_general
+        extra["dot_general"] = int8_dot_general
     op = fnn.Dense(features=int(out_features),
                    use_bias=bool(params.get("use_bias", params.get("bias", True))),
                    dtype=ctx.dtype, param_dtype=ctx.param_dtype,
-                   kernel_init=dnn.xavier_uniform_with_gain(gain), name=f"{name}_op")
+                   kernel_init=dnn.xavier_uniform_with_gain(gain),
+                   name=f"{name}_op", **extra)
     return _as_layer(op, params, ctx, name=name)
 
 

@@ -70,6 +70,7 @@ class DeepcvModule:
                  axis_name: Optional[str] = None, nas_mode: str = "fixed",
                  nas_arch: Optional[Mapping[str, Any]] = None,
                  nas_sampling: str = "softmax",
+                 quantize: Optional[str] = None,
                  name: Optional[str] = None):
         #: channel-last input shape WITHOUT batch dim, e.g. (32, 32, 3)
         self.input_shape = tuple(int(s) for s in input_shape)
@@ -79,12 +80,17 @@ class DeepcvModule:
         self.axis_name = axis_name
         self.nas_mode = nas_mode
         self.nas_arch = dict(nas_arch or {})
+        #: 'int8' => conv/dense compute in w8a8 (MXU int8 path); the param
+        #: tree is IDENTICAL to the float build, so trained checkpoints /
+        #: bundles restore into a quantized rebuild unchanged
+        self.quantize = quantize
         ctx = CreatorContext(
             hp=self._hp, dtype=dtype, param_dtype=param_dtype, axis_name=axis_name,
             nas_mode=nas_mode, nas_arch=self.nas_arch,
             conv_spatial_rank=max(1, len(self.input_shape) - 1),
             weight_norm=self._hp.get("weight_norm"),
-            spectral_norm=self._hp.get("spectral_norm"))
+            spectral_norm=self._hp.get("spectral_norm"),
+            quantize=quantize)
         metas, impls, refd = define_nn_architecture(self._hp["architecture"], self._hp, ctx)
         self.module = SpecModule(node_metas=metas, node_impls=impls, referenced=refd,
                                  sampling=nas_sampling, name=name)

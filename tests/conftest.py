@@ -21,6 +21,10 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jit_cache")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# NOTE (measured, round 2): jax_disable_most_optimizations compiles 3x faster
+# (hrnet build 10.0s -> 3.2s) but executes 5-10x slower — the cold full suite
+# went 338s -> 489s because the training tests are runtime-dominated. Keep
+# optimizations ON; the persistent cache above is the compile-time lever.
 
 import pytest  # noqa: E402
 
