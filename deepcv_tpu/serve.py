@@ -147,7 +147,7 @@ class Predictor:
     def __init__(self, model, variables, batch_size: int = 256,
                  preprocess: Optional[Callable] = None,
                  postprocess: Optional[Callable] = None,
-                 dtype: Any = None):
+                 dtype: Any = None, bake_params: bool = False):
         self.model = model
         self.variables = variables
         self.batch_size = int(batch_size)
@@ -168,7 +168,16 @@ class Predictor:
                 y = self.postprocess(y)
             return y
 
-        self._jit_fwd = jax.jit(fwd)
+        if bake_params:
+            # freeze weights INTO the compiled program (export-style serving:
+            # the predictor carries no mutable variables). Measured on v5e
+            # (wide classifier, batch 4096): throughput-neutral for both bf16
+            # and int8 — weight-side work is negligible next to activations —
+            # so this is a deployment-shape choice, not a perf lever.
+            baked = jax.device_get(dict(variables))
+            self._jit_fwd = jax.jit(lambda _ignored, x: fwd(baked, x))
+        else:
+            self._jit_fwd = jax.jit(fwd)
 
     # ------------------------------------------------------------ factories
     @classmethod

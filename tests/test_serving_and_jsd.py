@@ -210,3 +210,21 @@ def test_int8_ops_accuracy():
     assert float(jnp.abs(ref - got).max()) / float(jnp.abs(ref).max()) < 0.05
     with pytest.raises(NotImplementedError):
         int8_dot_general(a, b, (((0,), (1,)), ((), ())))
+
+
+def test_predictor_bake_params(setup):
+    """bake_params=True freezes weights into the compiled program; outputs
+    must be identical to the variables-as-arguments mode."""
+    from deepcv_tpu.serve import Predictor
+
+    model, data, ckpt, state = setup
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    x = data["trainset"].dataset.images[:8]
+    p_args = Predictor(model, variables, batch_size=8,
+                       preprocess=data["trainset"].batch_transform)
+    p_baked = Predictor(model, variables, batch_size=8,
+                        preprocess=data["trainset"].batch_transform,
+                        bake_params=True)
+    np.testing.assert_allclose(p_args(x), p_baked(x), rtol=1e-6, atol=1e-6)
