@@ -351,15 +351,67 @@ def bench_mfu():
     }))
 
 
+def bench_streaming():
+    """Config 7: larger-than-RAM path — train from an on-disk memmap dataset
+    through the streaming (non-resident) pipeline with host->device batch
+    prefetch. The honest number for datasets that cannot live in HBM; on
+    tunneled backends it is dispatch-bound, which this discloses."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from numpy.lib.format import open_memmap
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train import train, BackendConfig
+    from deepcv_tpu.config import load_yaml
+
+    backend = BackendConfig()
+    n = 131_072 if backend.is_tpu else 4096
+    d = tempfile.mkdtemp(prefix="deepcv_stream_bench_")
+    imgs = open_memmap(os.path.join(d, "x.npy"), mode="w+", dtype=np.uint8,
+                       shape=(n, 32, 32, 3))
+    rng = np.random.default_rng(0)
+    for s in range(0, n, 16384):                       # bounded-RSS fill
+        e = min(n, s + 16384)
+        imgs[s:e] = rng.integers(0, 255, (e - s, 32, 32, 3), np.uint8)
+    imgs.flush()
+    np.save(os.path.join(d, "y.npy"),
+            rng.integers(0, 10, (n,)).astype(np.int32))
+    raw = load_dataset({"type": "memmap", "images_path": os.path.join(d, "x.npy"),
+                        "targets_path": os.path.join(d, "y.npy")})
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
+                       "transforms": ["to_tensor"]})
+    _, model_hp = build()
+    model = DeepcvModule((32, 32, 3), model_hp, dtype=jnp.bfloat16)
+    hp = {"epochs": 2, "batch_size": 4096 if backend.is_tpu else 256,
+          "optimizer_opts": {"lr": 1e-3}, "save_every_iters": 0,
+          "log_progress_every_iters": 1_000_000, "validate_every_epochs": 1000,
+          "seed": 0, "output_path": "data/04_training", "dtype": "bfloat16",
+          "device_resident_dataset": False}   # force the streaming path
+    state, hist = train(hp, model, "cross_entropy", data, backend_conf=backend)
+    tps = hist["throughput_img_s"]
+    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+    print(json.dumps({"metric": "streaming_memmap_train_throughput",
+                      "value": round(steady, 1), "unit": "img/s",
+                      "vs_baseline": round(steady / BASELINE_IMG_S, 3),
+                      "data": "synthetic", "dataset_bytes": int(n * 3072)}))
+
+
 if __name__ == "__main__":
     import argparse
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=1, choices=[1, 2, 3, 4, 5, 6],
+    ap.add_argument("--config", type=int, default=1,
+                    choices=[1, 2, 3, 4, 5, 6, 7],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
-                         "5=hp-search jit reuse, 6=non-toy model MFU")
+                         "5=hp-search jit reuse, 6=non-toy model MFU, "
+                         "7=streaming memmap (larger-than-RAM path)")
     args = ap.parse_args()
     [main, bench_preprocess, bench_one_cycle_cifar100,
-     bench_keypoints_matching, bench_hp_search, bench_mfu][args.config - 1]()
+     bench_keypoints_matching, bench_hp_search, bench_mfu,
+     bench_streaming][args.config - 1]()
