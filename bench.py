@@ -367,37 +367,45 @@ def bench_streaming():
     from deepcv_tpu.train import train, BackendConfig
     from deepcv_tpu.config import load_yaml
 
+    import shutil
+
     backend = BackendConfig()
     n = 131_072 if backend.is_tpu else 4096
     d = tempfile.mkdtemp(prefix="deepcv_stream_bench_")
-    imgs = open_memmap(os.path.join(d, "x.npy"), mode="w+", dtype=np.uint8,
-                       shape=(n, 32, 32, 3))
-    rng = np.random.default_rng(0)
-    for s in range(0, n, 16384):                       # bounded-RSS fill
-        e = min(n, s + 16384)
-        imgs[s:e] = rng.integers(0, 255, (e - s, 32, 32, 3), np.uint8)
-    imgs.flush()
-    np.save(os.path.join(d, "y.npy"),
-            rng.integers(0, 10, (n,)).astype(np.int32))
-    raw = load_dataset({"type": "memmap", "images_path": os.path.join(d, "x.npy"),
-                        "targets_path": os.path.join(d, "y.npy")})
-    data = preprocess({"trainset": raw},
-                      {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
-                       "transforms": ["to_tensor"]})
-    _, model_hp = build()
-    model = DeepcvModule((32, 32, 3), model_hp, dtype=jnp.bfloat16)
-    hp = {"epochs": 2, "batch_size": 4096 if backend.is_tpu else 256,
-          "optimizer_opts": {"lr": 1e-3}, "save_every_iters": 0,
-          "log_progress_every_iters": 1_000_000, "validate_every_epochs": 1000,
-          "seed": 0, "output_path": "data/04_training", "dtype": "bfloat16",
-          "device_resident_dataset": False}   # force the streaming path
-    state, hist = train(hp, model, "cross_entropy", data, backend_conf=backend)
-    tps = hist["throughput_img_s"]
-    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
-    print(json.dumps({"metric": "streaming_memmap_train_throughput",
-                      "value": round(steady, 1), "unit": "img/s",
-                      "vs_baseline": round(steady / BASELINE_IMG_S, 3),
-                      "data": "synthetic", "dataset_bytes": int(n * 3072)}))
+    try:
+        imgs = open_memmap(os.path.join(d, "x.npy"), mode="w+", dtype=np.uint8,
+                           shape=(n, 32, 32, 3))
+        rng = np.random.default_rng(0)
+        for s in range(0, n, 16384):                   # bounded-RSS fill
+            e = min(n, s + 16384)
+            imgs[s:e] = rng.integers(0, 255, (e - s, 32, 32, 3), np.uint8)
+        imgs.flush()
+        np.save(os.path.join(d, "y.npy"),
+                rng.integers(0, 10, (n,)).astype(np.int32))
+        raw = load_dataset({"type": "memmap",
+                            "images_path": os.path.join(d, "x.npy"),
+                            "targets_path": os.path.join(d, "y.npy")})
+        data = preprocess({"trainset": raw},
+                          {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
+                           "transforms": ["to_tensor"]})
+        _, model_hp = build()
+        model = DeepcvModule((32, 32, 3), model_hp, dtype=jnp.bfloat16)
+        hp = {"epochs": 2, "batch_size": 4096 if backend.is_tpu else 256,
+              "optimizer_opts": {"lr": 1e-3}, "save_every_iters": 0,
+              "log_progress_every_iters": 1_000_000,
+              "validate_every_epochs": 1000,
+              "seed": 0, "output_path": "data/04_training", "dtype": "bfloat16",
+              "device_resident_dataset": False}  # force the streaming path
+        state, hist = train(hp, model, "cross_entropy", data,
+                            backend_conf=backend)
+        tps = hist["throughput_img_s"]
+        steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+        print(json.dumps({"metric": "streaming_memmap_train_throughput",
+                          "value": round(steady, 1), "unit": "img/s",
+                          "vs_baseline": round(steady / BASELINE_IMG_S, 3),
+                          "data": "synthetic", "dataset_bytes": int(n * 3072)}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)   # ~400MB on TPU: don't leak
 
 
 if __name__ == "__main__":

@@ -180,8 +180,13 @@ def _parse_mnist_idx(name: str, root: Path, train: bool) -> Optional[ArrayDatase
     """Parse MNIST/FashionMNIST idx files if present under root (searched in
     the torchvision layouts ``<root>/<Name>/raw`` and root itself)."""
     prefix = "train" if train else "t10k"
-    subdirs = [root, root / "MNIST" / "raw", root / "FashionMNIST" / "raw",
-               root / name, root / "raw"]
+    # search ONLY this dataset's canonical dirs: a shared torchvision root
+    # holds both MNIST/raw and FashionMNIST/raw, and the two use identical
+    # file names — a fixed search order would silently return digit pixels
+    # for load_dataset('fashion_mnist')
+    tv_dir = "MNIST" if name == "mnist" else "FashionMNIST"
+    subdirs = [root / tv_dir / "raw", root / name, root / tv_dir, root / "raw",
+               root]
     for d in subdirs:
         for ext in ("", ".gz"):
             img_p = d / f"{prefix}-images-idx3-ubyte{ext}"
@@ -220,8 +225,12 @@ def _load_builtin(name: str, root: Path, train: bool) -> ArrayDataset:
     cache = _npz_cache(root, f"{name}_{'train' if train else 'test'}")
     if cache.exists():
         z = np.load(cache, allow_pickle=True)
+        # classes=None round-trips through the cache as an empty array; map
+        # it back to None so num_classes falls back to target inference
+        # instead of len([]) == 0 (which would size a 0-unit classifier head)
+        classes = list(z["classes"]) if "classes" in z else []
         return ArrayDataset(z["images"], z["targets"],
-                            classes=list(z["classes"]) if "classes" in z else None,
+                            classes=classes or None,
                             name=f"{name}_{'train' if train else 'test'}")
     try:
         ds = _parse_local(name, root, train)
@@ -336,10 +345,14 @@ def _memmap_dataset(root=None, train=True, images_path=None, targets_path=None,
 
 def materialize_image_folder_to_memmap(root, out_dir, image_size: int = 224,
                                        extensions=(".png", ".jpg", ".jpeg", ".bmp"),
-                                       ) -> ArrayDataset:
+                                       shuffle_seed: int = 0) -> ArrayDataset:
     """One-time conversion of an ``image_folder`` tree into memmap-backed
     ``.npy`` files, decoding incrementally so peak RSS stays at ~one image
-    regardless of dataset size. Returns the opened memmap dataset."""
+    regardless of dataset size. Returns the opened memmap dataset.
+
+    Rows are written in a seeded SHUFFLED order, not class order: memmap
+    datasets split into contiguous zero-copy views (split_dataset), so a
+    class-sorted file would put entire classes into the validset."""
     from PIL import Image
     from numpy.lib.format import open_memmap
 
@@ -351,6 +364,8 @@ def materialize_image_folder_to_memmap(root, out_dir, image_size: int = 224,
              if f.suffix.lower() in extensions]
     if not files:
         raise ValueError(f"no images found under {root}")
+    rng = np.random.default_rng(shuffle_seed)
+    files = [files[i] for i in rng.permutation(len(files))]
     images = open_memmap(out_dir / "images.npy", mode="w+", dtype=np.uint8,
                          shape=(len(files), image_size, image_size, 3))
     targets = open_memmap(out_dir / "targets.npy", mode="w+", dtype=np.int64,

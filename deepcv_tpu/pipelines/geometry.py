@@ -280,10 +280,6 @@ def synchronize_sequences(emb_a: jnp.ndarray, emb_b: jnp.ndarray,
     cross-correlation; scores has one entry per candidate lag in
     [-max_lag, max_lag].
     """
-    def norm(e):
-        e = e - e.mean(axis=0, keepdims=True)
-        return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
-
     lags = jnp.arange(-max_lag, max_lag + 1)
     scores = _sync_scores(emb_a, emb_b, lags)
     return int(lags[int(jnp.argmax(scores))]), scores

@@ -168,14 +168,17 @@ class Predictor:
                 y = self.postprocess(y)
             return y
 
+        self._baked = bool(bake_params)
         if bake_params:
             # freeze weights INTO the compiled program (export-style serving:
-            # the predictor carries no mutable variables). Measured on v5e
-            # (wide classifier, batch 4096): throughput-neutral for both bf16
-            # and int8 — weight-side work is negligible next to activations —
-            # so this is a deployment-shape choice, not a perf lever.
+            # the predictor carries no mutable variables and __call__ ships
+            # only the image batch to the device). Measured on v5e (wide
+            # classifier, batch 4096): throughput-neutral for both bf16 and
+            # int8 — weight-side work is negligible next to activations — so
+            # this is a deployment-shape choice, not a perf lever.
             baked = jax.device_get(dict(variables))
-            self._jit_fwd = jax.jit(lambda _ignored, x: fwd(baked, x))
+            jit1 = jax.jit(lambda x: fwd(baked, x))
+            self._jit_fwd = lambda _variables, x: jit1(x)
         else:
             self._jit_fwd = jax.jit(fwd)
 

@@ -122,6 +122,14 @@ class DeepcvModule:
               mutable: Union[bool, Sequence[str], None] = None):
         """Forward pass. When ``train=True`` and the model has state
         collections (batch stats), returns ``(y, updated_state)``."""
+        if train and self.quantize:
+            # w8a8 ops round/clip inside the graph: gradients through them
+            # are zero almost everywhere, so training would silently not
+            # learn. Train the float build; quantize for inference.
+            raise ValueError(
+                f"quantize={self.quantize!r} models are inference-only "
+                "(round/clip kills gradients); train the float build and "
+                "rebuild with quantize for serving")
         if mutable is None:
             cols = [c for c in _STATE_COLLECTIONS if c in variables] if train else []
             mutable = cols if cols else False

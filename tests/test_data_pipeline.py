@@ -332,4 +332,49 @@ def test_image_folder_to_memmap(tmp_path):
     assert isinstance(ds.images, np.memmap)
     assert ds.images.shape == (4, 8, 8, 3) and ds.classes == ["a", "b"]
     reopened = load_dataset("memmap", root=tmp_path / "mm")
-    np.testing.assert_array_equal(np.asarray(reopened.targets), [0, 0, 1, 1])
+    # rows are written in a seeded SHUFFLED order (contiguous zero-copy
+    # splits of a class-sorted file would put whole classes in the validset)
+    targets = np.asarray(reopened.targets)
+    assert sorted(targets.tolist()) == [0, 0, 1, 1]
+    t2 = materialize_image_folder_to_memmap(tmp_path / "tree",
+                                            tmp_path / "mm2", image_size=8)
+    np.testing.assert_array_equal(np.asarray(t2.targets), targets)  # seeded
+
+
+def test_builtin_cache_roundtrips_missing_classes(tmp_path):
+    """classes=None must survive the npz materialization cache as None, not
+    as [] (len 0 would size a 0-unit classifier head on cache hits)."""
+    from deepcv_tpu.data import datasets as dsmod
+
+    imgs = np.zeros((8, 4, 4, 3), np.uint8)
+    tgts = np.arange(8, dtype=np.int64) % 3
+    cache = dsmod._npz_cache(tmp_path, "cifar10_train")
+    np.savez_compressed(cache, images=imgs, targets=tgts,
+                        classes=np.asarray([]))
+    ds = dsmod._load_builtin("cifar10", tmp_path, train=True)
+    assert ds.classes is None
+    assert ds.num_classes == 3  # inferred from targets, not len([])
+
+
+def test_mnist_idx_search_is_dataset_specific(tmp_path):
+    """A shared torchvision root holds MNIST/raw AND FashionMNIST/raw with
+    identical file names; each loader must read its own directory."""
+    from deepcv_tpu.data.datasets import _parse_mnist_idx
+
+    def write_idx(d, value):
+        d.mkdir(parents=True, exist_ok=True)
+        n, h, w = 4, 28, 28
+        img = bytes([0, 0, 8, 3]) + n.to_bytes(4, "big") + \
+            h.to_bytes(4, "big") + w.to_bytes(4, "big") + \
+            bytes([value]) * (n * h * w)
+        (d / "train-images-idx3-ubyte").write_bytes(img)
+        lbl = bytes([0, 0, 8, 1]) + n.to_bytes(4, "big") + bytes([1, 2, 3, 4])
+        (d / "train-labels-idx1-ubyte").write_bytes(lbl)
+
+    write_idx(tmp_path / "MNIST" / "raw", value=11)
+    write_idx(tmp_path / "FashionMNIST" / "raw", value=99)
+    m = _parse_mnist_idx("mnist", tmp_path, train=True)
+    f = _parse_mnist_idx("fashion_mnist", tmp_path, train=True)
+    assert int(m.images[0, 0, 0, 0]) == 11
+    assert int(f.images[0, 0, 0, 0]) == 99
+    assert f.classes[0] == "T-shirt/top"

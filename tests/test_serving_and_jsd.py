@@ -228,3 +228,17 @@ def test_predictor_bake_params(setup):
                         preprocess=data["trainset"].batch_transform,
                         bake_params=True)
     np.testing.assert_allclose(p_args(x), p_baked(x), rtol=1e-6, atol=1e-6)
+
+
+def test_int8_model_rejects_training():
+    """quantize='int8' is inference-only: round/clip gradients are zero, so
+    train=True must fail loudly instead of silently not learning."""
+    m = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n  - conv2d: {kernel_size: [3,3], "
+        "out_channels: 8, padding: 1}\n  - flatten: {}\n"
+        "  - fully_connected: {out_features: 4}"), quantize="int8")
+    v = m.init(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 8, 8, 3))
+    m.apply(v, x, train=False)  # inference fine
+    with pytest.raises(ValueError, match="inference-only"):
+        m.apply(v, x, train=True)
