@@ -105,6 +105,9 @@ def main(argv=None) -> int:
     p_pred.add_argument("--output", default="predictions.npy")
     p_pred.add_argument("--batch-size", type=int, default=256)
     p_pred.add_argument("--dtype", default=None)
+    p_pred.add_argument("--quantize", default=None, choices=["int8"],
+                        help="rebuild conv/dense in w8a8 on the MXU int8 path "
+                             "(float checkpoint restores unchanged)")
 
     p_lr = sub.add_parser("lr-find", help="LR range test on a pipeline's model+data")
     p_lr.add_argument("--pipeline", default="train_image_classifier")
@@ -240,7 +243,8 @@ def _cmd_predict(args) -> int:
         print(f"error: --batch-size must be >= 1 (got {args.batch_size})",
               file=sys.stderr)
         return 2
-    model, variables = load_model_bundle(args.bundle, dtype=args.dtype)
+    model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
+                                         quantize=args.quantize)
     images = np.load(args.input)
     pred = Predictor(model, variables, batch_size=args.batch_size)
     out = np.asarray(pred(images))

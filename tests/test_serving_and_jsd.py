@@ -152,6 +152,17 @@ def test_predict_cli(tmp_path, setup):
     assert rc == 0
     preds = np.load(out)
     assert preds.shape[0] == 10 and preds.ndim == 2
+    # int8 serving from the CLI: same bundle, quantized rebuild
+    out8 = tmp_path / "preds_int8.npy"
+    rc = main(["predict", "--bundle", str(bundle),
+               "--input", str(tmp_path / "imgs.npy"),
+               "--output", str(out8), "--batch-size", "4",
+               "--quantize", "int8"])
+    assert rc == 0
+    preds8 = np.load(out8)
+    assert preds8.shape == preds.shape
+    agree = (preds.argmax(-1) == preds8.argmax(-1)).mean()
+    assert agree >= 0.8, agree
 
 
 def test_int8_quantized_inference(tmp_path, setup):
