@@ -44,6 +44,7 @@ class BackendConfig:
                  axis_names: Sequence[str] = ("data",),
                  n_devices: Optional[int] = None,
                  tensor_parallel: int = 1,
+                 slices: int = 1,
                  distributed: bool = False,
                  # --- reference-compat kwargs (ignored on TPU) ---
                  dist_backend: Optional[str] = None, dist_url: Optional[str] = None,
@@ -66,6 +67,26 @@ class BackendConfig:
         devices = jax.devices(device) if device else jax.devices()
         if n_devices:
             devices = devices[:n_devices]
+        # multi-slice (DCN) topology: order devices slice-major so that model
+        # (TP) groups NEVER straddle a slice boundary — TP collectives are
+        # per-layer and must ride ICI; only the coarse 'data' gradient
+        # allreduce may cross the slow DCN link, once per step. Real
+        # multi-slice platforms expose .slice_index; single-slice/CPU meshes
+        # treat contiguous device blocks as slices (simulation).
+        self.slices = int(slices)
+        if self.slices > 1:
+            if len(devices) % self.slices:
+                raise ValueError(f"slices={slices} does not divide "
+                                 f"{len(devices)} devices")
+            per_slice = len(devices) // self.slices
+            if any(getattr(d, "slice_index", None) is not None for d in devices):
+                devices = sorted(devices,
+                                 key=lambda d: (getattr(d, "slice_index", 0), d.id))
+            if int(tensor_parallel) > 1 and per_slice % int(tensor_parallel):
+                raise ValueError(
+                    f"tensor_parallel={tensor_parallel} must divide the "
+                    f"per-slice device count {per_slice} (TP collectives "
+                    "cannot cross the DCN slice boundary)")
         self.devices = devices
         self.tensor_parallel = int(tensor_parallel)
         self.axis_names = tuple(axis_names)
@@ -154,6 +175,7 @@ class BackendConfig:
     def __str__(self):
         plat = self.devices[0].platform
         return (f"{plat}-x{self.n_devices}" +
+                (f"-{self.slices}slices" if self.slices > 1 else "") +
                 (f"-{self.process_count}hosts" if self.process_count > 1 else ""))
 
     def __repr__(self):

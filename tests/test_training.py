@@ -353,3 +353,37 @@ def test_retries_scoped_to_own_run_dir(tiny_setup, tmp_path):
                                      max_retries=1)
     assert hist["steps"] == 6
     assert "run_zzzz" not in hist["output_path"]
+
+
+def test_backend_multislice_mesh():
+    """slices=k orders devices slice-major so TP ('model') groups never
+    straddle a slice boundary (TP collectives must ride ICI, not DCN); only
+    the data axis spans slices."""
+    be = BackendConfig(slices=2, tensor_parallel=2)
+    assert dict(be.mesh.shape) == {"data": 4, "model": 2}
+    assert "2slices" in str(be)
+    ids = np.vectorize(lambda d: d.id)(be.mesh.devices)   # (data, model)
+    per_slice = 8 // 2
+    for row in ids:                     # each TP group: one simulated slice
+        assert len({int(i) // per_slice for i in row}) == 1
+    # the data axis DOES cross slices (coarse DP allreduce over DCN is fine)
+    assert len({int(i) // per_slice for i in ids[:, 0]}) == 2
+    with pytest.raises(ValueError, match="does not divide"):
+        BackendConfig(slices=3)
+    with pytest.raises(ValueError, match="slice boundary"):
+        BackendConfig(slices=4, tensor_parallel=4)
+
+
+def test_train_multislice(tiny_setup, tmp_path):
+    """Training over a simulated 2-slice mesh: same math, slice-aware layout."""
+    model, data = tiny_setup
+    hp = {"epochs": 1, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    _, hist = train(hp, model, cross_entropy_loss, data,
+                    backend_conf=BackendConfig(slices=2))
+    _, hist_1 = train(hp, model, cross_entropy_loss, data,
+                      backend_conf=BackendConfig(n_devices=1))
+    np.testing.assert_allclose(hist["train"][-1]["main_loss"],
+                               hist_1["train"][-1]["main_loss"],
+                               rtol=1e-4, atol=1e-5)
