@@ -397,6 +397,22 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     else:
         jit_step = jax.jit(train_step, donate_argnums=(0,),
                            in_shardings=(None, data_shd, data_shd))
+        # staged streaming: scan over k staged batches in ONE dispatch,
+        # amortizing the per-dispatch round trip. On THIS tunneled single
+        # chip the streamed path is transfer-bound (~53 MB/s over the
+        # tunnel: 17.2k -> 17.6k img/s with staging), but on a co-located
+        # host the dispatch wall is what binds and staging removes it
+        from jax.sharding import NamedSharding, PartitionSpec
+        stage_shd = NamedSharding(backend.mesh,
+                                  PartitionSpec(None, backend.data_axis))
+
+        def scan_steps_staged(state: TrainState, xs, ys):
+            st, ms = jax.lax.scan(
+                lambda st, xy: train_step(st, xy[0], xy[1]), state, (xs, ys))
+            return st, jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), ms)
+
+        jit_stage = jax.jit(scan_steps_staged, donate_argnums=(0,),
+                            in_shardings=(None, stage_shd, stage_shd))
 
     def eval_step(state: TrainState, raw_x, y, n_valid: int):
         """Eval on a batch whose first ``n_valid`` samples are real; the rest
@@ -472,9 +488,9 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             n_seen = 0
             # exact resume: skip batches already done within the resumed epoch
             skip = step % steps_per_epoch if step else 0
+            save_every = ckpt.save_every_iters if ckpt else 0
             if resident:
                 epoch_end = step + (n_fused * steps_per_epoch - skip)
-                save_every = ckpt.save_every_iters if ckpt else 0
                 if sampling != "with_replacement":
                     # one permutation row per fused epoch, generated on device
                     perms = make_perms(jnp.arange(epoch, epoch + n_fused))
@@ -521,19 +537,62 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                                                  hp, backend, seed)
                 # reference 'prefetch_batches' hp: depth of the H2D double buffer
                 depth = 2 if hp.get("prefetch_batches", True) else 1
-                batches = prefetch_to_device(epoch_batches, size=depth,
+                stage_k = max(1, int(hp.get("stream_scan_batches", 8) or 1))
+                batches = prefetch_to_device(epoch_batches,
+                                             size=depth * stage_k,
                                              sharding=data_shd)
-                for raw_x, y in batches:
+                bit = iter(batches)
+                exhausted = False
+                while not exhausted:
                     if crash_at >= 0 and step == crash_at:
                         raise CrashIteration(f"Injected crash at iteration {crash_at}")
-                    state, m = jit_step(state, raw_x, y)
-                    step += 1
-                    n_seen += global_batch
-                    _log_progress(m, step, log_every, train_acc, history, rank0, loggers)
+                    # next host-visible boundary cuts the staged group so
+                    # logging/checkpoint/crash cadences are step-exact
+                    bounds = [(step // log_every + 1) * log_every]
+                    if save_every > 0:
+                        bounds.append((step // save_every + 1) * save_every)
+                    if crash_at > step:
+                        bounds.append(crash_at)
+                    chunk = min(stage_k, min(bounds) - step)
+                    buf_x, buf_y = [], []
+                    while len(buf_x) < chunk:
+                        try:
+                            bx, by = next(bit)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        buf_x.append(bx)
+                        buf_y.append(by)
+                    if not buf_x:
+                        break
+                    k = len(buf_x)
+                    if k == stage_k and stage_k > 1:
+                        # full group: ONE dispatch scanning k steps; the
+                        # group-mean metrics enter the accumulator with
+                        # weight k (same convention as the resident chunks)
+                        state, m = jit_stage(state, jnp.stack(buf_x),
+                                             jnp.stack(buf_y))
+                        train_acc.update(m, weight=k)
+                    else:
+                        # ragged tail (or stage_k=1): per-batch dispatch
+                        # keeps one compiled program for any tail length
+                        for bx, by in zip(buf_x, buf_y):
+                            state, m = jit_step(state, bx, by)
+                            train_acc.update(m, weight=1)
+                    step += k
+                    n_seen += k * global_batch
+                    if step % log_every == 0:
+                        vals = train_acc.compute()
+                        train_acc.reset()
+                        history["train"].append({"step": step, **vals})
+                        if rank0:
+                            _logger.info("step %d  %s", step, " ".join(
+                                f"{kk}={v:.4f}" for kk, v in vals.items()))
+                            for lg in loggers:
+                                lg.log_metrics(vals, step=step)
                     events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
                                 state=state, metrics=m)
-                    if ckpt and ckpt.save_every_iters > 0 \
-                            and step % ckpt.save_every_iters == 0:
+                    if ckpt and save_every > 0 and step % save_every == 0:
                         ckpt.save(step, jax.device_get(state))
 
             # force a REAL host sync for honest timing: on tunneled backends
@@ -622,19 +681,6 @@ def _streaming_epoch(iterator, trainset, epoch, skip, hp, backend, seed):
             raise RuntimeError("native_loader=True but libdeepcv_io unavailable")
     batches = iterator.epoch(epoch)
     return itertools.islice(batches, skip, None) if skip else batches
-
-
-def _log_progress(m, step, log_every, train_acc, history, rank0, loggers):
-    train_acc.update(m)
-    if step % log_every == 0:
-        vals = train_acc.compute()
-        train_acc.reset()
-        history["train"].append({"step": step, **vals})
-        if rank0:
-            _logger.info("step %d  %s", step,
-                         " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
-            for lg in loggers:
-                lg.log_metrics(vals, step=step)
 
 
 def _run_dir_name(backend: BackendConfig) -> str:
