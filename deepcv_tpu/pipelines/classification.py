@@ -109,10 +109,24 @@ def get_pipelines() -> Dict[str, Pipeline]:
              "train_results", name="train"),
     ], name="train_image_classifier_cifar100", tags={"train", "classification"})
 
+    # the non-toy zoo model (wide_classifier_model, conf/base/parameters.yml)
+    # on CIFAR-10 — the shape bench.py --config 6 reports MFU for
+    train_wide = Pipeline([
+        Node(preprocess, ["cifar10_train", "cifar10_test",
+                          "params:cifar10_preprocessing"],
+             "datasets", name="preprocess"),
+        Node(create_model, ["datasets", "params:wide_classifier_model"],
+             "model", name="create_model"),
+        Node(train, ["datasets", "model", "params:train_wide_classifier",
+                     "trackers"],
+             "train_results", name="train"),
+    ], name="train_wide_classifier", tags={"train", "classification"})
+
     return {
         "preprocess_cifar10": preprocess_pipeline("cifar10", "cifar10_preprocessing"),
         "preprocess_cifar100": preprocess_pipeline("cifar100", "cifar100_preprocessing"),
         "preprocess_mnist": preprocess_pipeline("mnist", "mnist_preprocessing"),
         "train_image_classifier": train_pipeline,
         "train_image_classifier_cifar100": train_c100,
+        "train_wide_classifier": train_wide,
     }

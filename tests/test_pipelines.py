@@ -270,3 +270,22 @@ def test_optical_flow_pipeline_learns(tmp_path):
     # note: train-history records are chunk MEANS; with the whole run fused
     # into one dispatch they describe the same window, so no first-vs-last
     # loss comparison here (the EPE-vs-baseline check is the learning signal)
+
+
+def test_wide_classifier_zoo_entry():
+    """The non-toy zoo spec (wide_classifier_model, conf/base/parameters.yml)
+    builds from conf, registers as a pipeline, and eval_shape-checks to
+    (N, num_classes) without any device work."""
+    import jax
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.pipelines.classification import get_pipelines
+
+    assert "train_wide_classifier" in get_pipelines()
+    ctx = ProjectContext(str(REPO))
+    hp = dict(ctx.params("wide_classifier_model"))
+    hp["architecture"][-1]["fully_connected"]["out_features"] = 10
+    m = DeepcvModule((32, 32, 3), hp)
+    assert m.eval_output_shape(batch_size=4) == (4, 10)
+    # the training params for it carry the perf-relevant defaults
+    thp = dict(ctx.params("train_wide_classifier"))
+    assert thp["dtype"] == "bfloat16" and thp["batch_size"] >= 1024
