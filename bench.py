@@ -16,6 +16,7 @@ Prints ONE JSON line:
 import json
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -264,23 +265,15 @@ PEAK_BF16_FLOPS = {
     "TPU v6 lite": 918e12,   # v6e / Trillium
 }
 
-WIDE_CLASSIFIER_YML = """
-act_fn: leaky_relu
-dropout_prob: 0.0
-batch_norm: { affine: true, eps: 1e-05, momentum: 0.1 }
-architecture:
-  - conv2d: { kernel_size: [3, 3], out_channels: 64, padding: 1 }
-  - conv2d: { kernel_size: [3, 3], out_channels: 64, padding: 1 }
-  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
-  - conv2d: { kernel_size: [3, 3], out_channels: 128, padding: 1 }
-  - conv2d: { kernel_size: [3, 3], out_channels: 128, padding: 1 }
-  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
-  - conv2d: { kernel_size: [3, 3], out_channels: 256, padding: 1 }
-  - conv2d: { kernel_size: [3, 3], out_channels: 256, padding: 1 }
-  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
-  - flatten: {}
-  - fully_connected: { act_fn: null, out_features: 10, batch_norm: null }
-"""
+def _wide_classifier_hp(out_features: int = 10):
+    """The zoo's non-toy spec (conf/base/parameters.yml wide_classifier_model)
+    with the classifier head sized — one source of truth with the
+    train_wide_classifier pipeline."""
+    from deepcv_tpu.config import load_yaml
+    doc = load_yaml(str(Path(__file__).parent / "conf/base/parameters.yml"))
+    hp = dict(doc["wide_classifier_model"])
+    hp["architecture"][-1]["fully_connected"]["out_features"] = out_features
+    return hp
 
 
 def _fwd_flops_per_image(model, batch: int) -> float:
@@ -315,7 +308,7 @@ def bench_mfu():
 
     data, _ = build()
     backend = BackendConfig()
-    model = DeepcvModule((32, 32, 3), load_yaml(WIDE_CLASSIFIER_YML),
+    model = DeepcvModule((32, 32, 3), _wide_classifier_hp(),
                          dtype=jnp.bfloat16)
     batch = 4096 if backend.is_tpu else 512
     hp = {
