@@ -387,3 +387,29 @@ def test_train_multislice(tiny_setup, tmp_path):
     np.testing.assert_allclose(hist["train"][-1]["main_loss"],
                                hist_1["train"][-1]["main_loss"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_golden_loss_trajectory(tmp_path):
+    """Cross-round numeric regression guard: a fixed tiny training run must
+    reproduce this exact loss trajectory (CPU mesh, single device, fixed
+    seeds). A drift here means a silent change to init, data order, RNG
+    plumbing, or step math — investigate before updating the goldens."""
+    raw = load_dataset("synthetic", n=128, image_shape=(8, 8, 3),
+                       num_classes=4, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    m = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\nbatch_norm: { momentum: 0.1 }\narchitecture:\n"
+        "  - conv2d: {kernel_size: [3,3], out_channels: 8, padding: 1}\n"
+        "  - flatten: {}\n"
+        "  - fully_connected: {act_fn: null, out_features: 4, batch_norm: null}"))
+    hp = {"epochs": 2, "batch_size": 32, "optimizer_opts": {"lr": 1e-2},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 42}
+    _, hist = train(hp, m, "cross_entropy", data,
+                    backend_conf=BackendConfig(n_devices=1))
+    golden = [1.942522, 2.047882, 1.94721, 1.145238, 1.029531, 0.77389]
+    np.testing.assert_allclose([r["main_loss"] for r in hist["train"]],
+                               golden, rtol=2e-4)
+    assert np.isclose(hist["valid"][-1]["valid_accuracy"], 0.3125, atol=1e-6)
