@@ -301,7 +301,6 @@ def bench_mfu():
     reports images/sec plus model-FLOPs MFU = img_s * 3 * fwd_flops_per_img
     / peak_bf16_flops on the current chip.
     """
-    from deepcv_tpu.config import load_yaml
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.train import train, BackendConfig
     from deepcv_tpu.train.losses import cross_entropy_loss
@@ -350,6 +349,7 @@ def bench_streaming():
     prefetch. The honest number for datasets that cannot live in HBM; on
     tunneled backends it is dispatch-bound, which this discloses."""
     import os
+    import shutil
     import tempfile
 
     import numpy as np
@@ -358,9 +358,6 @@ def bench_streaming():
     from deepcv_tpu.data.preprocess import preprocess
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.train import train, BackendConfig
-    from deepcv_tpu.config import load_yaml
-
-    import shutil
 
     backend = BackendConfig()
     n = 131_072 if backend.is_tpu else 4096

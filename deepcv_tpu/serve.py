@@ -168,7 +168,6 @@ class Predictor:
                 y = self.postprocess(y)
             return y
 
-        self._baked = bool(bake_params)
         if bake_params:
             # freeze weights INTO the compiled program (export-style serving:
             # the predictor carries no mutable variables and __call__ ships

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import flax.struct
+from jax.sharding import NamedSharding, PartitionSpec
 
 from deepcv_tpu.hyperparams import to_hyperparameters, Hyperparameters
 from deepcv_tpu.data.datasets import ArrayDataset
@@ -402,7 +403,6 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         # chip the streamed path is transfer-bound (~53 MB/s over the
         # tunnel: 17.2k -> 17.6k img/s with staging), but on a co-located
         # host the dispatch wall is what binds and staging removes it
-        from jax.sharding import NamedSharding, PartitionSpec
         stage_shd = NamedSharding(backend.mesh,
                                   PartitionSpec(None, backend.data_axis))
 
@@ -476,6 +476,19 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     # exact-epoch sampler passes one permutation row per fused epoch
     fuse_epochs = int(hp.get("max_epochs_per_dispatch", 1))
 
+    def flush_train_log(at_step):
+        """Shared by both loop branches: emit accumulated train metrics at
+        log_every boundaries."""
+        if at_step % log_every == 0:
+            vals = train_acc.compute()
+            train_acc.reset()
+            history["train"].append({"step": at_step, **vals})
+            if rank0:
+                _logger.info("step %d  %s", at_step, " ".join(
+                    f"{k}={v:.4f}" for k, v in vals.items()))
+                for lg in loggers:
+                    lg.log_metrics(vals, step=at_step)
+
     try:
         epoch = step // max(1, steps_per_epoch)
         while epoch < epochs:
@@ -516,15 +529,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     step = target
                     n_seen += chunk * global_batch
                     train_acc.update(m, weight=chunk)
-                    if step % log_every == 0:
-                        vals = train_acc.compute()
-                        train_acc.reset()
-                        history["train"].append({"step": step, **vals})
-                        if rank0:
-                            _logger.info("step %d  %s", step, " ".join(
-                                f"{k}={v:.4f}" for k, v in vals.items()))
-                            for lg in loggers:
-                                lg.log_metrics(vals, step=step)
+                    flush_train_log(step)
                     events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
                                 state=state, metrics=m)
                     # gate the host transfer on the save boundary: device_get
@@ -581,15 +586,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                             train_acc.update(m, weight=1)
                     step += k
                     n_seen += k * global_batch
-                    if step % log_every == 0:
-                        vals = train_acc.compute()
-                        train_acc.reset()
-                        history["train"].append({"step": step, **vals})
-                        if rank0:
-                            _logger.info("step %d  %s", step, " ".join(
-                                f"{kk}={v:.4f}" for kk, v in vals.items()))
-                            for lg in loggers:
-                                lg.log_metrics(vals, step=step)
+                    flush_train_log(step)
                     events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
                                 state=state, metrics=m)
                     if ckpt and save_every > 0 and step % save_every == 0:
