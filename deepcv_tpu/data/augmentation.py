@@ -60,13 +60,19 @@ def _rand_sign(key, n):
 # --------------------------------------------------------------------------- #
 
 def autocontrast(x: jnp.ndarray, key=None, level=None) -> jnp.ndarray:
-    """PIL ImageOps.autocontrast (cutoff=0): per-channel rescale to full range."""
-    u8 = jnp.round(jnp.clip(x, 0, 1) * 255.0)
+    """PIL ImageOps.autocontrast (cutoff=0): per-channel rescale to full range.
+
+    PIL's LUT is ``int(ix*scale - lo*scale)`` — TRUNCATED, not rounded.
+    Computed here as exact integer math ``(u8-lo)*255 // (hi-lo)``; measured
+    0.05% of pixels one level above PIL, exactly at exact-division points
+    where PIL's own double arithmetic lands epsilon below the integer (the
+    previous jnp.round version disagreed on ~46% of pixels)."""
+    u8 = jnp.round(jnp.clip(x, 0, 1) * 255.0).astype(jnp.int32)
     lo = jnp.min(u8, axis=(1, 2), keepdims=True)
     hi = jnp.max(u8, axis=(1, 2), keepdims=True)
-    scale = 255.0 / jnp.maximum(hi - lo, 1e-12)
-    out = jnp.where(hi > lo, jnp.round((u8 - lo) * scale), u8)
-    return jnp.clip(out, 0, 255) / 255.0
+    span = jnp.maximum(hi - lo, 1)
+    out = jnp.where(hi > lo, (u8 - lo) * 255 // span, u8)
+    return jnp.clip(out, 0, 255).astype(x.dtype) / 255.0
 
 
 def equalize(x: jnp.ndarray, key=None, level=None) -> jnp.ndarray:

@@ -17,6 +17,7 @@ import hashlib
 import inspect
 import logging
 import pickle
+import zlib
 from pathlib import Path
 from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
 
@@ -113,7 +114,9 @@ _KNOWN_SHAPES = {
 def _synthetic_like(name: str, train: bool) -> ArrayDataset:
     shape, ncls, ntrain, ntest = _KNOWN_SHAPES[name]
     n = ntrain if train else ntest
-    rng = np.random.default_rng(abs(hash(name)) % (2 ** 31) + (0 if train else 1))
+    # zlib.crc32, NOT hash(): Python's str hash is salted per process, which
+    # would make the 'deterministic' fallback differ across machines/runs
+    rng = np.random.default_rng(zlib.crc32(name.encode()) + (0 if train else 1))
     # structured synthetic images (class-dependent gradients + noise) so
     # accuracy is learnable and benchmarks exercise realistic entropy
     targets = rng.integers(0, ncls, size=(n,)).astype(np.int64)

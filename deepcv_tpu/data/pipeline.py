@@ -108,11 +108,21 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
     batch directly into its data-parallel layout (no host gather later).
     """
     queue = collections.deque()
+    multihost = sharding is not None and jax.process_count() > 1
+
+    def _put_one(a):
+        if sharding is None:
+            return jax.device_put(a)
+        if multihost:
+            # each process holds only ITS shard rows of the global batch;
+            # assemble the global sharded array from per-process locals
+            # (a plain device_put would treat every host's different local
+            # batch as the same global array and drop most of the rows)
+            return jax.make_array_from_process_local_data(sharding, a)
+        return jax.device_put(a, sharding)
 
     def put(batch):
-        return jax.tree_util.tree_map(
-            lambda a: jax.device_put(a, sharding) if sharding is not None
-            else jax.device_put(a), batch)
+        return jax.tree_util.tree_map(_put_one, batch)
 
     for batch in iterator:
         queue.append(put(batch))

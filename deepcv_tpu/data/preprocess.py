@@ -51,8 +51,17 @@ def process_normalization_stats(trainset: ArrayDataset,
     pass and disk-cached (reference preprocess.py:109-134 scans per item with
     joblib caching — SURVEY hot-loop #3)."""
     cache_dir = Path(cache_dir or STATS_CACHE_DIR)
+    # key includes a CONTENT fingerprint (sampled rows), not just
+    # name/len/shape: every split_dataset output is named 'trainset', so two
+    # different datasets with equal size+shape (e.g. CIFAR-10 and CIFAR-100
+    # splits) would otherwise silently reuse each other's cached stats
+    probe_idx = np.linspace(0, len(trainset) - 1, num=min(16, len(trainset)),
+                            dtype=np.int64)
+    probe = np.ascontiguousarray(
+        np.stack([np.asarray(trainset.images[i]) for i in probe_idx]))
     key = hashlib.sha1(
-        f"{trainset.name}_{len(trainset)}_{trainset.image_shape}".encode()).hexdigest()[:12]
+        f"{trainset.name}_{len(trainset)}_{trainset.image_shape}_".encode()
+        + probe.tobytes()).hexdigest()[:12]
     cache = cache_dir / f"stats_{key}.npz"
     if cache.exists():
         z = np.load(cache)

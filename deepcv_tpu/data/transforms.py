@@ -115,9 +115,14 @@ def pad(x: jnp.ndarray, padding: Union[int, Tuple[int, int]], mode: str = "const
 
 @_register_transform("rgb_to_grayscale", aliases=("grayscale",))
 def rgb_to_grayscale(x: jnp.ndarray, keep_channels: bool = True) -> jnp.ndarray:
-    """ITU-R 601-2 luma (PIL convert('L') weights)."""
-    w = jnp.asarray([0.299, 0.587, 0.114], dtype=x.dtype)
-    g = jnp.tensordot(x[..., :3], w, axes=([-1], [0]))[..., None]
+    """ITU-R 601-2 luma (PIL convert('L') weights). Non-RGB images (e.g.
+    1-channel MNIST) are already 'L': convert is the identity, matching
+    PIL's behavior instead of crashing on the missing channels."""
+    if x.shape[-1] != 3:
+        g = x[..., :1]
+    else:
+        w = jnp.asarray([0.299, 0.587, 0.114], dtype=x.dtype)
+        g = jnp.tensordot(x, w, axes=([-1], [0]))[..., None]
     if keep_channels:
         g = jnp.broadcast_to(g, x.shape[:-1] + (x.shape[-1],))
     return g
@@ -154,11 +159,15 @@ def adjust_brightness(x: jnp.ndarray, factor) -> jnp.ndarray:
 def adjust_contrast(x: jnp.ndarray, factor) -> jnp.ndarray:
     """PIL ImageEnhance.Contrast: blend with the mean-gray image.
     PIL computes mean of the L-converted image (uint8-rounded)."""
-    gray = rgb_to_grayscale(x, keep_channels=False)
     # PIL: mean = int(mean-of-uint8-L + 0.5) / 255 — quantized for parity
-    # (L uses truncating integer conversion: (r*299+g*587+b*114)//1000)
-    l_u8 = jnp.floor((jnp.round(x[..., 0] * 255) * 299 + jnp.round(x[..., 1] * 255) * 587
-                      + jnp.round(x[..., 2] * 255) * 114) / 1000.0)
+    # (L uses truncating integer conversion: (r*299+g*587+b*114)//1000);
+    # non-RGB images are already L-mode (identity convert)
+    if x.shape[-1] == 3:
+        l_u8 = jnp.floor((jnp.round(x[..., 0] * 255) * 299
+                          + jnp.round(x[..., 1] * 255) * 587
+                          + jnp.round(x[..., 2] * 255) * 114) / 1000.0)
+    else:
+        l_u8 = jnp.round(x[..., 0] * 255)
     mean = jnp.floor(jnp.mean(l_u8, axis=(1, 2), keepdims=True) + 0.5)[..., None] / 255.0
     return _blend(x, jnp.broadcast_to(mean, x.shape), factor)
 

@@ -222,11 +222,21 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         resident = (data_bytes <= 2 * 1024 ** 3
                     and backend.process_count == 1
                     and not isinstance(trainset.dataset.images, np.memmap))
+    if resident and len(trainset) < global_batch:
+        raise ValueError(
+            f"batch_size={global_batch} exceeds the trainset size "
+            f"{len(trainset)}: zero steps per epoch (reduce batch_size)")
     device_ds = DeviceDataset(trainset, global_batch,
                               sharding=backend.replicated_sharding) if resident else None
+    if not resident and global_batch % backend.process_count:
+        raise ValueError(f"batch_size={global_batch} must divide evenly over "
+                         f"{backend.process_count} processes")
+    # streaming multi-host: each process loads ITS global_batch/k rows; the
+    # prefetcher assembles them into the global sharded batch
     iterator = None if resident else BatchIterator(
-        trainset, global_batch, shuffle=True, seed=seed,
-        process_index=backend.rank, process_count=backend.process_count)
+        trainset, global_batch // backend.process_count, shuffle=True,
+        seed=seed, process_index=backend.rank,
+        process_count=backend.process_count)
     steps_per_epoch = (device_ds.steps_per_epoch if resident else len(iterator))
 
     # ---------------- optimizer & schedule --------------------------------- #
@@ -420,13 +430,26 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         forward runs on the full padded batch (sharding-friendly), losses and
         metrics on the statically-sliced real prefix — so the last partial
         batch never double-counts samples. ``n_valid`` takes only two values
-        per dataset (full / tail), i.e. at most one extra compile."""
-        x = trainset.batch_transform(raw_x, augment=False)
+        per dataset (full / tail), i.e. at most one extra compile.
+
+        Uses the VALIDSET's own transforms (preprocess() attaches the same
+        non-augmenting chain to every split, but a caller-supplied validset
+        with different transforms must not be preprocessed like trainset).
+
+        ``n_valid`` is the PER-HOST real count; under multi-host assembly the
+        global batch is host-major blocks, so the real rows are gathered from
+        the head of each block (a bare prefix slice would take only host 0's
+        rows)."""
+        x = validset.batch_transform(raw_x, augment=False)
         if dtype is not None:
             x = x.astype(dtype)
         logits = model.apply(state.variables(), x, train=False)
-        y_t = x if self_target else trainset.transform_targets(y)
-        logits, y_t = logits[:n_valid], y_t[:n_valid]
+        y_t = x if self_target else validset.transform_targets(y)
+        k = backend.process_count
+        block = x.shape[0] // k
+        real = (jnp.arange(k)[:, None] * block
+                + jnp.arange(n_valid)[None, :]).reshape(-1)
+        logits, y_t = logits[real], y_t[real]
         _, terms = losses(logits, y_t)
         out = dict(terms)
         for mname, mfn in metrics.items():
@@ -452,14 +475,16 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
 
     def run_validation(state) -> Dict[str, float]:
         acc = MetricAccumulator()
-        it = BatchIterator(validset, eval_bs, shuffle=False, drop_last=False,
+        k = backend.process_count
+        ebs_local = eval_bs // k
+        it = BatchIterator(validset, ebs_local, shuffle=False, drop_last=False,
                            process_index=backend.rank,
                            process_count=backend.process_count)
-        per_host = len(validset) // backend.process_count
+        per_host = len(validset) // k
         for b, (raw_x, y) in enumerate(
                 prefetch_to_device(it.epoch(0), sharding=data_shd)):
-            n_valid = min(eval_bs, per_host - b * eval_bs)
-            acc.update(jit_eval(state, raw_x, y, n_valid), weight=n_valid)
+            n_valid = min(ebs_local, per_host - b * ebs_local)
+            acc.update(jit_eval(state, raw_x, y, n_valid), weight=n_valid * k)
         return {f"valid_{k}": v for k, v in acc.compute().items()}
 
     # ---------------- the loop ---------------------------------------------- #
@@ -501,7 +526,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             n_seen = 0
             # exact resume: skip batches already done within the resumed epoch
             skip = step % steps_per_epoch if step else 0
-            save_every = ckpt.save_every_iters if ckpt else 0
+            # save boundaries must be computed identically on EVERY process
+            # (chunk is a static jit arg; rank-0-only ckpt would give rank 0
+            # different scan lengths than the others and desynchronize the
+            # global programs) — only the actual save below is rank-0-gated
+            save_every = int(hp["save_every_iters"])
             if resident:
                 epoch_end = step + (n_fused * steps_per_epoch - skip)
                 if sampling != "with_replacement":
@@ -633,6 +662,16 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                              " ".join(f"{k}={v:.4f}" for k, v in val.items()))
             events.fire(TrainingEvents.EPOCH_COMPLETED, count=epoch,
                         state=state, metrics=val, throughput=throughput)
+        # flush train metrics accumulated past the last log_every boundary
+        # (otherwise the final partial window never reaches history/sinks —
+        # and short runs with fewer steps than log_every would log nothing)
+        tail_vals = train_acc.compute()
+        if tail_vals:
+            train_acc.reset()
+            history["train"].append({"step": step, **tail_vals})
+            if rank0:
+                for lg in loggers:
+                    lg.log_metrics(tail_vals, step=step)
     finally:
         for lg in loggers:
             if hasattr(lg, "flush"):
