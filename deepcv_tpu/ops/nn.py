@@ -350,8 +350,14 @@ def pad_channels_for_tpu(x: jnp.ndarray, min_channels: int = 8) -> jnp.ndarray:
 
 
 def _is_conv_op(op) -> bool:
+    from deepcv_tpu.ops.pallas.fused_layer import PallasConv
     inner = getattr(op, "layer_instance", op)  # SpectralNorm/WeightNorm wrappers
-    return isinstance(inner, (fnn.Conv, fnn.ConvTranspose))
+    return isinstance(inner, (fnn.Conv, fnn.ConvTranspose, PallasConv))
+
+
+def _conv_groups(op) -> int:
+    inner = getattr(op, "layer_instance", op)
+    return int(getattr(inner, "feature_group_count", 1) or 1)
 
 
 _STATEFUL_NORMS = (fnn.BatchNorm, MeanOnlyBatchNorm)
@@ -391,7 +397,11 @@ class Layer(fnn.Module):
         if self.dropout_prob and self.dropout_prob > 0.0:
             x = fnn.Dropout(rate=float(self.dropout_prob), deterministic=not train)(x)
         def run_op(v):
-            if _is_conv_op(self.op):
+            # grouped convs must NOT be channel-padded: padding changes which
+            # real channels land in which group (silently wrong math when the
+            # padded count still divides, a flax error when it doesn't) —
+            # accept the slower cin<8 weight-grad compile for that rare case
+            if _is_conv_op(self.op) and _conv_groups(self.op) == 1:
                 v = pad_channels_for_tpu(v)
             # SpectralNorm-wrapped ops need power-iteration updates during training
             if isinstance(self.op, fnn.SpectralNorm):
@@ -428,6 +438,16 @@ class Flatten(fnn.Module):
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
         return x.reshape((x.shape[0], -1))
+
+
+class FlattenThen(fnn.Module):
+    """Flatten non-batch dims, then apply ``inner`` (the fully_connected
+    creator's ``flatten_input: true``)."""
+    inner: fnn.Module
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        return self.inner(x.reshape((x.shape[0], -1)))
 
 
 class MultiHeadConcat(fnn.Module):

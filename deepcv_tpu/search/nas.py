@@ -43,7 +43,7 @@ def list_mutables(hp: Mapping[str, Any]) -> Dict[str, Dict[str, Any]]:
     """
     out: Dict[str, Dict[str, Any]] = {}
 
-    def walk(arch, prefix_idx=0):
+    def walk(arch, prefix=""):
         for idx, entry in enumerate(arch or []):
             if not isinstance(entry, Mapping):
                 continue
@@ -52,21 +52,30 @@ def list_mutables(hp: Mapping[str, Any]) -> Dict[str, Dict[str, Any]]:
                     params = dict(val)
                     name = params.get(T.NAME, f"_submodule_{idx}_layer_choice")
                     cands = params.get(T.CANDIDATES, [])
-                    out[name] = {"kind": "layer", "n_candidates": len(cands),
-                                 "n_chosen": 1}
+                    out[prefix + name] = {"kind": "layer",
+                                          "n_candidates": len(cands),
+                                          "n_chosen": 1}
                 elif key in (T.NESTED_DEEPCV_MODULE, T.NESTED_DEEPCV_MODULE_ALT):
+                    # nested mutables are namespaced '<nested_name>/<name>'
+                    # (mirrors graph.py node naming + the flax param scopes;
+                    # a flat namespace silently collided auto-named mutables
+                    # across nesting levels)
                     sub = val.get("architecture") if isinstance(val, Mapping) else val
-                    walk(sub)
+                    nested_name = (val.get(T.NAME) if isinstance(val, Mapping)
+                                   else None) or f"_submodule_{idx}_nested"
+                    walk(sub, prefix=f"{prefix}{nested_name}/")
                 elif isinstance(val, Mapping) and T.FROM_NAS_INPUT_CHOICE in val:
                     cands = val[T.FROM_NAS_INPUT_CHOICE]
                     name = val.get(T.NAME) or f"_submodule_{idx}_{str(key).lstrip('_')}"
-                    out[name] = {"kind": "input", "n_candidates": len(cands),
-                                 "n_chosen": int(val.get(T.N_CHOSEN, 1))}
+                    out[prefix + name] = {"kind": "input",
+                                          "n_candidates": len(cands),
+                                          "n_chosen": int(val.get(T.N_CHOSEN, 1))}
                 elif isinstance(val, (list, tuple)) and len(val) == 2 \
                         and isinstance(val[1], Mapping) and T.FROM_NAS_INPUT_CHOICE in val[1]:
-                    out[val[0]] = {"kind": "input",
-                                   "n_candidates": len(val[1][T.FROM_NAS_INPUT_CHOICE]),
-                                   "n_chosen": int(val[1].get(T.N_CHOSEN, 1))}
+                    out[prefix + val[0]] = {
+                        "kind": "input",
+                        "n_candidates": len(val[1][T.FROM_NAS_INPUT_CHOICE]),
+                        "n_chosen": int(val[1].get(T.N_CHOSEN, 1))}
     walk(hp.get("architecture"))
     return out
 
@@ -105,10 +114,14 @@ def export_architecture(variables: Mapping[str, Any]) -> Dict[str, Any]:
     def walk(tree, path=""):
         for k, v in tree.items():
             if isinstance(v, Mapping):
-                walk(v, path)
+                # nested SpecModules bind under 'node_impls_<name>' scopes:
+                # extend the path so nested mutables export namespaced
+                sub = path + k[len("node_impls_"):] + "/" \
+                    if k.startswith("node_impls_") else path
+                walk(v, sub)
             elif k.startswith(ARCH_PARAM_PREFIX):
                 name = k[len(ARCH_PARAM_PREFIX):]
-                arch[name] = int(np.argmax(np.asarray(v)))
+                arch[path + name] = int(np.argmax(np.asarray(v)))
 
     walk(variables.get("params", variables))
     return arch
@@ -232,7 +245,8 @@ def _select_arch_by_validation(input_shape, model_hp, state, datasets, losses,
     best, best_score = default_arch, -float("inf")
     for combo in combos:
         arch = dict(combo)
-        forced = supernet.module.clone(forced_arch=arch)
+        from deepcv_tpu.spec.graph import clone_with_forced_arch
+        forced = clone_with_forced_arch(supernet.module, arch)
         logits = forced.apply(variables, xb, train=False)
         if metric_fn is not None:
             score = float(metric_fn(logits, y))

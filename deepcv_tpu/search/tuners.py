@@ -60,6 +60,12 @@ class GridTuner(_BaseTuner):
             elif d.kind == "randint":
                 lo, hi = int(d.values[0]), int(d.values[1])
                 axes.append([(name, v) for v in range(lo, hi)])
+            elif d.kind == "quniform":
+                lo, hi = float(d.values[0]), float(d.values[1])
+                q = float(d.values[2]) if len(d.values) > 2 else 1.0
+                pts = np.unique(np.round(
+                    np.linspace(lo, hi, resolution) / q) * q)
+                axes.append([(name, float(v)) for v in pts])
             else:
                 lo, hi = float(d.values[0]), float(d.values[1])
                 if d.kind == "loguniform":
@@ -131,7 +137,11 @@ class TPETuner(_BaseTuner):
             sigma = (math.log(hi) - math.log(lo)) / 8
             return float(np.clip(math.exp(lcenter + self.rng.normal() * sigma), lo, hi))
         sigma = (hi - lo) / 8
-        return float(np.clip(center + self.rng.normal() * sigma, lo, hi))
+        v = float(np.clip(center + self.rng.normal() * sigma, lo, hi))
+        if dom.kind == "quniform":
+            q = float(dom.values[2]) if len(dom.values) > 2 else 1.0
+            v = float(np.clip(np.round(v / q) * q, lo, hi))
+        return v
 
     def _log_density(self, obs, name, dom: HyperparamDomain, v) -> float:
         vals = self._values(obs, name)

@@ -345,6 +345,10 @@ def _fully_connected(params: Mapping[str, Any], ctx: CreatorContext, name: str) 
                    dtype=ctx.dtype, param_dtype=ctx.param_dtype,
                    kernel_init=dnn.xavier_uniform_with_gain(gain),
                    name=f"{name}_op", **extra)
+    if params.get("flatten_input"):
+        # collapse all non-batch dims before the dense op (otherwise Dense
+        # acts per-pixel on the channel dim and the flag silently no-ops)
+        op = dnn.FlattenThen(inner=op, name=f"{name}_flatten")
     return _as_layer(op, params, ctx, name=name)
 
 
@@ -563,16 +567,6 @@ submodule_creator("hrnet_repr_head_v2p", global_keys=GLOBAL_LAYER_KEYS,
                   allowed=("out_channels", "pyramid_levels"))(_make_head_creator("v2p"))
 
 
-if __name__ == "__main__":  # per-module self-test CLI (reference parity)
-    import sys
-    from pathlib import Path
-    _repo = Path(__file__).resolve()
-    while _repo.name != "deepcv_tpu":
-        _repo = _repo.parent
-    sys.path.insert(0, str(_repo.parent))
-    from deepcv_tpu.utils import test_module_cli
-    test_module_cli(__file__)
-
 
 @submodule_creator("squeeze_cell", aliases=("squeeze_excitation", "se_cell"),
                    global_keys=("act_fn",), allowed=("reduction_ratio",))
@@ -614,3 +608,12 @@ def _conv_with_meta_layer(params, ctx: CreatorContext, name: str) -> fnn.Module:
                                  kernel_size=tuple(int(v) for v in ks),
                                  meta_hidden=int(params.get("meta_hidden", 32)),
                                  act_fn=act, dtype=ctx.dtype, name=name)
+if __name__ == "__main__":  # per-module self-test CLI (reference parity)
+    import sys
+    from pathlib import Path
+    _repo = Path(__file__).resolve()
+    while _repo.name != "deepcv_tpu":
+        _repo = _repo.parent
+    sys.path.insert(0, str(_repo.parent))
+    from deepcv_tpu.utils import test_module_cli
+    test_module_cli(__file__)

@@ -178,7 +178,14 @@ def define_nn_architecture(architecture: Sequence[Any], hp: Mapping[str, Any],
             if sub_arch is None:
                 raise SpecError(f"Nested module entry #{idx} has no 'architecture'")
             name = unique_name(explicit_name or sub_hp.get(T.NAME), "nested", idx)
-            sub_metas, sub_impls, sub_refd = define_nn_architecture(sub_arch, sub_hp, ctx)
+            # nested mutables are addressed '<nested_name>/<local_name>'
+            # (search/nas.py list_mutables/export_architecture emit the same
+            # namespace); un-prefixed keys pass through for backward compat
+            sub_nas = {**{k: v for k, v in ctx.nas_arch.items() if "/" not in k},
+                       **{k.split("/", 1)[1]: v for k, v in ctx.nas_arch.items()
+                          if k.startswith(name + "/")}}
+            sub_ctx = dataclasses.replace(ctx, nas_arch=sub_nas)
+            sub_metas, sub_impls, sub_refd = define_nn_architecture(sub_arch, sub_hp, sub_ctx)
             nested = SpecModule(node_metas=sub_metas, node_impls=sub_impls,
                                 referenced=sub_refd)
             metas.append(NodeMeta(name=name, kind="module", creator="nested"))
@@ -293,6 +300,22 @@ def _call_node(mod: fnn.Module, x, train: bool):
         return mod(x)
 
 
+def clone_with_forced_arch(module: "SpecModule", arch):
+    """Clone a (possibly nested) SpecModule with ``forced_arch`` applied at
+    every nesting level: '<nested_name>/<local>' keys route to the nested
+    SpecModule held under ``node_impls[nested_name]`` (a bare clone would
+    force only the outer module's choices)."""
+    arch = dict(arch)
+    impls = dict(module.node_impls)
+    for name, impl in impls.items():
+        if isinstance(impl, SpecModule):
+            sub = {k.split("/", 1)[1]: v for k, v in arch.items()
+                   if k.startswith(name + "/")}
+            if sub:
+                impls[name] = clone_with_forced_arch(impl, sub)
+    return module.clone(forced_arch=arch, node_impls=impls)
+
+
 class SpecModule(fnn.Module):
     """Executes a compiled architecture DAG (DeepcvModule core forward,
     reference base_module.py:113-155 — with the §8 early-return bug fixed).
@@ -321,8 +344,14 @@ class SpecModule(fnn.Module):
                             fnn.initializers.zeros, (n,))
         if self.forced_arch is not None and name in self.forced_arch:
             c = self.forced_arch[name]
-            idx = int(c[0]) if isinstance(c, (list, tuple)) else int(c)
-            return jax.nn.one_hot(idx, n)
+            if isinstance(c, (list, tuple)):
+                # n_chosen > 1: mean multi-hot over ALL chosen candidates
+                # (a bare c[0] one-hot silently dropped the rest); dividing by
+                # len(c) keeps the mixture magnitude consistent with the
+                # softmax weights (which sum to 1)
+                w = sum(jax.nn.one_hot(int(i), n) for i in c) / float(len(c))
+                return w
+            return jax.nn.one_hot(int(c), n)
         if self.sampling == "sampled":
             if train and self.has_rng("nas"):
                 g = -jnp.log(-jnp.log(
@@ -347,7 +376,15 @@ class SpecModule(fnn.Module):
                 if meta.input_choice is not None:
                     cname, n_cand, n_chosen = meta.input_choice
                     w = self._choice_weights(cname, n_cand, train)
-                    combined = sum(w[i] * refs[i] for i in range(n_cand))
+                    # candidates may come from different resolutions (the
+                    # fixed path rescales each ref inside the link callback);
+                    # resize them to the first candidate's spatial dims so
+                    # the weighted mixture is well-formed
+                    from deepcv_tpu.ops.nn import interpolate
+                    tgt = refs[0].shape[1:-1]
+                    cands = [r if tuple(r.shape[1:-1]) == tuple(tgt)
+                             else interpolate(r, tgt) for r in refs]
+                    combined = sum(w[i] * cands[i] for i in range(n_cand))
                     refs = [combined]
                 x = impl(x, refs)
             elif meta.kind == "choice":

@@ -84,6 +84,17 @@ class DeepcvModule:
         #: tree is IDENTICAL to the float build, so trained checkpoints /
         #: bundles restore into a quantized rebuild unchanged
         self.quantize = quantize
+
+        def _any_dropout(node) -> bool:
+            if isinstance(node, Mapping):
+                if float(node.get("dropout_prob") or 0.0) > 0.0:
+                    return True
+                return any(_any_dropout(v) for v in node.values())
+            if isinstance(node, (list, tuple)):
+                return any(_any_dropout(v) for v in node)
+            return False
+
+        self._has_dropout = _any_dropout(dict(self._hp))
         ctx = CreatorContext(
             hp=self._hp, dtype=dtype, param_dtype=param_dtype, axis_name=axis_name,
             nas_mode=nas_mode, nas_arch=self.nas_arch,
@@ -110,6 +121,12 @@ class DeepcvModule:
     def dummy_input(self, batch_size: int = 1, dtype=jnp.float32) -> jnp.ndarray:
         return jnp.zeros((batch_size, *self.input_shape), dtype=dtype)
 
+    def _dag_input(self, batch_size: int = 1) -> jnp.ndarray:
+        """The tensor the spec DAG actually receives (subclasses that prepend
+        processing — e.g. the shared image block's channel concat — override
+        this so shape inference/describe see the real channel count)."""
+        return self.dummy_input(batch_size)
+
     def init(self, rng, batch_size: int = 1):
         """Initialize all variable collections (params + batch_stats...)."""
         if not hasattr(rng, "shape"):
@@ -134,13 +151,19 @@ class DeepcvModule:
             cols = [c for c in _STATE_COLLECTIONS if c in variables] if train else []
             mutable = cols if cols else False
         if train and rngs is None:
+            if self._has_dropout:
+                # a silent constant key would drop the SAME units every step,
+                # turning dropout into a fixed structural mask
+                raise ValueError(
+                    "train=True on a model with dropout requires rngs="
+                    "{'dropout': key} (a fresh key per step)")
             rngs = {"dropout": jax.random.PRNGKey(0)}
         return self.module.apply(variables, x, train=train, rngs=rngs, mutable=mutable)
 
     def eval_output_shape(self, batch_size: int = 1):
         """Output shape via abstract evaluation — zero FLOPs."""
         out = jax.eval_shape(lambda: self.module.init_with_output(
-            {"params": jax.random.PRNGKey(0)}, self.dummy_input(batch_size))[0])
+            {"params": jax.random.PRNGKey(0)}, self._dag_input(batch_size))[0])
         return out.shape if hasattr(out, "shape") else [o.shape for o in out]
 
     def capacity(self, variables=None) -> int:
@@ -164,7 +187,7 @@ class DeepcvModuleDescriptor:
 
     def __init__(self, model: DeepcvModule, batch_size: int = 1):
         self.model = model
-        x = model.dummy_input(batch_size)
+        x = model._dag_input(batch_size)
         self.features_shapes: Dict[str, Any] = {}
 
         def record(name, shape):
@@ -183,7 +206,11 @@ class DeepcvModuleDescriptor:
         for meta in model.module.node_metas:
             sub = params.get(f"node_impls_{meta.name}")
             self.submodules_capacities[meta.name] = dnn.get_model_capacity(sub) if sub else 0
-        self.capacity = dnn.get_model_capacity(params)
+        # total capacity from the MODEL's init (covers params outside the
+        # spec DAG, e.g. the shared image block); per-submodule numbers above
+        # come from the DAG trace
+        full = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0)))
+        self.capacity = dnn.get_model_capacity(full.get("params", full))
 
     def __str__(self) -> str:
         lines = [f"DeepcvModule  input={self.model.input_shape}  "
@@ -269,6 +296,13 @@ class DeepcvModuleWithSharedImageBlock(DeepcvModule):
 
     def dummy_input(self, batch_size: int = 1, dtype=jnp.float32):
         return jnp.zeros((batch_size, *self.input_shape), dtype=dtype)
+
+    def _dag_input(self, batch_size: int = 1):
+        if not self.enable_shared_block:
+            return self.dummy_input(batch_size)
+        h, w, c = self.input_shape
+        return jnp.zeros((batch_size, h, w, c + self._shared.features[-1]),
+                         jnp.float32)
 
     def extract_shared_params(self, variables):
         return variables["params"][self.SHARED_SCOPE]
