@@ -45,9 +45,26 @@ def _parse_extra_params(entries: List[str]) -> Dict[str, Any]:
     """``--params a.b:3,c:x`` -> {'a.b': 3, 'c': 'x'} (kedro_cli.py:122-141)."""
     import yaml
 
+    def split_top_level(s: str):
+        """Split on ',' only at bracket/brace depth 0 so YAML flow values
+        ([10,20], {a: 1, b: 2}) survive as single entries."""
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch in "[{":
+                depth += 1
+            elif ch in "]}":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return parts
+
     out: Dict[str, Any] = {}
     for entry in entries:
-        for pair in entry.split(","):
+        for pair in split_top_level(entry):
             if not pair.strip():
                 continue
             if ":" not in pair:
@@ -108,6 +125,15 @@ def main(argv=None) -> int:
     p_pred.add_argument("--quantize", default=None, choices=["int8"],
                         help="rebuild conv/dense in w8a8 on the MXU int8 path "
                              "(float checkpoint restores unchanged)")
+    p_pred.add_argument("--to-tensor", action="store_true",
+                        help="scale uint8 inputs to [0,1] before the model "
+                             "(matches training's to_tensor transform)")
+    p_pred.add_argument("--normalize", default=None, metavar="MEANS/STDS",
+                        help="per-channel normalize AFTER to_tensor, e.g. "
+                             "'0.491,0.482,0.447/0.247,0.243,0.261' — pass "
+                             "the SAME stats training used; raw inputs into "
+                             "a model trained on normalized data produce "
+                             "garbage predictions silently")
 
     p_lr = sub.add_parser("lr-find", help="LR range test on a pipeline's model+data")
     p_lr.add_argument("--pipeline", default="train_image_classifier")
@@ -187,9 +213,17 @@ def _cmd_search(args) -> int:
         "train_image_classifier_cifar100": "image_classifier_model",
         "train_keypoint_detector": "keypoints_encoder_model",
     }.get(pipeline, "image_classifier_model")
-    space_path = args.space or (Path(args.project_path) / "conf" / "base" /
-                                "hp_search_spaces" /
-                                f"{pipeline}_hp_search_space.json")
+    space_dir = Path(args.project_path) / "conf" / "base" / "hp_search_spaces"
+    if args.space:
+        space_path = Path(args.space)
+    else:
+        # shipped spaces are named after the MODEL ('image_classifier_...'),
+        # reference conf layout — try both the pipeline name and the
+        # 'train_'-stripped form so the default invocation resolves
+        cands = [space_dir / f"{pipeline}_hp_search_space.json",
+                 space_dir / (pipeline.removeprefix("train_")
+                              + "_hp_search_space.json")]
+        space_path = next((p for p in cands if p.exists()), cands[0])
     if not Path(space_path).exists():
         raise SystemExit(f"search space not found: {space_path}")
     space = HyperparameterSpace.from_nni_json(str(space_path))
@@ -246,7 +280,31 @@ def _cmd_predict(args) -> int:
     model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
                                          quantize=args.quantize)
     images = np.load(args.input)
-    pred = Predictor(model, variables, batch_size=args.batch_size)
+    preprocess = None
+    if args.to_tensor or args.normalize:
+        from deepcv_tpu.data.transforms import to_tensor, normalize as _norm
+        mean = std = None
+        if args.normalize:
+            try:
+                m_s, s_s = args.normalize.split("/")
+                mean = [float(v) for v in m_s.split(",")]
+                std = [float(v) for v in s_s.split(",")]
+            except ValueError:
+                print("error: --normalize expects 'm1,m2,m3/s1,s2,s3'",
+                      file=sys.stderr)
+                return 2
+
+        def preprocess(x):
+            x = to_tensor(x)
+            if mean is not None:
+                x = _norm(x, mean, std)
+            return x
+    elif images.dtype == np.uint8:
+        print("note: uint8 input without --to-tensor/--normalize — the model "
+              "receives raw 0-255 values; pass the transforms training used",
+              file=sys.stderr)
+    pred = Predictor(model, variables, batch_size=args.batch_size,
+                     preprocess=preprocess)
     out = np.asarray(pred(images))
     if out.dtype.kind == "V" or out.dtype.name == "bfloat16":
         # keep the output readable by plain numpy (bf16 .npy needs ml_dtypes)

@@ -14,9 +14,9 @@ from typing import Any, Dict, Mapping, Optional
 
 import jax.numpy as jnp
 
-from deepcv_tpu.pipelines.framework import Node, Pipeline
+from deepcv_tpu.pipelines.framework import Node, Pipeline, \
+    preprocess_node as preprocess
 from deepcv_tpu.spec import DeepcvModule
-from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
 from deepcv_tpu.train import train as train_fn
 from deepcv_tpu.train.backend import BackendConfig
 from deepcv_tpu.train.losses import cross_entropy_loss
@@ -25,10 +25,6 @@ from deepcv_tpu.train.metrics import accuracy
 __all__ = ["get_pipelines", "create_model", "train"]
 
 _logger = logging.getLogger(__name__)
-
-
-def preprocess(trainset, testset, params):
-    return preprocess_fn({"trainset": trainset, "testset": testset}, params)
 
 
 def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]

@@ -25,10 +25,10 @@ import jax
 import jax.numpy as jnp
 import flax.linen as fnn
 
-from deepcv_tpu.pipelines.framework import Node, Pipeline
+from deepcv_tpu.pipelines.framework import Node, Pipeline, \
+    preprocess_node as preprocess
 from deepcv_tpu.spec import DeepcvModule
 from deepcv_tpu.data.datasets import ArrayDataset, _dataset_loader
-from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
 from deepcv_tpu.train import train as train_fn
 from deepcv_tpu.train.backend import BackendConfig
 
@@ -108,7 +108,7 @@ def detection_loss(pred: jnp.ndarray, target: jnp.ndarray,
     """YOLOv1-style cell-matched loss over the dense grid.
 
     pred/target: (N, S, S, 5 + C). Objectness uses sigmoid-BCE everywhere
-    (no-object cells down-weighted); box (sigmoid cx/cy, raw w/h vs targets)
+    (no-object cells down-weighted); box (sigmoid cx/cy/w/h vs targets)
     and class CE apply only on object cells.
     """
     pred = pred.astype(jnp.float32)
@@ -119,8 +119,9 @@ def detection_loss(pred: jnp.ndarray, target: jnp.ndarray,
         jnp.exp(-jnp.abs(obj_logit)))
     obj_loss = jnp.mean(jnp.where(obj > 0, bce, noobj_weight * bce))
 
-    box_pred = jnp.concatenate([jax.nn.sigmoid(pred[..., 1:3]),
-                                jax.nn.sigmoid(pred[..., 3:5])], axis=-1)
+    # cx/cy AND w/h through sigmoid (matches decode_detections: w/h are
+    # fractions of the image, bounded (0, 1))
+    box_pred = jax.nn.sigmoid(pred[..., 1:5])
     box_err = jnp.sum((box_pred - target[..., 1:5]) ** 2, axis=-1)
     n_obj = jnp.maximum(jnp.sum(obj), 1.0)
     box_loss = jnp.sum(obj * box_err) / n_obj
@@ -186,10 +187,6 @@ def decode_detections(pred: jnp.ndarray, top_k: int = 16):
 # --------------------------------------------------------------------------- #
 # Pipeline
 # --------------------------------------------------------------------------- #
-
-def preprocess(trainset, testset, params):
-    return preprocess_fn({"trainset": trainset, "testset": testset}, params)
-
 
 def create_detector(datasets, model_params: Mapping[str, Any]) -> DeepcvModule:
     """Backbone-from-YAML ending in the dense head conv; the final conv's

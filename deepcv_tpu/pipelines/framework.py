@@ -32,6 +32,14 @@ __all__ = ["Node", "Pipeline", "ProjectContext"]
 _logger = logging.getLogger(__name__)
 
 
+def preprocess_node(trainset, testset, params):
+    """Shared preprocess node adapter used by every task package's pipeline
+    registry: catalog datasets -> data.preprocess.preprocess({'trainset',
+    'testset'}, params) (one definition instead of a copy per task module)."""
+    from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
+    return preprocess_fn({"trainset": trainset, "testset": testset}, params)
+
+
 class Node:
     """One pipeline step: ``fn(*inputs) -> outputs``.
 

@@ -18,9 +18,9 @@ from typing import Any, Dict, Mapping, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from deepcv_tpu.pipelines.framework import Node, Pipeline
+from deepcv_tpu.pipelines.framework import Node, Pipeline, \
+    preprocess_node as preprocess
 from deepcv_tpu.spec import DeepcvModule
-from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
 from deepcv_tpu.train import train as train_fn
 from deepcv_tpu.train.backend import BackendConfig
 from deepcv_tpu.train.losses import mse_loss
@@ -84,10 +84,6 @@ class Autoencoder:
 
     def encode(self, variables, x):
         return self.encoder.apply(self._split(variables, "encoder"), x, train=False)
-
-
-def preprocess(trainset, testset, params):
-    return preprocess_fn({"trainset": trainset, "testset": testset}, params)
 
 
 def create_autoencoder(datasets, encoder_params: Mapping[str, Any],

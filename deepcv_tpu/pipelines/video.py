@@ -192,8 +192,12 @@ def generate_flow_dataset(n: int = 512, image_size: int = 32,
                    max_shift + dx:max_shift + dx + image_size]
         xs[i, ..., :3] = a
         xs[i, ..., 3:] = b
-        flows[i, ..., 0] = dx   # backward flow: b sampled at (x+dx, y+dy) is a
-        flows[i, ..., 1] = dy
+        # backward flow in flow_warp's convention out(y,x) = img(y+fy, x+fx):
+        # b[r,c] = a[r+dy, c+dx], so a[r,c] = b[r-dy, c-dx] — the target that
+        # reconstructs a from b is (-dx, -dy). Verified: flow_warp(b, target)
+        # == a exactly on interior pixels (a +dx,+dy target warps AWAY from a)
+        flows[i, ..., 0] = -dx
+        flows[i, ..., 1] = -dy
     return ArrayDataset(xs, flows, name=f"flow_{'train' if train else 'test'}")
 
 
@@ -234,10 +238,8 @@ def train_flow(datasets, model: FlowModel, hp, trackers=()):
 
 def get_pipelines() -> Dict[str, Pipeline]:
     from deepcv_tpu.pipelines.framework import Node
-    from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
 
-    def preprocess(trainset, testset, params):
-        return preprocess_fn({"trainset": trainset, "testset": testset}, params)
+    from deepcv_tpu.pipelines.framework import preprocess_node as preprocess
 
     flow_pipeline = Pipeline([
         Node(preprocess, ["flow_train", "flow_test", "params:flow_preprocessing"],

@@ -143,7 +143,14 @@ struct Loader {
       }
       if (stop.load(std::memory_order_relaxed)) return;
       produce_one(next);
-      produced.store(next + 1, std::memory_order_release);
+      {
+        // publish under the mutex: a store+notify outside it can land between
+        // the consumer's locked predicate check and its atomic release+sleep,
+        // losing the wakeup (deadlocks at depth=1 where no later notify
+        // rescues the sleeper)
+        std::lock_guard<std::mutex> lk(mu);
+        produced.store(next + 1, std::memory_order_release);
+      }
       cv_consumer.notify_one();
     }
   }
@@ -199,7 +206,10 @@ int64_t deepcv_loader_next(void* loader, uint8_t* images_out,
   Slot& s = L->ring[static_cast<size_t>(want % static_cast<int64_t>(L->depth))];
   std::memcpy(images_out, s.images.data(), s.images.size());
   std::memcpy(targets_out, s.targets.data(), s.targets.size());
-  L->consumed.store(want + 1, std::memory_order_release);
+  {
+    std::lock_guard<std::mutex> lk(L->mu);  // see produced store: same race
+    L->consumed.store(want + 1, std::memory_order_release);
+  }
   L->cv_producer.notify_one();
   return want;
 }

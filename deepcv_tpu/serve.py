@@ -210,6 +210,11 @@ class Predictor:
         """Predict any leading batch size; ragged tails are zero-padded to the
         compiled batch (one XLA program, no recompiles)."""
         n = len(images)
+        if n == 0:
+            probe = self._jit_fwd(self.variables, jnp.zeros(
+                (self.batch_size, *np.asarray(images).shape[1:]), jnp.float32))
+            return np.empty((0, *np.asarray(probe).shape[1:]),
+                            np.asarray(probe).dtype)
         bs = self.batch_size
         outs = []
         for start in range(0, n, bs):
@@ -236,11 +241,22 @@ class Predictor:
                     x = self.preprocess(x)
             if self.dtype is not None:
                 x = x.astype(self.dtype)
+            # train=True enables dropout; batch-stat collections must be
+            # mutable (flax BN updates them in train mode — immutable would
+            # raise on every batch_norm model) and the updates are DISCARDED.
+            # Note: BN therefore normalizes with MC-batch statistics during
+            # sampling, the standard MC-dropout compromise.
+            mut = [c for c in ("batch_stats",) if c in variables]
             out = self.model.apply(variables, x, train=True,
-                                   rngs={"dropout": key}, mutable=False)
+                                   rngs={"dropout": key},
+                                   mutable=mut if mut else False)
             return out[0] if isinstance(out, tuple) else out
 
-        jfwd = jax.jit(fwd)
+        # cache the compiled MC forward: rebuilding jax.jit per call would
+        # re-trace and recompile every time
+        jfwd = getattr(self, "_jit_mc_fwd", None)
+        if jfwd is None:
+            jfwd = self._jit_mc_fwd = jax.jit(fwd)
         x = jnp.asarray(images)
         outs = jnp.stack([jfwd(self.variables, x,
                                jax.random.PRNGKey(seed + i))

@@ -289,3 +289,18 @@ def test_wide_classifier_zoo_entry():
     # the training params for it carry the perf-relevant defaults
     thp = dict(ctx.params("train_wide_classifier"))
     assert thp["dtype"] == "bfloat16" and thp["batch_size"] >= 1024
+
+
+def test_flow_targets_are_backward_flow():
+    """The dataset's flow targets must satisfy flow_warp's convention
+    exactly: warping frame b by the target reconstructs frame a (they were
+    sign-inverted before round 2's review — a model trained on them warped
+    AWAY from alignment)."""
+    from deepcv_tpu.pipelines.video import generate_flow_dataset
+
+    ds = generate_flow_dataset(n=4, image_size=16, max_shift=3, seed=0)
+    x = jnp.asarray(ds.images, jnp.float32) / 255.0
+    a, b, t = x[..., :3], x[..., 3:], jnp.asarray(ds.targets)
+    interior = (slice(None), slice(4, 12), slice(4, 12), slice(None))
+    err = float(jnp.abs(flow_warp(b, t)[interior] - a[interior]).max())
+    assert err < 1e-5, err
