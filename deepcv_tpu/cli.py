@@ -74,6 +74,17 @@ def _parse_extra_params(entries: List[str]) -> Dict[str, Any]:
     return out
 
 
+def _default_space_path(project_path, pipeline: str) -> Path:
+    """Resolve the default NNI search-space file: shipped spaces are named
+    after the MODEL ('image_classifier_...', reference conf layout), so try
+    both the pipeline name and the 'train_'-stripped form."""
+    space_dir = Path(project_path) / "conf" / "base" / "hp_search_spaces"
+    cands = [space_dir / f"{pipeline}_hp_search_space.json",
+             space_dir / (pipeline.removeprefix("train_")
+                          + "_hp_search_space.json")]
+    return next((p for p in cands if p.exists()), cands[0])
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="deepcv_tpu", description="TPU-native DeepCV framework CLI")
@@ -213,17 +224,8 @@ def _cmd_search(args) -> int:
         "train_image_classifier_cifar100": "image_classifier_model",
         "train_keypoint_detector": "keypoints_encoder_model",
     }.get(pipeline, "image_classifier_model")
-    space_dir = Path(args.project_path) / "conf" / "base" / "hp_search_spaces"
-    if args.space:
-        space_path = Path(args.space)
-    else:
-        # shipped spaces are named after the MODEL ('image_classifier_...'),
-        # reference conf layout — try both the pipeline name and the
-        # 'train_'-stripped form so the default invocation resolves
-        cands = [space_dir / f"{pipeline}_hp_search_space.json",
-                 space_dir / (pipeline.removeprefix("train_")
-                              + "_hp_search_space.json")]
-        space_path = next((p for p in cands if p.exists()), cands[0])
+    space_path = Path(args.space) if args.space else \
+        _default_space_path(args.project_path, pipeline)
     if not Path(space_path).exists():
         raise SystemExit(f"search space not found: {space_path}")
     space = HyperparameterSpace.from_nni_json(str(space_path))

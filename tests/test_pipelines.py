@@ -304,3 +304,13 @@ def test_flow_targets_are_backward_flow():
     interior = (slice(None), slice(4, 12), slice(4, 12), slice(None))
     err = float(jnp.abs(flow_warp(b, t)[interior] - a[interior]).max())
     assert err < 1e-5, err
+
+
+def test_cli_default_search_space_resolves():
+    """The default `deepcv_tpu search` invocation must find the shipped
+    space file (named after the MODEL, not the pipeline)."""
+    from deepcv_tpu.cli import _default_space_path
+
+    p = _default_space_path(str(REPO), "train_image_classifier")
+    assert p.exists(), p
+    assert p.name == "image_classifier_hp_search_space.json"
