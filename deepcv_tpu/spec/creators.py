@@ -100,6 +100,9 @@ class CreatorContext:
     # 'int8' => conv/dense compute in w8a8 on the MXU's int8 path (inference;
     # params stay float so trained checkpoints load unchanged)
     quantize: Optional[str] = None
+    # node_name -> static activation scale from compression.calibrate_int8_scales
+    # (removes the per-call amax pass; absent nodes quantize dynamically)
+    quantize_scales: Mapping[str, float] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -305,8 +308,11 @@ def _make_conv_creator(rank: int, transpose: bool):
             op = fnn.ConvTranspose(kernel_dilation=dilation, **common)
         else:
             if ctx.quantize == "int8":
+                import functools
                 from deepcv_tpu.compression import int8_conv_general_dilated
-                common["conv_general_dilated"] = int8_conv_general_dilated
+                common["conv_general_dilated"] = functools.partial(
+                    int8_conv_general_dilated,
+                    act_scale=ctx.quantize_scales.get(name))
             op = fnn.Conv(kernel_dilation=dilation,
                           feature_group_count=int(params.get("groups", 1)), **common)
         return _as_layer(op, params, ctx, name=name)
@@ -338,8 +344,10 @@ def _fully_connected(params: Mapping[str, Any], ctx: CreatorContext, name: str) 
     gain = dnn.get_gain(params.get("act_fn"))
     extra = {}
     if ctx.quantize == "int8":
+        import functools
         from deepcv_tpu.compression import int8_dot_general
-        extra["dot_general"] = int8_dot_general
+        extra["dot_general"] = functools.partial(
+            int8_dot_general, act_scale=ctx.quantize_scales.get(name))
     op = fnn.Dense(features=int(out_features),
                    use_bias=bool(params.get("use_bias", params.get("bias", True))),
                    dtype=ctx.dtype, param_dtype=ctx.param_dtype,

@@ -71,6 +71,7 @@ class DeepcvModule:
                  nas_arch: Optional[Mapping[str, Any]] = None,
                  nas_sampling: str = "softmax",
                  quantize: Optional[str] = None,
+                 quantize_scales: Optional[Mapping[str, float]] = None,
                  name: Optional[str] = None):
         #: channel-last input shape WITHOUT batch dim, e.g. (32, 32, 3)
         self.input_shape = tuple(int(s) for s in input_shape)
@@ -101,7 +102,7 @@ class DeepcvModule:
             conv_spatial_rank=max(1, len(self.input_shape) - 1),
             weight_norm=self._hp.get("weight_norm"),
             spectral_norm=self._hp.get("spectral_norm"),
-            quantize=quantize)
+            quantize=quantize, quantize_scales=dict(quantize_scales or {}))
         metas, impls, refd = define_nn_architecture(self._hp["architecture"], self._hp, ctx)
         self.module = SpecModule(node_metas=metas, node_impls=impls, referenced=refd,
                                  sampling=nas_sampling, name=name)

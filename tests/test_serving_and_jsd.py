@@ -253,3 +253,34 @@ def test_int8_model_rejects_training():
     m.apply(v, x, train=False)  # inference fine
     with pytest.raises(ValueError, match="inference-only"):
         m.apply(v, x, train=True)
+
+
+def test_int8_static_calibration(setup):
+    """calibrate_int8_scales + quantize_scales: per-node static activation
+    scales (no per-call amax pass — measured 1.25x bf16 on v5e, where dynamic
+    int8 only broke even) with float-level predictions preserved."""
+    from deepcv_tpu.compression import calibrate_int8_scales
+
+    model, data, ckpt, state = setup
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    imgs = data["trainset"].dataset.images
+    cal = [jnp.asarray(imgs[i:i + 32], jnp.float32) / 255.0 for i in (0, 32)]
+    scales = calibrate_int8_scales(model, variables, cal)
+    assert scales and all(v > 0 for v in scales.values())
+    # keys are spec node names (the creators bind them by name)
+    assert all(any(tok in k for tok in ("conv", "fully_connected"))
+               for k in scales)
+
+    ms = DeepcvModule(model.input_shape, model.hp.to_dict(), quantize="int8",
+                      quantize_scales=scales)
+    x = jnp.asarray(imgs[:64], jnp.float32) / 255.0
+    yf = model.apply(variables, x, train=False)
+    ys = ms.apply(variables, x, train=False)
+    agree = float((jnp.argmax(yf, -1) == jnp.argmax(ys, -1)).mean())
+    assert agree >= 0.9, agree
+    # static path really differs from the dynamic one (scales are bound)
+    md = DeepcvModule(model.input_shape, model.hp.to_dict(), quantize="int8")
+    yd = md.apply(variables, x, train=False)
+    assert float(jnp.abs(ys - yd).max()) > 0
