@@ -398,18 +398,59 @@ def bench_streaming():
         shutil.rmtree(d, ignore_errors=True)   # ~400MB on TPU: don't leak
 
 
+def bench_serving_int8():
+    """Config 8: serving throughput — bf16 vs CALIBRATED static-int8 w8a8 on
+    the wide classifier (the int8 path that actually wins: dynamic scales
+    break even because the per-call amax pass costs what the MXU saves)."""
+    import numpy as np
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.compression import calibrate_int8_scales
+
+    hp = _wide_classifier_hp()
+    B = 4096 if jax.devices()[0].platform != "cpu" else 256
+    mf = DeepcvModule((32, 32, 3), hp, dtype=jnp.bfloat16)
+    v = mf.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (B, 32, 32, 3)), jnp.bfloat16)
+    scales = calibrate_int8_scales(mf, v, [x[:256].astype(jnp.float32)])
+    ms = DeepcvModule((32, 32, 3), hp, dtype=jnp.bfloat16, quantize="int8",
+                      quantize_scales=scales)
+
+    def timer(m, n=40):
+        f = jax.jit(lambda v, x: m.apply(v, x, train=False))
+        r = f(v, x)
+        _ = float(jax.device_get(jnp.sum(r.astype(jnp.float32))))
+        t0 = time.perf_counter()
+        for _i in range(n):
+            r = f(v, x)
+        _ = float(jax.device_get(jnp.sum(r.astype(jnp.float32))))
+        return (time.perf_counter() - t0) / n
+
+    t_bf, t_i8 = timer(mf), timer(ms)
+    yf = mf.apply(v, x[:512], train=False)
+    ys = ms.apply(v, x[:512], train=False)
+    agree = float((jnp.argmax(yf, -1) == jnp.argmax(ys, -1)).mean())
+    print(json.dumps({"metric": "int8_static_serving_speedup",
+                      "value": round(t_bf / t_i8, 3), "unit": "x vs bf16",
+                      "vs_baseline": round(t_bf / t_i8, 3),
+                      "bf16_img_s": round(B / t_bf, 0),
+                      "int8_img_s": round(B / t_i8, 0),
+                      "top1_agreement": agree, "data": "synthetic"}))
+
+
 if __name__ == "__main__":
     import argparse
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7],
+                    choices=[1, 2, 3, 4, 5, 6, 7, 8],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
-                         "7=streaming memmap (larger-than-RAM path)")
+                         "7=streaming memmap (larger-than-RAM path), "
+                         "8=int8 static serving vs bf16")
     args = ap.parse_args()
     [main, bench_preprocess, bench_one_cycle_cifar100,
      bench_keypoints_matching, bench_hp_search, bench_mfu,
-     bench_streaming][args.config - 1]()
+     bench_streaming, bench_serving_int8][args.config - 1]()
