@@ -285,18 +285,23 @@ def _cmd_predict(args) -> int:
               file=sys.stderr)
         return 2
     images = np.load(args.input)
-    quantize_scales = None
+    model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
+                                         quantize=args.quantize)
     if args.quantize and args.calibrate > 0:
         from deepcv_tpu.compression import calibrate_int8_scales
+        from deepcv_tpu.spec import DeepcvModule
         import jax.numpy as jnp
-        fmodel, fvars = load_model_bundle(args.bundle, dtype=args.dtype)
+        # calibrate on the FLOAT build (same hp, same variables — no second
+        # bundle read), then rebuild the quantized model with static scales
+        fmodel = DeepcvModule(model.input_shape, model.hp.to_dict(),
+                              dtype=model.dtype)
         cal = jnp.asarray(images[:args.calibrate], jnp.float32)
         if images.dtype == np.uint8:
             cal = cal / 255.0
-        quantize_scales = calibrate_int8_scales(fmodel, fvars, [cal])
-    model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
-                                         quantize=args.quantize,
-                                         quantize_scales=quantize_scales)
+        scales = calibrate_int8_scales(fmodel, variables, [cal])
+        model = DeepcvModule(model.input_shape, model.hp.to_dict(),
+                             dtype=model.dtype, quantize=args.quantize,
+                             quantize_scales=scales)
     preprocess = None
     if args.to_tensor or args.normalize:
         from deepcv_tpu.data.transforms import to_tensor, normalize as _norm
