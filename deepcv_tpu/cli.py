@@ -287,21 +287,6 @@ def _cmd_predict(args) -> int:
     images = np.load(args.input)
     model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
                                          quantize=args.quantize)
-    if args.quantize and args.calibrate > 0:
-        from deepcv_tpu.compression import calibrate_int8_scales
-        from deepcv_tpu.spec import DeepcvModule
-        import jax.numpy as jnp
-        # calibrate on the FLOAT build (same hp, same variables — no second
-        # bundle read), then rebuild the quantized model with static scales
-        fmodel = DeepcvModule(model.input_shape, model.hp.to_dict(),
-                              dtype=model.dtype)
-        cal = jnp.asarray(images[:args.calibrate], jnp.float32)
-        if images.dtype == np.uint8:
-            cal = cal / 255.0
-        scales = calibrate_int8_scales(fmodel, variables, [cal])
-        model = DeepcvModule(model.input_shape, model.hp.to_dict(),
-                             dtype=model.dtype, quantize=args.quantize,
-                             quantize_scales=scales)
     preprocess = None
     if args.to_tensor or args.normalize:
         from deepcv_tpu.data.transforms import to_tensor, normalize as _norm
@@ -325,6 +310,25 @@ def _cmd_predict(args) -> int:
         print("note: uint8 input without --to-tensor/--normalize — the model "
               "receives raw 0-255 values; pass the transforms training used",
               file=sys.stderr)
+    if args.quantize and args.calibrate > 0:
+        from deepcv_tpu.compression import calibrate_int8_scales
+        from deepcv_tpu.spec import DeepcvModule
+        import jax.numpy as jnp
+        # calibrate the FLOAT build on EXACTLY what inference will feed the
+        # model (same preprocess chain) — scales recorded on differently
+        # scaled inputs would be wrong; rebuild quantized with the scales
+        fmodel = DeepcvModule(model.input_shape, model.hp.to_dict(),
+                              dtype=model.dtype)
+        # keep the ORIGINAL dtype: to_tensor only rescales uint8, so a
+        # premature float cast would skip the /255 the real inputs get
+        cal = jnp.asarray(images[:args.calibrate])
+        if preprocess is not None:
+            cal = preprocess(cal)
+        cal = cal.astype(jnp.float32)
+        scales = calibrate_int8_scales(fmodel, variables, [cal])
+        model = DeepcvModule(model.input_shape, model.hp.to_dict(),
+                             dtype=model.dtype, quantize=args.quantize,
+                             quantize_scales=scales)
     pred = Predictor(model, variables, batch_size=args.batch_size,
                      preprocess=preprocess)
     out = np.asarray(pred(images))

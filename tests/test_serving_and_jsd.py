@@ -163,6 +163,16 @@ def test_predict_cli(tmp_path, setup):
     assert preds8.shape == preds.shape
     agree = (preds.argmax(-1) == preds8.argmax(-1)).mean()
     assert agree >= 0.8, agree
+    # calibrated static scales through the CLI (predict --calibrate N)
+    outc = tmp_path / "preds_int8_cal.npy"
+    rc = main(["predict", "--bundle", str(bundle),
+               "--input", str(tmp_path / "imgs.npy"),
+               "--output", str(outc), "--batch-size", "4",
+               "--quantize", "int8", "--calibrate", "8"])
+    assert rc == 0
+    predsc = np.load(outc)
+    agree_c = (preds.argmax(-1) == predsc.argmax(-1)).mean()
+    assert agree_c >= 0.8, agree_c
 
 
 def test_int8_quantized_inference(tmp_path, setup):
