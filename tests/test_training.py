@@ -413,3 +413,27 @@ def test_golden_loss_trajectory(tmp_path):
     np.testing.assert_allclose([r["main_loss"] for r in hist["train"]],
                                golden, rtol=2e-4)
     assert np.isclose(hist["valid"][-1]["valid_accuracy"], 0.3125, atol=1e-6)
+
+
+def test_staged_streaming_matches_per_batch(tiny_setup, tmp_path):
+    """stream_scan_batches groups k batches into one scanned dispatch; the
+    grouping preserves step count, data order, and training dynamics. The
+    two runs compile DIFFERENT XLA programs (scan vs per-step), so float
+    rounding differs at ~1e-3 after two epochs of amplification — assert
+    trajectory-level agreement, not bit equality."""
+    model, data = tiny_setup
+    base = {"epochs": 2, "batch_size": 32, "optimizer_opts": {"lr": 3e-3},
+            "save_every_iters": 0, "log_progress_every_iters": 1000,
+            "device_resident_dataset": False,   # force streaming
+            "output_path": str(tmp_path), "seed": 9,
+            "backend_conf": {"n_devices": 1}}
+    _, h1 = train(dict(base, stream_scan_batches=1), model,
+                  cross_entropy_loss, data)
+    _, h4 = train(dict(base, stream_scan_batches=4), model,
+                  cross_entropy_loss, data)
+    assert h1["steps"] == h4["steps"]
+    np.testing.assert_allclose(h1["valid"][-1]["valid_main_loss"],
+                               h4["valid"][-1]["valid_main_loss"],
+                               rtol=2e-2)
+    np.testing.assert_allclose(h1["valid"][-1]["valid_accuracy"],
+                               h4["valid"][-1]["valid_accuracy"], atol=0.06)
