@@ -312,13 +312,14 @@ def _cmd_predict(args) -> int:
               file=sys.stderr)
     if args.quantize and args.calibrate > 0:
         from deepcv_tpu.compression import calibrate_int8_scales
-        from deepcv_tpu.spec import DeepcvModule
         import jax.numpy as jnp
         # calibrate the FLOAT build on EXACTLY what inference will feed the
         # model (same preprocess chain) — scales recorded on differently
-        # scaled inputs would be wrong; rebuild quantized with the scales
-        fmodel = DeepcvModule(model.input_shape, model.hp.to_dict(),
-                              dtype=model.dtype)
+        # scaled inputs would be wrong; rebuild quantized with the scales.
+        # with_options preserves nas_mode/nas_arch/nas_sampling so a bundle
+        # exported from a NAS search calibrates the TRAINED graph, not the
+        # default-choice one.
+        fmodel = model.with_options(quantize=None, quantize_scales=None)
         # keep the ORIGINAL dtype: to_tensor only rescales uint8, so a
         # premature float cast would skip the /255 the real inputs get
         cal = jnp.asarray(images[:args.calibrate])
@@ -326,9 +327,8 @@ def _cmd_predict(args) -> int:
             cal = preprocess(cal)
         cal = cal.astype(jnp.float32)
         scales = calibrate_int8_scales(fmodel, variables, [cal])
-        model = DeepcvModule(model.input_shape, model.hp.to_dict(),
-                             dtype=model.dtype, quantize=args.quantize,
-                             quantize_scales=scales)
+        model = model.with_options(quantize=args.quantize,
+                                   quantize_scales=scales)
     pred = Predictor(model, variables, batch_size=args.batch_size,
                      preprocess=preprocess)
     out = np.asarray(pred(images))

@@ -47,7 +47,8 @@ class BatchIterator:
                  batch_size: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 shuffle_chunk: Optional[int] = None):
+                 shuffle_chunk: Optional[int] = None,
+                 distribute_remainder: bool = False):
         self.data = _unwrap(dataset)
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -55,13 +56,21 @@ class BatchIterator:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        # by default each host takes a truncated len//k shard (training: the
+        # dropped tail is < one global batch and resampled next epoch).
+        # distribute_remainder=True instead spreads the len%k tail over the
+        # first hosts so EVERY sample is assigned exactly once — required for
+        # exact multi-host validation. All hosts still iterate the same
+        # number of (wrap-padded, static-shape) batches.
+        self.distribute_remainder = distribute_remainder
         # memmap-backed data shuffles CHUNK-wise (shuffled chunk order +
         # within-chunk permutation): reads stay page-local instead of seeking
         # across the whole file for every batch
         if shuffle_chunk is None and isinstance(self.data.images, np.memmap):
             shuffle_chunk = max(self.batch_size, 8192)
         self.shuffle_chunk = shuffle_chunk
-        n = len(self.data) // process_count
+        per, rem = divmod(len(self.data), process_count)
+        n = per + (1 if (distribute_remainder and rem) else 0)
         self.num_batches = n // self.batch_size if drop_last else -(-n // self.batch_size)
         if self.num_batches == 0:
             raise ValueError(f"Dataset ({n} per-process items) smaller than one "
@@ -82,8 +91,17 @@ class BatchIterator:
         else:
             order = np.arange(n_total)
         # per-host contiguous shard of the (identically-seeded) permutation
-        per = n_total // self.process_count
-        order = order[self.process_index * per:(self.process_index + 1) * per]
+        per, rem = divmod(n_total, self.process_count)
+        if self.distribute_remainder:
+            start = self.process_index * per + min(self.process_index, rem)
+            stop = start + per + (1 if self.process_index < rem else 0)
+        else:
+            start, stop = self.process_index * per, (self.process_index + 1) * per
+        order = order[start:stop]
+        if len(order) == 0:
+            # degenerate: more hosts than samples — this host's whole batch
+            # is padding (masked out by the caller's per-host valid counts)
+            order = np.arange(min(self.batch_size, n_total))
         bs = self.batch_size
         for b in range(self.num_batches):
             idx = order[b * bs:(b + 1) * bs]

@@ -115,14 +115,16 @@ def pad(x: jnp.ndarray, padding: Union[int, Tuple[int, int]], mode: str = "const
 
 @_register_transform("rgb_to_grayscale", aliases=("grayscale",))
 def rgb_to_grayscale(x: jnp.ndarray, keep_channels: bool = True) -> jnp.ndarray:
-    """ITU-R 601-2 luma (PIL convert('L') weights). Non-RGB images (e.g.
-    1-channel MNIST) are already 'L': convert is the identity, matching
-    PIL's behavior instead of crashing on the missing channels."""
-    if x.shape[-1] != 3:
+    """ITU-R 601-2 luma (PIL convert('L') weights). 1/2-channel images (e.g.
+    MNIST) are already 'L': convert is the identity, matching PIL's behavior
+    instead of crashing on the missing channels. 4+-channel inputs (RGBA,
+    stacked frames) take the luma of their first 3 channels, like PIL's
+    RGBA->L."""
+    if x.shape[-1] < 3:
         g = x[..., :1]
     else:
         w = jnp.asarray([0.299, 0.587, 0.114], dtype=x.dtype)
-        g = jnp.tensordot(x, w, axes=([-1], [0]))[..., None]
+        g = jnp.tensordot(x[..., :3], w, axes=([-1], [0]))[..., None]
     if keep_channels:
         g = jnp.broadcast_to(g, x.shape[:-1] + (x.shape[-1],))
     return g

@@ -63,8 +63,9 @@ class GridTuner(_BaseTuner):
             elif d.kind == "quniform":
                 lo, hi = float(d.values[0]), float(d.values[1])
                 q = float(d.values[2]) if len(d.values) > 2 else 1.0
-                pts = np.unique(np.round(
-                    np.linspace(lo, hi, resolution) / q) * q)
+                # clip like NNI quniform (rounding can escape [lo, hi])
+                pts = np.unique(np.clip(np.round(
+                    np.linspace(lo, hi, resolution) / q) * q, lo, hi))
                 axes.append([(name, float(v)) for v in pts])
             else:
                 lo, hi = float(d.values[0]), float(d.values[1])

@@ -212,10 +212,16 @@ class Predictor:
         compiled batch (one XLA program, no recompiles)."""
         n = len(images)
         if n == 0:
-            probe = self._jit_fwd(self.variables, jnp.zeros(
-                (self.batch_size, *np.asarray(images).shape[1:]), jnp.float32))
-            return np.empty((0, *np.asarray(probe).shape[1:]),
-                            np.asarray(probe).dtype)
+            # derive the empty-output shape WITHOUT executing the model:
+            # eval_shape traces only. An empty plain list carries no item
+            # dims — fall back to the model's input shape.
+            item_shape = tuple(np.asarray(images).shape[1:]) or \
+                tuple(self.model.input_shape)
+            probe = jax.eval_shape(
+                self._jit_fwd, self.variables,
+                jax.ShapeDtypeStruct((self.batch_size, *item_shape),
+                                     jnp.float32))
+            return np.empty((0, *probe.shape[1:]), probe.dtype)
         bs = self.batch_size
         outs = []
         for start in range(0, n, bs):

@@ -85,6 +85,8 @@ class DeepcvModule:
         #: tree is IDENTICAL to the float build, so trained checkpoints /
         #: bundles restore into a quantized rebuild unchanged
         self.quantize = quantize
+        self.quantize_scales = dict(quantize_scales or {})
+        self.nas_sampling = nas_sampling
 
         def _any_dropout(node) -> bool:
             if isinstance(node, Mapping):
@@ -108,6 +110,24 @@ class DeepcvModule:
                                  sampling=nas_sampling, name=name)
 
     # ------------------------------------------------------------------ API
+    def with_options(self, **overrides) -> "DeepcvModule":
+        """Rebuild this model with the SAME architecture and NAS options,
+        overriding only the given constructor kwargs (``quantize=...``,
+        ``dtype=...``, ``quantize_scales=...``).
+
+        The param tree of the rebuild is identical to this model's, so
+        trained variables restore unchanged. Use this instead of calling
+        ``DeepcvModule(model.input_shape, model.hp.to_dict())`` by hand —
+        a manual rebuild silently drops ``nas_mode``/``nas_arch`` and would
+        run a different (default-choice) graph for NAS-exported bundles.
+        """
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  axis_name=self.axis_name, nas_mode=self.nas_mode,
+                  nas_arch=self.nas_arch, nas_sampling=self.nas_sampling,
+                  quantize=self.quantize, quantize_scales=self.quantize_scales)
+        kw.update(overrides)
+        return type(self)(self.input_shape, self._hp.to_dict(), **kw)
+
     @property
     def hp(self) -> Hyperparameters:
         return self._hp
@@ -264,6 +284,11 @@ class DeepcvModuleWithSharedImageBlock(DeepcvModule):
         self.freeze_shared = freeze_shared
         self._shared = SharedImageEmbedding(dtype=kw.get("dtype"), name=self.SHARED_SCOPE)
         super().__init__(input_shape, hp, **kw)
+
+    def with_options(self, **overrides):
+        overrides.setdefault("enable_shared_block", self.enable_shared_block)
+        overrides.setdefault("freeze_shared", self.freeze_shared)
+        return super().with_options(**overrides)
 
     def init(self, rng, batch_size: int = 1):
         if not self.enable_shared_block:

@@ -424,22 +424,24 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         jit_stage = jax.jit(scan_steps_staged, donate_argnums=(0,),
                             in_shardings=(None, stage_shd, stage_shd))
 
-    def eval_step(state: TrainState, raw_x, y, n_valid: int):
-        """Eval on a batch whose first ``n_valid`` samples are real; the rest
-        are wrap-around padding that keeps shapes static (pipeline.py). The
-        forward runs on the full padded batch (sharding-friendly), losses and
-        metrics on the statically-sliced real prefix — so the last partial
-        batch never double-counts samples. ``n_valid`` takes only two values
-        per dataset (full / tail), i.e. at most one extra compile.
+    def eval_step(state: TrainState, raw_x, y, n_valid: Tuple[int, ...]):
+        """Eval on a batch where host i's block holds ``n_valid[i]`` real
+        samples at its head; the rest are wrap-around padding that keeps
+        shapes static (pipeline.py). The forward runs on the full padded
+        batch (sharding-friendly), losses and metrics on the statically
+        gathered real rows — so partial batches never double-count samples.
+        ``n_valid`` takes only two values per dataset (full / tail), i.e. at
+        most one extra compile.
 
         Uses the VALIDSET's own transforms (preprocess() attaches the same
         non-augmenting chain to every split, but a caller-supplied validset
         with different transforms must not be preprocessed like trainset).
 
-        ``n_valid`` is the PER-HOST real count; under multi-host assembly the
-        global batch is host-major blocks, so the real rows are gathered from
-        the head of each block (a bare prefix slice would take only host 0's
-        rows)."""
+        ``n_valid`` is the PER-HOST real-count tuple; under multi-host
+        assembly the global batch is host-major blocks, so the real rows are
+        gathered from the head of each block. Per-host counts DIFFER on the
+        tail batch when ``len(validset) % process_count != 0`` — every
+        sample is counted exactly once on any world size."""
         x = validset.batch_transform(raw_x, augment=False)
         if dtype is not None:
             x = x.astype(dtype)
@@ -447,8 +449,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         y_t = x if self_target else validset.transform_targets(y)
         k = backend.process_count
         block = x.shape[0] // k
-        real = (jnp.arange(k)[:, None] * block
-                + jnp.arange(n_valid)[None, :]).reshape(-1)
+        real = jnp.concatenate([i * block + jnp.arange(c)
+                                for i, c in enumerate(n_valid)])
         logits, y_t = logits[real], y_t[real]
         _, terms = losses(logits, y_t)
         out = dict(terms)
@@ -479,12 +481,19 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         ebs_local = eval_bs // k
         it = BatchIterator(validset, ebs_local, shuffle=False, drop_last=False,
                            process_index=backend.rank,
-                           process_count=backend.process_count)
-        per_host = len(validset) // k
+                           process_count=backend.process_count,
+                           distribute_remainder=True)
+        # host i owns per+1 samples when i < len%k, else per — mirrors
+        # BatchIterator's contiguous shard split, so the per-host real
+        # counts here are exactly what each host's batches contain
+        per, rem = divmod(len(validset), k)
+        host_n = [per + (1 if i < rem else 0) for i in range(k)]
         for b, (raw_x, y) in enumerate(
                 prefetch_to_device(it.epoch(0), sharding=data_shd)):
-            n_valid = min(ebs_local, per_host - b * ebs_local)
-            acc.update(jit_eval(state, raw_x, y, n_valid), weight=n_valid * k)
+            n_valid = tuple(max(0, min(ebs_local, host_n[i] - b * ebs_local))
+                            for i in range(k))
+            acc.update(jit_eval(state, raw_x, y, n_valid),
+                       weight=sum(n_valid))
         return {f"valid_{k}": v for k, v in acc.compute().items()}
 
     # ---------------- the loop ---------------------------------------------- #
@@ -616,8 +625,12 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     step += k
                     n_seen += k * global_batch
                     flush_train_log(step)
-                    events.fire(TrainingEvents.ITERATION_COMPLETED, count=step,
-                                state=state, metrics=m)
+                    # fire once per LOGICAL step (group-mean metrics) so
+                    # event subscribers keep per-iteration cadence no matter
+                    # what stream_scan_batches is
+                    for s in range(step - k + 1, step + 1):
+                        events.fire(TrainingEvents.ITERATION_COMPLETED,
+                                    count=s, state=state, metrics=m)
                     if ckpt and save_every > 0 and step % save_every == 0:
                         ckpt.save(step, jax.device_get(state))
 
