@@ -189,28 +189,49 @@ def bench_one_cycle_cifar100():
 
 
 def bench_keypoints_matching():
-    """BASELINE config #4: feature extraction + descriptor matching."""
+    """BASELINE config #4: the FULL keypoints pipeline — zoo encoder forward
+    on image batches + dense descriptors + mutual-NN matching, all inside the
+    timed region (round-2 verdict Weak #4: the encoder forward was skipped,
+    overstating pipeline throughput)."""
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.ops.nn import get_model_capacity
     from deepcv_tpu.pipelines.keypoints import (extract_dense_descriptors,
                                                 match_descriptors)
-    key = jax.random.PRNGKey(0)
-    fmap = jax.random.normal(key, (64, 16, 16, 64), jnp.float32)
+    from deepcv_tpu.spec import DeepcvModule
+
+    doc = load_yaml(str(Path(__file__).parent / "conf/base/parameters.yml"))
+    enc_hp = dict(doc["keypoints_encoder_model"])
+    enc = DeepcvModule((64, 64, 3), enc_hp, dtype=jnp.bfloat16)
+    v = enc.init(jax.random.PRNGKey(0))
+    n_params = get_model_capacity(v.get("params"))
+
+    key = jax.random.PRNGKey(1)
+    B = 64
+    img_a = jax.random.uniform(key, (B, 64, 64, 3), jnp.bfloat16)
+    img_b = img_a + 0.02 * jax.random.normal(
+        jax.random.fold_in(key, 1), (B, 64, 64, 3), jnp.bfloat16)
 
     @jax.jit
-    def pipeline(fmap_a, fmap_b):
-        da = extract_dense_descriptors(fmap_a).reshape(-1, 64)
-        db = extract_dense_descriptors(fmap_b).reshape(-1, 64)
+    def pipeline(variables, img_a, img_b):
+        fa = enc.apply(variables, img_a, train=False).astype(jnp.float32)
+        fb = enc.apply(variables, img_b, train=False).astype(jnp.float32)
+        c = fa.shape[-1]
+        da = extract_dense_descriptors(fa).reshape(-1, c)
+        db = extract_dense_descriptors(fb).reshape(-1, c)
         return match_descriptors(da, db, mutual=True)
 
-    jax.block_until_ready(pipeline(fmap, fmap)[0])
+    jax.block_until_ready(pipeline(v, img_a, img_a)[0])
     t0 = time.perf_counter()
     n_it = 20
     for i in range(n_it):
-        out = pipeline(fmap, fmap + i * 1e-3)
+        out = pipeline(v, img_a, img_b + i * 1e-3)
     jax.block_until_ready(out[0])
-    pairs_s = 64 * n_it / (time.perf_counter() - t0)
-    print(json.dumps({"metric": "descriptor_matching_throughput",
+    pairs_s = B * n_it / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "keypoints_encode_and_match_throughput",
                       "value": round(pairs_s, 1), "unit": "image_pairs/s",
                       "vs_baseline": round(pairs_s / 100.0, 3),
+                      "encoder_params": int(n_params),
+                      "image_shape": [64, 64, 3],
                       "data": "synthetic"}))
 
 
@@ -416,8 +437,7 @@ def bench_serving_int8():
     ms = DeepcvModule((32, 32, 3), hp, dtype=jnp.bfloat16, quantize="int8",
                       quantize_scales=scales)
 
-    def timer(m, n=40):
-        f = jax.jit(lambda v, x: m.apply(v, x, train=False))
+    def timer(f, n=40):
         r = f(v, x)
         _ = float(jax.device_get(jnp.sum(r.astype(jnp.float32))))
         t0 = time.perf_counter()
@@ -426,15 +446,31 @@ def bench_serving_int8():
         _ = float(jax.device_get(jnp.sum(r.astype(jnp.float32))))
         return (time.perf_counter() - t0) / n
 
-    t_bf, t_i8 = timer(mf), timer(ms)
+    f_bf = jax.jit(lambda v, x: mf.apply(v, x, train=False))
+    f_i8 = jax.jit(lambda v, x: ms.apply(v, x, train=False))
+    # ALTERNATE the two programs over >=5 draws and report the median ratio
+    # with its spread: a single draw on a noisy tunneled host once recorded a
+    # best-case 1.37x whose honest center re-measured at ~1.28x (r2 Weak #5)
+    draws = 5
+    ratios, t_bfs, t_i8s = [], [], []
+    for _d in range(draws):
+        t_bf, t_i8 = timer(f_bf), timer(f_i8)
+        t_bfs.append(t_bf)
+        t_i8s.append(t_i8)
+        ratios.append(t_bf / t_i8)
+    ratios.sort()
+    med = ratios[draws // 2]
     yf = mf.apply(v, x[:512], train=False)
     ys = ms.apply(v, x[:512], train=False)
     agree = float((jnp.argmax(yf, -1) == jnp.argmax(ys, -1)).mean())
+    import statistics
     print(json.dumps({"metric": "int8_static_serving_speedup",
-                      "value": round(t_bf / t_i8, 3), "unit": "x vs bf16",
-                      "vs_baseline": round(t_bf / t_i8, 3),
-                      "bf16_img_s": round(B / t_bf, 0),
-                      "int8_img_s": round(B / t_i8, 0),
+                      "value": round(med, 3),
+                      "unit": "x vs bf16 (median of 5 alternating draws)",
+                      "vs_baseline": round(med, 3),
+                      "ratio_spread": [round(ratios[0], 3), round(ratios[-1], 3)],
+                      "bf16_img_s": round(B / statistics.median(t_bfs), 0),
+                      "int8_img_s": round(B / statistics.median(t_i8s), 0),
                       "top1_agreement": agree, "data": "synthetic"}))
 
 

@@ -47,34 +47,32 @@ class BatchIterator:
                  batch_size: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 shuffle_chunk: Optional[int] = None,
-                 distribute_remainder: bool = False):
+                 shuffle_chunk: Optional[int] = None):
         self.data = _unwrap(dataset)
-        self.batch_size = int(batch_size)
+        self.batch_size = int(batch_size)   # PER-PROCESS batch
         self.shuffle = shuffle
         self.seed = int(seed)
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
-        # by default each host takes a truncated len//k shard (training: the
-        # dropped tail is < one global batch and resampled next epoch).
-        # distribute_remainder=True instead spreads the len%k tail over the
-        # first hosts so EVERY sample is assigned exactly once — required for
-        # exact multi-host validation. All hosts still iterate the same
-        # number of (wrap-padded, static-shape) batches.
-        self.distribute_remainder = distribute_remainder
         # memmap-backed data shuffles CHUNK-wise (shuffled chunk order +
         # within-chunk permutation): reads stay page-local instead of seeking
         # across the whole file for every batch
         if shuffle_chunk is None and isinstance(self.data.images, np.memmap):
             shuffle_chunk = max(self.batch_size, 8192)
         self.shuffle_chunk = shuffle_chunk
-        per, rem = divmod(len(self.data), process_count)
-        n = per + (1 if (distribute_remainder and rem) else 0)
-        self.num_batches = n // self.batch_size if drop_last else -(-n // self.batch_size)
+        # batch-major host split: host h's batch b is rows
+        # [b*gbs + h*bs, b*gbs + (h+1)*bs) of the shared permutation, so the
+        # ASSEMBLED global batch is identical on any process count — training
+        # trajectories are topology-invariant, and every sample is assigned
+        # exactly once (tail rows land in the final wrap-padded batch, where
+        # validation masks them by per-host real counts)
+        gbs = self.batch_size * process_count
+        n = len(self.data)
+        self.num_batches = n // gbs if drop_last else -(-n // gbs)
         if self.num_batches == 0:
-            raise ValueError(f"Dataset ({n} per-process items) smaller than one "
-                             f"batch ({batch_size})")
+            raise ValueError(f"Dataset ({n} items over {process_count} "
+                             f"processes) smaller than one global batch ({gbs})")
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n_total = len(self.data)
@@ -90,23 +88,15 @@ class BatchIterator:
             order = rng.permutation(n_total)
         else:
             order = np.arange(n_total)
-        # per-host contiguous shard of the (identically-seeded) permutation
-        per, rem = divmod(n_total, self.process_count)
-        if self.distribute_remainder:
-            start = self.process_index * per + min(self.process_index, rem)
-            stop = start + per + (1 if self.process_index < rem else 0)
-        else:
-            start, stop = self.process_index * per, (self.process_index + 1) * per
-        order = order[start:stop]
-        if len(order) == 0:
-            # degenerate: more hosts than samples — this host's whole batch
-            # is padding (masked out by the caller's per-host valid counts)
-            order = np.arange(min(self.batch_size, n_total))
         bs = self.batch_size
+        gbs = bs * self.process_count
         for b in range(self.num_batches):
-            idx = order[b * bs:(b + 1) * bs]
-            if len(idx) < bs:  # wrap remainder to keep shapes static
-                idx = np.concatenate([idx, order[:bs - len(idx)]])
+            start = b * gbs + self.process_index * bs
+            idx = order[start:start + bs]
+            if len(idx) < bs:  # wrap remainder to keep shapes static (tile:
+                # a small dataset may not cover even one host batch)
+                reps = -(-(bs - len(idx)) // len(order))
+                idx = np.concatenate([idx] + [order] * reps)[:bs]
             yield self.data.images[idx], self.data.targets[idx]
 
     def __iter__(self):

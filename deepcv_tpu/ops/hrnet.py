@@ -93,7 +93,7 @@ class ParallelConvolution(fnn.Module):
                 g -= 1
             op = fnn.Conv(int(chs[i]), k, padding=tuple((v // 2, v // 2) for v in k),
                           feature_group_count=g, dtype=self.dtype,
-                          kernel_init=dnn.xavier_uniform_with_gain(
+                          kernel_init=dnn.xavier_normal_with_gain(
                               dnn.get_gain(self.act_fn)),
                           name=f"stream{i}_conv")
             layer = dnn.Layer(op=op, act_fn=self.act_fn,
@@ -204,7 +204,7 @@ class HRNetInputStem(fnn.Module):
         for i in range(int(self.conv_count)):
             op = fnn.Conv(int(self.out_channels), (3, 3), strides=(2, 2),
                           padding=((1, 1), (1, 1)), dtype=self.dtype,
-                          kernel_init=dnn.xavier_uniform_with_gain(
+                          kernel_init=dnn.xavier_normal_with_gain(
                               dnn.get_gain(self.act_fn)),
                           name=f"stem_conv{i}")
             layer = dnn.Layer(op=op, act_fn=self.act_fn,

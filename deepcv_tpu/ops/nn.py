@@ -27,7 +27,8 @@ from deepcv_tpu.utils import register, GLOBAL_REGISTRY, get_by_identifier
 
 __all__ = [
     "ACTIVATION_FNS", "XAVIER_GAINS", "get_activation", "get_gain",
-    "xavier_uniform_with_gain", "Layer", "NormTechnique", "normalization_techniques",
+    "xavier_uniform_with_gain", "xavier_normal_with_gain", "BatchNorm",
+    "Layer", "NormTechnique", "normalization_techniques",
     "Flatten", "Identity", "MultiHeadConcat", "ConcatCoords", "ConcatHilbertCoords",
     "concat_coords_maps", "concat_hilbert_coords_map", "interpolate",
     "get_padding_from_kernel", "get_model_capacity", "get_out_features_shape",
@@ -98,22 +99,38 @@ def get_gain(act: Union[None, str, Callable]) -> float:
     return XAVIER_GAINS.get(name, 1.0)
 
 
+def _xavier_fans(shape) -> Tuple[int, int]:
+    if len(shape) >= 2:
+        receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+        return shape[-2] * receptive, shape[-1] * receptive
+    return shape[0], shape[0]
+
+
 def xavier_uniform_with_gain(gain: float = 1.0):
     """Xavier/Glorot uniform initializer scaled by ``gain``.
 
     Reference ``DeepcvModule._initialize_parameters`` applies
-    ``torch.nn.init.xavier_uniform_(w, gain=calculate_gain(act))``
-    (base_module.py:230-264). limit = gain * sqrt(6 / (fan_in + fan_out)).
+    ``torch.nn.init.xavier_uniform_(w, gain=calculate_gain(act))`` to
+    fully-connected weights (base_module.py:251-253).
+    limit = gain * sqrt(6 / (fan_in + fan_out)).
     """
     def init(key, shape, dtype=jnp.float32):
-        if len(shape) >= 2:
-            receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
-            fan_in = shape[-2] * receptive
-            fan_out = shape[-1] * receptive
-        else:
-            fan_in = fan_out = shape[0]
+        fan_in, fan_out = _xavier_fans(shape)
         limit = gain * math.sqrt(6.0 / (fan_in + fan_out))
         return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+    return init
+
+
+def xavier_normal_with_gain(gain: float = 1.0):
+    """Xavier/Glorot NORMAL initializer scaled by ``gain`` — the reference
+    initializes CONV weights with ``torch.nn.init.xavier_normal_``
+    (base_module.py:247-249; fully-connected get xavier_uniform_).
+    std = gain * sqrt(2 / (fan_in + fan_out))."""
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = _xavier_fans(shape)
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return std * jax.random.normal(key, shape, dtype)
 
     return init
 
@@ -162,7 +179,10 @@ def interpolate(x: jnp.ndarray, target_shape: Sequence[int],
     if x.shape[1:-1] == target_shape:
         return x
     full = (x.shape[0], *target_shape, x.shape[-1])
-    return jax.image.resize(x, full, method=method)
+    # antialias=False: torch F.interpolate does NOT low-pass filter when
+    # downscaling (jax.image.resize defaults to antialias=True, which is a
+    # different operator — caught by the torch parity oracle)
+    return jax.image.resize(x, full, method=method, antialias=False)
 
 
 def get_model_capacity(params) -> int:
@@ -243,6 +263,76 @@ class LocalResponseNorm(fnn.Module):
         return x / denom
 
 
+def _uniform01_init(key, shape, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype)
+
+
+class BatchNorm(fnn.Module):
+    """Batch normalization with TORCH semantics (verified against an
+    executing ``torch.nn.BatchNorm2d`` in tests/test_torch_parity.py):
+
+      * ``momentum`` uses the torch convention
+        ``running = (1 - m) * running + m * batch_stat`` (reference YAML
+        carries torch-convention values, e.g. parameters.yml:83
+        ``momentum: 0.0736``) — flax's convention is the complement;
+      * normalization uses the BIASED batch variance, but the running-var
+        update uses the UNBIASED (Bessel-corrected) variance, exactly like
+        ``torch.nn.BatchNormNd`` — flax updates with the biased one, which
+        skews eval-mode outputs for small batches;
+      * ``scale`` initializes from uniform[0,1): the reference's
+        ``_initialize_parameters`` explicitly re-inits BN gamma with
+        ``torch.nn.init.uniform_`` (base_module.py:254-257), overriding the
+        torch default of ones.
+
+    Stats reduce in float32. ``axis_name`` syncs batch statistics across a
+    mapped axis (SyncBatchNorm under shard_map/pmap); under plain jit with a
+    batch-sharded input the statistics are global by construction (GSPMD
+    inserts the collectives), so ``axis_name`` stays None there.
+    """
+    momentum: float = 0.1             # torch convention
+    epsilon: float = 1e-5
+    use_bias: bool = True
+    use_scale: bool = True
+    axis_name: Optional[str] = None
+    dtype: Any = None
+    use_running_average: Optional[bool] = None
+    scale_init: Callable = _uniform01_init
+
+    @fnn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = fnn.merge_param("use_running_average",
+                                 self.use_running_average, use_running_average)
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            n = int(np.prod([x.shape[a] for a in reduce_axes]))
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name=self.axis_name)
+                mean2 = jax.lax.pmean(mean2, axis_name=self.axis_name)
+                n = n * jax.lax.psum(1, axis_name=self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            y = y * self.param("scale", self.scale_init, (c,), jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
+        return y.astype(self.dtype or x.dtype)
+
+
 class MeanOnlyBatchNorm(fnn.Module):
     """Mean-only batch normalization (running-mean subtraction, no variance) —
     half of the reference's 'layer_nrm_and_mean_batch_nrm' technique."""
@@ -286,8 +376,8 @@ def normalization_techniques(norm_specs: Mapping[str, Optional[Mapping[str, Any]
             continue
         spec = dict(spec) if isinstance(spec, Mapping) else {}
         if tech == NormTechnique.BATCH_NORM:
-            mods.append(fnn.BatchNorm(
-                momentum=1.0 - float(spec.get("momentum", 0.1)),  # torch->flax momentum convention
+            mods.append(BatchNorm(
+                momentum=float(spec.get("momentum", 0.1)),  # torch convention
                 epsilon=float(spec.get("eps", 1e-5)),
                 use_bias=bool(spec.get("affine", True)),
                 use_scale=bool(spec.get("affine", True)),
@@ -360,7 +450,7 @@ def _conv_groups(op) -> int:
     return int(getattr(inner, "feature_group_count", 1) or 1)
 
 
-_STATEFUL_NORMS = (fnn.BatchNorm, MeanOnlyBatchNorm)
+_STATEFUL_NORMS = (fnn.BatchNorm, BatchNorm, MeanOnlyBatchNorm)
 
 
 def _apply_norm(mod, x, train: bool):

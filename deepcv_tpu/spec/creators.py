@@ -271,7 +271,8 @@ def _make_conv_creator(rank: int, transpose: bool):
     def creator(params: Mapping[str, Any], ctx: CreatorContext, name: str) -> fnn.Module:
         ks, strides, padding, dilation = _conv_common(params, rank)
         gain = dnn.get_gain(params.get("act_fn"))
-        kinit = dnn.xavier_uniform_with_gain(gain)
+        # reference inits CONV weights with xavier_normal_ (base_module.py:247-249)
+        kinit = dnn.xavier_normal_with_gain(gain)
         use_bias = bool(params.get("use_bias", params.get("bias", True)))
         out_ch = int(params["out_channels"])
 

@@ -60,7 +60,15 @@ class BackendConfig:
         # coordinator), so gate on env + flag only.
         if distributed and "JAX_COORDINATOR_ADDRESS" in os.environ:
             try:  # pragma: no cover (multi-host only)
-                jax.distributed.initialize()
+                # jax auto-detects coordinator_address/local_device_ids from
+                # env but num_processes/process_id only via cluster plugins
+                # (SLURM & co) — honor the generic env vars too so plain
+                # process launchers (and the 2-process CPU test) work
+                np_env = os.environ.get("JAX_NUM_PROCESSES")
+                pid_env = os.environ.get("JAX_PROCESS_ID")
+                jax.distributed.initialize(
+                    num_processes=int(np_env) if np_env else None,
+                    process_id=int(pid_env) if pid_env is not None else None)
             except RuntimeError as e:  # already initialized — fine
                 _logger.debug("jax.distributed.initialize skipped: %s", e)
 

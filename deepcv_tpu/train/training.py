@@ -481,16 +481,16 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         ebs_local = eval_bs // k
         it = BatchIterator(validset, ebs_local, shuffle=False, drop_last=False,
                            process_index=backend.rank,
-                           process_count=backend.process_count,
-                           distribute_remainder=True)
-        # host i owns per+1 samples when i < len%k, else per — mirrors
-        # BatchIterator's contiguous shard split, so the per-host real
-        # counts here are exactly what each host's batches contain
-        per, rem = divmod(len(validset), k)
-        host_n = [per + (1 if i < rem else 0) for i in range(k)]
+                           process_count=backend.process_count)
+        # batch-major split (pipeline.py): global batch b holds rows
+        # [b*gbs, (b+1)*gbs) of the dataset, host i the i-th block — so the
+        # real (non-padding) rows per host follow directly from the global
+        # tail position, and every sample is counted exactly once
+        gbs = ebs_local * k
         for b, (raw_x, y) in enumerate(
                 prefetch_to_device(it.epoch(0), sharding=data_shd)):
-            n_valid = tuple(max(0, min(ebs_local, host_n[i] - b * ebs_local))
+            r = min(gbs, len(validset) - b * gbs)
+            n_valid = tuple(max(0, min(ebs_local, r - i * ebs_local))
                             for i in range(k))
             acc.update(jit_eval(state, raw_x, y, n_valid),
                        weight=sum(n_valid))

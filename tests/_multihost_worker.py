@@ -1,0 +1,87 @@
+"""Worker for test_multihost.py — one JAX process of an N-host CPU
+'cluster' (forced local devices). Trains a tiny conv+BN model through the
+STREAMING data path (per-process batch loading + global batch assembly via
+``jax.make_array_from_process_local_data``) and dumps the loss trajectory,
+validation metrics, and a params digest for cross-host comparison.
+
+Reference parity: the torch DDP path (`dist.init_process_group` + DDP +
+DistributedSampler, /root/reference/src/deepcv/meta/ignite_training.py:373-390)
+— here `jax.distributed.initialize` + a global mesh + batch-major per-host
+sharding, which makes the run byte-identical to a single-process run.
+
+Run as: python tests/_multihost_worker.py <out.json> <train_output_dir>
+with env JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID /
+XLA_FLAGS=--xla_force_host_platform_device_count=K.
+"""
+import hashlib
+import json
+import os
+import sys
+
+
+def build_model_and_data():
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+
+    raw = load_dataset("synthetic", n=260, image_shape=(8, 8, 3),
+                       num_classes=4, seed=0)
+    # validset ends up 65 samples: odd AND not divisible by the host count,
+    # so exact validation must mask a ragged per-host tail (r2 Weak #3)
+    data = preprocess({"trainset": raw},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model = DeepcvModule((8, 8, 3), load_yaml(
+        "act_fn: relu\nbatch_norm: { momentum: 0.1 }\narchitecture:\n"
+        "  - conv2d: {kernel_size: [3,3], out_channels: 8, padding: 1}\n"
+        "  - flatten: {}\n"
+        "  - fully_connected: {act_fn: null, out_features: 4, batch_norm: null}"))
+    return model, data
+
+
+def training_hp(output_path: str) -> dict:
+    return {"epochs": 2, "batch_size": 32, "optimizer_opts": {"lr": 1e-2},
+            "save_every_iters": 0, "log_progress_every_iters": 1,
+            "device_resident_dataset": False,      # force the streaming path
+            # the C++ ring-buffer loader (single-process only) shuffles with
+            # its own RNG; pin both topologies to the numpy BatchIterator so
+            # their batch orders are comparable
+            "native_loader": False,
+            "output_path": output_path, "seed": 42}
+
+
+def run(output_path: str, distributed: bool) -> dict:
+    import jax
+    import numpy as np
+    from deepcv_tpu.train import train
+    from deepcv_tpu.train.backend import BackendConfig
+
+    backend = BackendConfig(distributed=distributed)
+    model, data = build_model_and_data()
+    state, hist = train(training_hp(output_path), model, "cross_entropy",
+                        data, backend_conf=backend)
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    digest = hashlib.sha256(
+        b"".join(np.ascontiguousarray(np.asarray(l, np.float32)).tobytes()
+                 for l in leaves)).hexdigest()
+    return {"rank": jax.process_index(), "nproc": jax.process_count(),
+            "n_devices": len(jax.devices()),
+            "params_sha": digest,
+            "train_loss": [float(r["main_loss"]) for r in hist["train"]],
+            "valid": [{k: float(v) for k, v in r.items()}
+                      for r in hist["valid"]]}
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.getcwd())
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # axon plugin overrides env var
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jit_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    payload = run(sys.argv[2], distributed=True)
+    with open(sys.argv[1], "w") as f:
+        json.dump(payload, f)

@@ -129,7 +129,6 @@ def test_batch_iterator(trainset):
 
 
 def test_batch_iterator_process_sharding(trainset):
-    full = {tuple(b[0][0, 0, 0]) for b in BatchIterator(trainset, 16, seed=5).epoch(0)}
     it0 = BatchIterator(trainset, 16, seed=5, process_index=0, process_count=2)
     it1 = BatchIterator(trainset, 16, seed=5, process_index=1, process_count=2)
     assert len(it0) == 8
@@ -139,6 +138,16 @@ def test_batch_iterator_process_sharding(trainset):
     v0 = {x0[i].tobytes() for i in range(len(x0))}
     v1 = {x1[i].tobytes() for i in range(len(x1))}
     assert not (v0 & v1)
+    # TOPOLOGY INVARIANCE: host-major assembly of the 2-process batches
+    # equals the single-process global batches row for row, so training
+    # trajectories do not depend on the process count
+    single = list(BatchIterator(trainset, 32, seed=5).epoch(0))
+    b0, b1 = list(it0.epoch(0)), list(it1.epoch(0))
+    for g, (pa, pb) in zip(single, zip(b0, b1)):
+        np.testing.assert_array_equal(
+            g[0], np.concatenate([pa[0], pb[0]]))
+        np.testing.assert_array_equal(
+            g[1], np.concatenate([pa[1], pb[1]]))
 
 
 def test_prefetch_to_device(trainset):

@@ -1,0 +1,358 @@
+"""Cross-framework MODEL-MATH oracle: deepcv_tpu specs vs executing PyTorch.
+
+The transform layer is already verified against PIL/torch oracles
+(test_data_transforms.py); this file closes the last fidelity axis flagged in
+round 2: the MODEL math. A clean-room torch mirror of the reference semantics
+(conv padding, avg-pool, dense-link interpolate+concat, group norm, batch
+norm momentum/eps/unbiased-running-var, Xavier gains, HRNet stem) is built
+with torch.nn, the deepcv_tpu-initialized weights are copied in, and we
+assert:
+
+  * f32 forward logits agree to <= 1e-4 (typically ~1e-6),
+  * first-step gradients agree to rtol 1e-3,
+  * BatchNorm running stats after a train-mode step agree with
+    torch.nn.BatchNorm2d (torch momentum convention + Bessel-corrected
+    running var — reference parameters.yml:83 carries torch-convention
+    momentum 0.0736).
+
+Reference semantics mirrored here (NOT copied — the mirror is built from
+torch.nn primitives):
+  * layer() unit is post-activation: op -> act -> norms
+    (/root/reference/src/deepcv/meta/nn.py:519-554);
+  * dense_link concatenates [x, *refs] with bilinear (align_corners=False)
+    rescaling of refs (submodule_creators.py:272-332);
+  * conv weights Xavier-NORMAL with per-act gain, fc weights Xavier-uniform,
+    biases zero (base_module.py:230-264);
+  * hrnet_input_stem = N strided 3x3 convs (hrnet.py:325-347).
+
+Notes on deliberate exclusions:
+  * spectral_norm is dropped from the mirrored classifier spec: power
+    iteration starts from a random u vector, so two frameworks cannot agree
+    numerically without sharing internal state (covered structurally in
+    test_spec_engine.py).
+  * torch Flatten flattens NCHW as C*H*W; deepcv_tpu (NHWC) flattens as
+    H*W*C. The orderings are isomorphic up to an input-feature permutation
+    of the following Dense layer, so the mirror flattens in HWC order.
+  * the reference's _initialize_parameters actually RAISES on GroupNorm
+    affine params (they fall through to the unsupported-module branch,
+    base_module.py:258-264); deepcv_tpu uses ones/zeros like torch defaults.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn               # noqa: E402
+import torch.nn.functional as tF     # noqa: E402
+
+from deepcv_tpu.config import load_yaml
+from deepcv_tpu.spec import DeepcvModule
+
+torch.manual_seed(0)
+
+
+# --------------------------------------------------------------------------- #
+# weight-copy helpers (jax -> torch)
+# --------------------------------------------------------------------------- #
+
+def _t(a) -> torch.Tensor:
+    return torch.tensor(np.asarray(a, dtype=np.float32))
+
+
+def copy_conv(tconv: tnn.Conv2d, node_params, slice_cin: bool = True):
+    """HWIO -> OIHW; conv inputs are zero-padded to >=8 lanes on the jax side
+    (ops/nn.py::pad_channels_for_tpu), the padded kernel rows are inert —
+    slice to the torch conv's real in_channels."""
+    k = np.asarray(node_params["op"]["kernel"])
+    if slice_cin:
+        k = k[:, :, : tconv.in_channels * tconv.groups // tconv.groups, :] \
+            if tconv.groups == 1 else k
+        k = k[:, :, : tconv.in_channels, :]
+    tconv.weight.data = _t(k.transpose(3, 2, 0, 1))
+    tconv.bias.data = _t(node_params["op"]["bias"])
+
+
+def copy_affine(tmod, scope):
+    tmod.weight.data = _t(scope["scale"])
+    tmod.bias.data = _t(scope["bias"])
+
+
+def copy_dense(tfc: tnn.Linear, node_params):
+    tfc.weight.data = _t(np.asarray(node_params["op"]["kernel"]).T)
+    tfc.bias.data = _t(node_params["op"]["bias"])
+
+
+def grad_of(tmod_param) -> np.ndarray:
+    return tmod_param.grad.detach().numpy()
+
+
+# --------------------------------------------------------------------------- #
+# the torch mirror of image_classifier (basic_backbone + flatten + fc)
+# --------------------------------------------------------------------------- #
+
+class TorchBasicBackbone(tnn.Module):
+    """Reference basic_backbone semantics (parameters.yml:8-19) in torch:
+    3x [conv5x5 pad2 -> relu -> groupnorm(4)], avgpool2, 2x [conv3x3 pad1 ->
+    relu -> gn], avgpool2, dense_link from pooling1 (bilinear + concat)."""
+
+    def __init__(self):
+        super().__init__()
+        self.convs = tnn.ModuleList([
+            tnn.Conv2d(3, 4, 5, padding=2),
+            tnn.Conv2d(4, 4, 5, padding=2),
+            tnn.Conv2d(4, 4, 5, padding=2),
+            tnn.Conv2d(4, 16, 3, padding=1),
+            tnn.Conv2d(16, 16, 3, padding=1),
+        ])
+        self.gns = tnn.ModuleList(
+            [tnn.GroupNorm(4, c, eps=1e-5) for c in (4, 4, 4, 16, 16)])
+        self.pool = tnn.AvgPool2d(2, 2)
+
+    def forward(self, x):
+        for i in range(3):
+            x = self.gns[i](tF.relu(self.convs[i](x)))
+        p1 = self.pool(x)
+        x = p1
+        for i in (3, 4):
+            x = self.gns[i](tF.relu(self.convs[i](x)))
+        x = self.pool(x)
+        ref = tF.interpolate(p1, size=x.shape[2:], mode="bilinear",
+                             align_corners=False)
+        return torch.cat([x, ref], dim=1)      # dense_link: [x, *refs]
+
+
+class TorchImageClassifier(tnn.Module):
+    def __init__(self, in_features, n_classes=10):
+        super().__init__()
+        self.backbone = TorchBasicBackbone()
+        self.fc = tnn.Linear(in_features, n_classes)
+
+    def forward(self, x):
+        x = self.backbone(x)
+        x = x.permute(0, 2, 3, 1).flatten(1)   # HWC flatten order (see module docstring)
+        return torch.sigmoid(self.fc(x))
+
+
+def _classifier_pair(n_classes=10, hw=16):
+    doc = load_yaml("/root/repo/conf/base/parameters.yml")
+    hp = dict(doc["image_classifier_model"])
+    hp["architecture"] = list(hp["architecture"])
+    fc = dict(hp["architecture"][-1]["fully_connected"], out_features=n_classes)
+    hp["architecture"][-1] = {"fully_connected": fc}
+    jm = DeepcvModule((hw, hw, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(3))
+
+    p = jv["params"]
+    nested = p["node_impls__submodule_0_nested"]
+    conv_nodes = [nested[k] for k in
+                  ("node_impls__submodule_0_conv2d", "node_impls__submodule_1_conv2d",
+                   "node_impls__submodule_2_conv2d", "node_impls__submodule_4_conv2d",
+                   "node_impls__submodule_5_conv2d")]
+    fc_node = p["node_impls__submodule_2_fully_connected"]
+
+    tm = TorchImageClassifier(int(np.asarray(fc_node["op"]["kernel"]).shape[0]),
+                              n_classes)
+    for tconv, tgn, node in zip(tm.backbone.convs, tm.backbone.gns, conv_nodes):
+        copy_conv(tconv, node)
+        copy_affine(tgn, node["norms_0"])
+    copy_dense(tm.fc, fc_node)
+    return jm, jv, tm, conv_nodes, fc_node
+
+
+def test_image_classifier_forward_parity():
+    jm, jv, tm, _, _ = _classifier_pair()
+    x = np.random.default_rng(0).normal(size=(4, 16, 16, 3)).astype(np.float32)
+    jy = np.asarray(jm.apply(jv, jnp.asarray(x), train=False))
+    tm.eval()
+    with torch.no_grad():
+        ty = tm(_t(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(jy, ty, atol=1e-4, rtol=1e-4)
+    # the outputs are non-trivial (sigmoid saturating everything would make
+    # the comparison vacuous)
+    assert jy.std() > 1e-3
+
+
+def test_image_classifier_first_step_gradient_parity():
+    jm, jv, tm, conv_nodes, fc_node = _classifier_pair()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 16, 16, 3)).astype(np.float32)
+    y = rng.integers(0, 10, size=(8,))
+
+    def loss_fn(params):
+        logits = jm.apply({"params": params}, jnp.asarray(x), train=False)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(y)).mean()
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jv["params"])
+
+    tm.train()
+    tx = _t(x).permute(0, 3, 1, 2)
+    tlogits = tm(tx)
+    tloss = tF.cross_entropy(tlogits, torch.tensor(y, dtype=torch.long))
+    tloss.backward()
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-5)
+
+    nested = jgrads["node_impls__submodule_0_nested"]
+    gnodes = [nested[k] for k in
+              ("node_impls__submodule_0_conv2d", "node_impls__submodule_1_conv2d",
+               "node_impls__submodule_2_conv2d", "node_impls__submodule_4_conv2d",
+               "node_impls__submodule_5_conv2d")]
+    for tconv, gnode in zip(tm.backbone.convs, gnodes):
+        jg = np.asarray(gnode["op"]["kernel"])[:, :, : tconv.in_channels, :]
+        tg = grad_of(tconv.weight).transpose(2, 3, 1, 0)    # OIHW -> HWIO
+        np.testing.assert_allclose(jg, tg, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gnode["op"]["bias"]),
+                                   grad_of(tconv.bias), rtol=1e-3, atol=1e-6)
+    jg_fc = np.asarray(jgrads["node_impls__submodule_2_fully_connected"]["op"]["kernel"])
+    np.testing.assert_allclose(jg_fc, grad_of(tm.fc.weight).T,
+                               rtol=1e-3, atol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# BatchNorm semantics vs torch.nn.BatchNorm2d
+# --------------------------------------------------------------------------- #
+
+def test_batch_norm_unit_torch_semantics():
+    """Train-mode output, running-stat update (torch momentum convention +
+    UNBIASED running var), and eval-mode output all match an executing
+    torch.nn.BatchNorm2d — reference parameters.yml:83 momentum=0.0736."""
+    from deepcv_tpu.ops.nn import BatchNorm
+
+    mom = 0.07359778246238029
+    rng = np.random.default_rng(2)
+    x = rng.normal(loc=1.5, scale=3.0, size=(8, 6, 6, 5)).astype(np.float32)
+
+    bn = BatchNorm(momentum=mom, epsilon=1e-5)
+    v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+
+    tbn = tnn.BatchNorm2d(5, eps=1e-5, momentum=mom)
+    tbn.weight.data = _t(v["params"]["scale"])
+    tbn.bias.data = _t(v["params"]["bias"])
+
+    jy, mut = bn.apply(v, jnp.asarray(x), use_running_average=False,
+                       mutable=["batch_stats"])
+    tbn.train()
+    with torch.no_grad():
+        ty = tbn(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(jy), ty, atol=1e-5, rtol=1e-5)
+
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-7)
+
+    # eval with the updated stats
+    v2 = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+    jy_e = np.asarray(bn.apply(v2, jnp.asarray(x), use_running_average=True))
+    tbn.eval()
+    with torch.no_grad():
+        ty_e = tbn(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(jy_e, ty_e, atol=1e-5, rtol=1e-5)
+
+
+def test_conv_bn_graph_level_torch_semantics():
+    """One train-mode forward of a spec-built conv+BN model: outputs AND
+    updated running stats match a torch mirror (Layer order op->act->norm)."""
+    hp = load_yaml(
+        "act_fn: relu\n"
+        "batch_norm: { affine: true, eps: 1.0e-05, momentum: 0.07359778246238029 }\n"
+        "architecture:\n"
+        "  - conv2d: { kernel_size: [3, 3], out_channels: 6, padding: 1 }\n")
+    jm = DeepcvModule((8, 8, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(1))
+    node = jv["params"]["node_impls__submodule_0_conv2d"]
+
+    tconv = tnn.Conv2d(3, 6, 3, padding=1)
+    tbn = tnn.BatchNorm2d(6, eps=1e-5, momentum=0.07359778246238029)
+    copy_conv(tconv, node)
+    copy_affine(tbn, node["norms_0"])
+
+    x = np.random.default_rng(3).normal(size=(4, 8, 8, 3)).astype(np.float32)
+    jy, mut = jm.apply(jv, jnp.asarray(x), train=True,
+                       rngs={"dropout": jax.random.PRNGKey(9)})
+    tbn.train()
+    with torch.no_grad():
+        ty = tbn(tF.relu(tconv(_t(x).permute(0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(jy),
+                               ty.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-5)
+    bs = mut["batch_stats"]["node_impls__submodule_0_conv2d"]["norms_0"]
+    np.testing.assert_allclose(np.asarray(bs["mean"]), tbn.running_mean.numpy(),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(bs["var"]), tbn.running_var.numpy(),
+                               rtol=1e-5, atol=1e-7)
+
+
+# --------------------------------------------------------------------------- #
+# HRNet stem block
+# --------------------------------------------------------------------------- #
+
+def test_hrnet_stem_parity():
+    """hrnet_input_stem (N strided 3x3 convs + act, reference hrnet.py:325-347)
+    matches a torch mirror of the same semantics."""
+    from deepcv_tpu.ops.hrnet import HRNetInputStem
+
+    jm = HRNetInputStem(out_channels=8, conv_count=2, act_fn=jax.nn.relu)
+    x = np.random.default_rng(4).normal(size=(2, 16, 16, 3)).astype(np.float32)
+    jv = jm.init(jax.random.PRNGKey(5), jnp.asarray(x))
+    jy = np.asarray(jm.apply(jv, jnp.asarray(x)))
+    assert jy.shape == (2, 4, 4, 8)    # two stride-2 halvings
+
+    convs = [tnn.Conv2d(3, 8, 3, stride=2, padding=1),
+             tnn.Conv2d(8, 8, 3, stride=2, padding=1)]
+
+    def find_kernels(tree, path=()):
+        out = {}
+        for k, v in tree.items():
+            if hasattr(v, "items"):
+                out.update(find_kernels(v, path + (k,)))
+            elif k == "kernel":
+                out[path] = tree
+        return out
+
+    knodes = sorted(find_kernels(jv["params"]).items())
+    assert len(knodes) == 2
+    for tconv, (_, node) in zip(convs, knodes):
+        copy_conv(tconv, {"op": node})
+    ty = _t(x).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        for c in convs:
+            ty = tF.relu(c(ty))
+    np.testing.assert_allclose(jy, ty.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# init-distribution parity (statistical)
+# --------------------------------------------------------------------------- #
+
+def test_init_distributions_match_reference_semantics():
+    """Conv kernels ~ Xavier NORMAL (std = gain*sqrt(2/(fi+fo))), fc kernels
+    ~ Xavier uniform (limit = gain*sqrt(6/(fi+fo))), biases zero, BN scale
+    uniform[0,1) (reference base_module.py:230-264)."""
+    hp = load_yaml(
+        "act_fn: relu\n"
+        "batch_norm: { momentum: 0.1 }\n"
+        "architecture:\n"
+        "  - conv2d: { kernel_size: [3, 3], out_channels: 64, padding: 1 }\n"
+        "  - flatten: {}\n"
+        "  - fully_connected: { act_fn: null, out_features: 64, batch_norm: null }\n")
+    m = DeepcvModule((8, 8, 16), hp)
+    v = m.init(jax.random.PRNGKey(11))
+    conv = v["params"]["node_impls__submodule_0_conv2d"]
+    k = np.asarray(conv["op"]["kernel"])           # (3,3,16,64)
+    gain = np.sqrt(2.0)
+    fi, fo = 16 * 9, 64 * 9
+    expect_std = gain * np.sqrt(2.0 / (fi + fo))
+    assert abs(k.std() / expect_std - 1) < 0.05    # 9216 samples
+    assert np.abs(np.asarray(conv["op"]["bias"])).max() == 0.0
+    bn_scale = np.asarray(conv["norms_0"]["scale"])
+    assert 0.0 <= bn_scale.min() and bn_scale.max() < 1.0 and bn_scale.std() > 0.05
+    fck = np.asarray(
+        v["params"]["node_impls__submodule_2_fully_connected"]["op"]["kernel"])
+    fi2 = fck.shape[0]
+    limit = 1.0 * np.sqrt(6.0 / (fi2 + 64))
+    assert np.abs(fck).max() <= limit + 1e-7
+    assert fck.std() > 0.8 * limit / np.sqrt(3)    # uniform, not normal/zeros

@@ -409,7 +409,11 @@ def test_golden_loss_trajectory(tmp_path):
           "output_path": str(tmp_path), "seed": 42}
     _, hist = train(hp, m, "cross_entropy", data,
                     backend_conf=BackendConfig(n_devices=1))
-    golden = [1.942522, 2.047882, 1.94721, 1.145238, 1.029531, 0.77389]
+    # regenerated round 3: BatchNorm moved to verified torch semantics
+    # (unbiased running var, uniform[0,1) gamma init) and conv kernels to
+    # xavier NORMAL (reference base_module.py:247-249) — both change the
+    # numerics deliberately (see tests/test_torch_parity.py)
+    golden = [1.496227, 1.536258, 1.505743, 1.081149, 1.10801, 0.959349]
     np.testing.assert_allclose([r["main_loss"] for r in hist["train"]],
                                golden, rtol=2e-4)
     assert np.isclose(hist["valid"][-1]["valid_accuracy"], 0.3125, atol=1e-6)
