@@ -30,7 +30,8 @@ __all__ = ["magnitude_prune_masks", "AGPSchedule", "apply_masks",
            "prune_gradients", "make_pruning_hook", "sparsity_of",
            "quantize_int8", "dequantize_int8",
            "int8_conv_general_dilated", "int8_dot_general",
-           "calibrate_int8_scales"]
+           "calibrate_int8_scales",
+           "fake_quant_conv_general_dilated", "fake_quant_dot_general"]
 
 _logger = logging.getLogger(__name__)
 
@@ -233,11 +234,12 @@ def calibrate_int8_scales(model, variables, batches) -> Dict[str, float]:
     """Record per-layer activation scales on calibration batches.
 
     Runs the FLOAT model under a flax interceptor, recording the max |input|
-    of every Conv/Dense keyed by its spec node name (max across batches and
-    across nested occurrences of the same local name). The result feeds
-    ``DeepcvModule(..., quantize='int8', quantize_scales=...)``: static
-    scales remove the per-call amax reduction pass — the dominant cost that
-    made dynamic w8a8 slower end to end on bandwidth-bound models.
+    of every Conv/Dense keyed by its FULL spec-node path ('nested/local' for
+    nested modules — two distinct layers sharing a local name never share a
+    scale). The result feeds ``DeepcvModule(..., quantize='int8',
+    quantize_scales=...)``: static scales remove the per-call amax reduction
+    pass — the dominant cost that made dynamic w8a8 slower end to end on
+    bandwidth-bound models.
     """
     import flax.linen as fnn
 
@@ -250,7 +252,7 @@ def calibrate_int8_scales(model, variables, batches) -> Dict[str, float]:
             nodes = [c[len("node_impls_"):] for c in mod.path
                      if c.startswith("node_impls_")]
             if nodes:
-                key = nodes[-1]
+                key = "/".join(nodes)
                 v = float(jnp.max(jnp.abs(args[0])))
                 amax[key] = max(amax.get(key, 0.0), v)
         return next_fn(*args, **kwargs)
@@ -259,3 +261,80 @@ def calibrate_int8_scales(model, variables, batches) -> Dict[str, float]:
         for x in batches:
             model.apply(variables, jnp.asarray(x), train=False)
     return {k: max(v, 1e-12) / 127.0 for k, v in amax.items()}
+
+
+# --------------------------------------------------------------------------- #
+# Quantization-AWARE training (fake quant + straight-through estimator)
+# --------------------------------------------------------------------------- #
+# The reference wires NNI quantizers into its train loop and refreshes their
+# ranges per epoch/step (quantizer update_epoch/step, ignite_training.py:
+# 335-344). Here the ranges are recomputed INSIDE the jitted step — activation
+# amax per batch, weight amax per call — i.e. strictly fresher than a
+# per-epoch refresh, with no recompile. Training runs in float with
+# quantize->dequantize noise injected at every conv/dense input; the
+# straight-through estimator passes gradients through the rounding, so the
+# weights learn to sit where the int grid can represent them. Serving then
+# rebuilds with quantize='int8' (REAL int8 MXU kernels, identical param
+# tree) using scales calibrated from the QAT model.
+
+def _fake_quant_ste(x, scale, levels: int):
+    """quantize->dequantize with straight-through gradients."""
+    q = jnp.clip(jnp.round(x / scale), -levels, levels) * scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def _fq_tensor(x, levels: int, act_scale=None):
+    if act_scale is not None:
+        scale = jnp.float32(act_scale * (127.0 / levels)).astype(x.dtype)
+    else:
+        amax = jax.lax.stop_gradient(jnp.max(jnp.abs(x)))
+        scale = jnp.maximum(amax, 1e-12) / levels
+    return _fake_quant_ste(x, scale, levels)
+
+
+def _fq_per_channel(w, levels: int):
+    """Per-output-channel fake quant (out features LAST, flax layout) —
+    mirrors the real int8 kernels' weight quantization."""
+    amax = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True))
+    scale = jnp.maximum(amax, 1e-12) / levels
+    return _fake_quant_ste(w, scale, levels)
+
+
+def fake_quant_conv_general_dilated(lhs, rhs, window_strides, padding,
+                                    lhs_dilation=None, rhs_dilation=None,
+                                    dimension_numbers=None,
+                                    feature_group_count=1,
+                                    batch_group_count=1, precision=None,
+                                    preferred_element_type=None,
+                                    act_scale=None, bits: int = 8):
+    """``lax.conv_general_dilated`` with int-grid fake quantization of both
+    operands (QAT forward/backward; float MXU compute). ``bits`` sets the
+    grid (8 -> +-127); lower bits model more aggressive deployment targets."""
+    levels = 2 ** (bits - 1) - 1
+    lhs = _fq_tensor(lhs, levels, act_scale)
+    rhs = _fq_per_channel(rhs, levels)
+    return jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        batch_group_count=batch_group_count, precision=precision,
+        preferred_element_type=preferred_element_type)
+
+
+def fake_quant_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                           preferred_element_type=None, act_scale=None,
+                           bits: int = 8):
+    """``lax.dot_general`` with fake quantization (QAT Dense path)."""
+    (lc, rc), batch = dimension_numbers
+    if tuple(rc) != (0,) or batch != ((), ()):
+        raise NotImplementedError(
+            "fake_quant_dot_general supports the flax Dense contraction only; "
+            f"got dimension_numbers={dimension_numbers}")
+    levels = 2 ** (bits - 1) - 1
+    lhs = _fq_tensor(lhs, levels, act_scale)
+    rhs = _fq_per_channel(rhs, levels)
+    return jax.lax.dot_general(lhs, rhs, dimension_numbers,
+                               precision=precision,
+                               preferred_element_type=preferred_element_type)

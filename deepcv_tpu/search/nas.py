@@ -29,7 +29,8 @@ from deepcv_tpu.spec.graph import ARCH_PARAM_PREFIX
 
 __all__ = ["list_mutables", "sample_architecture", "export_architecture",
            "apply_fixed_architecture", "arch_params_mask",
-           "gen_classic_nas_search_space",
+           "gen_classic_nas_search_space", "candidate_costs",
+           "expected_cost_regularizer",
            "single_shot_neural_architecture_search"]
 
 _logger = logging.getLogger(__name__)
@@ -154,42 +155,137 @@ def arch_params_mask(params: Mapping[str, Any], invert: bool = False):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _candidate_cost(candidate, in_shape) -> float:
+    """Compute-cost estimate of one layer-choice candidate on its real input
+    shape: trainable params x output spatial positions ~ MACs for convs,
+    params for dense. Pure ``jax.eval_shape`` — zero FLOPs, no compile."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.ShapeDtypeStruct((1, *in_shape), jnp.float32)
+
+    def init_out(x):
+        vs = candidate.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        return candidate.apply(vs, x, train=False), vs
+
+    out, vs = jax.eval_shape(init_out, x)
+    params = vs.get("params", vs) if hasattr(vs, "get") else vs
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    spatial = int(np.prod(out.shape[1:-1])) if getattr(out, "ndim", 0) > 2 else 1
+    return float(n_params * spatial)
+
+
+def candidate_costs(supernet) -> Dict[str, List[float]]:
+    """Per-candidate cost table for every TOP-LEVEL layer-choice mutable
+    (ProxylessNAS latency table, arXiv:1812.00332 §3.2 — measured latency on
+    the target device is replaced by an analytic MAC estimate; swap in real
+    measurements by passing your own table to
+    :func:`expected_cost_regularizer`). Input-choice mutables carry no
+    compute and are skipped."""
+    from deepcv_tpu.spec.module import DeepcvModuleDescriptor
+
+    desc = DeepcvModuleDescriptor(supernet)
+    shapes = desc.features_shapes
+    costs: Dict[str, List[float]] = {}
+    prev = (1, *supernet.input_shape)
+    for meta in supernet.module.node_metas:
+        if meta.kind == "choice":
+            impls = supernet.module.node_impls[meta.name]
+            costs[meta.name] = [_candidate_cost(c, tuple(prev)[1:])
+                                for c in impls]
+        s = shapes.get(meta.name, prev)
+        prev = s[0] if isinstance(s, list) else s
+    return costs
+
+
+def expected_cost_regularizer(costs: Mapping[str, Sequence[float]],
+                              weight: float = 0.1):
+    """Differentiable expected-architecture-cost term
+    E[cost] = sum_mutable <softmax(logits), candidate_costs>, normalized by
+    the most expensive architecture so ``weight`` is comparable to a task
+    loss. Plugs into ``train(param_regularizer=...)`` — the ProxylessNAS
+    latency objective (arXiv:1812.00332 eq. 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    total = sum(max(c) for c in costs.values()) or 1.0
+    tables = {n: jnp.asarray(c, jnp.float32) for n, c in costs.items()}
+
+    def reg(params):
+        e = 0.0
+        for name, cs in tables.items():
+            logits = params[f"{ARCH_PARAM_PREFIX}{name}"]
+            e = e + jnp.dot(jax.nn.softmax(logits), cs)
+        return weight * e / total
+
+    return reg
+
+
 def single_shot_neural_architecture_search(
         input_shape, model_hp: Mapping[str, Any], training_hp: Mapping[str, Any],
         losses, datasets, backend_conf=None, metrics=None,
         arch_export_path: Optional[Union[str, Path]] = None,
-        algorithm: str = "darts", eval_candidates: bool = False,
+        algorithm: str = "darts", eval_candidates: Optional[bool] = None,
         eval_metric: str = "accuracy", max_eval_archs: int = 16,
+        latency_weight: float = 0.1,
         **model_kwargs) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
     """Single-shot (weight-sharing) NAS: train the supernet, export the arch.
 
     Reference ``nni_single_shot_neural_architecture_search``
     (nni_tools.py:231-343) with its algorithm registry {ENAS, SPOS,
-    ProxylessNAS}. Two supernet regimes here:
-      * algorithm='darts': softmax mixture over trainable arch logits,
-        export = argmax;
-      * algorithm='spos' (ENAS-style too): ONE path sampled per step
-        (Gumbel + straight-through), weight sharing without mixing.
-    ``eval_candidates=True`` additionally scores each candidate architecture
-    on the validation set with the shared weights and exports the best
-    (reference ``_single_shot_nas_retrain_for_eval`` intent,
-    nni_tools.py:193-228 — the BN-stat reset happens implicitly because the
-    fixed-arch evaluation recomputes activations with eval-mode stats).
+    ProxylessNAS}. Three genuinely distinct regimes:
+      * algorithm='darts': softmax MIXTURE over trainable arch logits every
+        step; export = argmax of the trained logits;
+      * algorithm='spos': ONE path sampled UNIFORMLY per step (logits stay
+        untrained — pure weight sharing); the architecture is then selected
+        by scoring candidates on validation with the shared weights
+        (``eval_candidates`` defaults ON for spos);
+      * algorithm='proxylessnas': binary-gate path sampling — ONE path drawn
+        from softmax(logits) per step with the straight-through gate
+        estimator (paper eq. 4) training the logits, PLUS the expected-cost
+        (latency) objective ``latency_weight * E[cost]/max_cost`` added to
+        the training loss (eq. 7; analytic MAC table, see
+        :func:`candidate_costs`).
+    'enas' is accepted for reference-registry parity but its RL controller
+    is not implemented — it WARNS and falls back to the SPOS regime.
+
+    ``eval_candidates=True`` scores each candidate architecture on the
+    validation set with the shared weights and exports the best (reference
+    ``_single_shot_nas_retrain_for_eval`` intent, nni_tools.py:193-228 — the
+    BN-stat reset happens implicitly because the fixed-arch evaluation
+    recomputes activations with eval-mode stats). Default: ON for
+    spos/enas (required — their logits are untrained), OFF otherwise.
 
     Returns (architecture_dict, final_state, history).
     """
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.train import train
 
-    sampling = {"darts": "softmax", "spos": "sampled", "enas": "sampled",
-                "proxylessnas": "sampled"}.get(str(algorithm).lower())
+    algorithm = str(algorithm).lower()
+    sampling = {"darts": "softmax", "spos": "uniform", "enas": "uniform",
+                "proxylessnas": "sampled"}.get(algorithm)
     if sampling is None:
         raise ValueError(f"Unknown single-shot NAS algorithm '{algorithm}' "
                          "(darts|spos|enas|proxylessnas)")
+    if algorithm == "enas":
+        _logger.warning(
+            "ENAS's RL controller is not implemented; falling back to the "
+            "SPOS regime (uniform path sampling + validation selection). "
+            "Benchmark results will NOT reflect ENAS (arXiv:1802.03268).")
+    if eval_candidates is None:
+        eval_candidates = algorithm in ("spos", "enas")
     supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
                             nas_sampling=sampling, **model_kwargs)
+    reg = None
+    if algorithm == "proxylessnas" and latency_weight:
+        costs = candidate_costs(supernet)
+        if costs:
+            _logger.info("proxylessnas candidate cost table: %s", costs)
+            reg = expected_cost_regularizer(costs, weight=latency_weight)
     state, history = train(training_hp, supernet, losses, datasets,
-                           backend_conf=backend_conf, metrics=metrics)
+                           backend_conf=backend_conf, metrics=metrics,
+                           param_regularizer=reg)
     arch = export_architecture({"params": state.params})
 
     if eval_candidates:

@@ -20,6 +20,7 @@ of the corrected names (SURVEY §8 API-surface decision).
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple, Union
 
 import jax
@@ -98,11 +99,15 @@ class CreatorContext:
     weight_norm: Optional[Mapping[str, Any]] = None
     spectral_norm: Optional[Mapping[str, Any]] = None
     # 'int8' => conv/dense compute in w8a8 on the MXU's int8 path (inference;
-    # params stay float so trained checkpoints load unchanged)
+    # params stay float so trained checkpoints load unchanged);
+    # 'int8_qat' (or 'int<N>_qat') => fake-quant + straight-through training
     quantize: Optional[str] = None
-    # node_name -> static activation scale from compression.calibrate_int8_scales
-    # (removes the per-call amax pass; absent nodes quantize dynamically)
+    # node_path -> static activation scale from compression.calibrate_int8_scales
+    # (removes the per-call amax pass; absent nodes quantize dynamically).
+    # Keys are FULL paths 'nested/local' — see `scope`.
     quantize_scales: Mapping[str, float] = dataclasses.field(default_factory=dict)
+    # nesting prefix ('<nested_name>/...') so per-path scale keys resolve
+    scope: str = ""
 
 
 @dataclasses.dataclass
@@ -245,6 +250,14 @@ def _as_layer(op: fnn.Module, params: Mapping[str, Any], ctx: CreatorContext,
         name=name)
 
 
+def _qat_bits(quantize: Optional[str]) -> Optional[int]:
+    """'int8_qat' -> 8, 'int4_qat' -> 4, anything else -> None."""
+    if not quantize:
+        return None
+    m = re.fullmatch(r"int(\d+)_qat", str(quantize))
+    return int(m.group(1)) if m else None
+
+
 def _conv_common(params: Mapping[str, Any], rank: int):
     ks = params["kernel_size"]
     ks = tuple(ks) if isinstance(ks, (list, tuple)) else (int(ks),) * rank
@@ -313,7 +326,14 @@ def _make_conv_creator(rank: int, transpose: bool):
                 from deepcv_tpu.compression import int8_conv_general_dilated
                 common["conv_general_dilated"] = functools.partial(
                     int8_conv_general_dilated,
-                    act_scale=ctx.quantize_scales.get(name))
+                    act_scale=ctx.quantize_scales.get(ctx.scope + name))
+            elif _qat_bits(ctx.quantize):
+                import functools
+                from deepcv_tpu.compression import fake_quant_conv_general_dilated
+                common["conv_general_dilated"] = functools.partial(
+                    fake_quant_conv_general_dilated,
+                    act_scale=ctx.quantize_scales.get(ctx.scope + name),
+                    bits=_qat_bits(ctx.quantize))
             op = fnn.Conv(kernel_dilation=dilation,
                           feature_group_count=int(params.get("groups", 1)), **common)
         return _as_layer(op, params, ctx, name=name)
@@ -348,7 +368,14 @@ def _fully_connected(params: Mapping[str, Any], ctx: CreatorContext, name: str) 
         import functools
         from deepcv_tpu.compression import int8_dot_general
         extra["dot_general"] = functools.partial(
-            int8_dot_general, act_scale=ctx.quantize_scales.get(name))
+            int8_dot_general, act_scale=ctx.quantize_scales.get(ctx.scope + name))
+    elif _qat_bits(ctx.quantize):
+        import functools
+        from deepcv_tpu.compression import fake_quant_dot_general
+        extra["dot_general"] = functools.partial(
+            fake_quant_dot_general,
+            act_scale=ctx.quantize_scales.get(ctx.scope + name),
+            bits=_qat_bits(ctx.quantize))
     op = fnn.Dense(features=int(out_features),
                    use_bias=bool(params.get("use_bias", params.get("bias", True))),
                    dtype=ctx.dtype, param_dtype=ctx.param_dtype,

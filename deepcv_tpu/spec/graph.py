@@ -184,7 +184,8 @@ def define_nn_architecture(architecture: Sequence[Any], hp: Mapping[str, Any],
             sub_nas = {**{k: v for k, v in ctx.nas_arch.items() if "/" not in k},
                        **{k.split("/", 1)[1]: v for k, v in ctx.nas_arch.items()
                           if k.startswith(name + "/")}}
-            sub_ctx = dataclasses.replace(ctx, nas_arch=sub_nas)
+            sub_ctx = dataclasses.replace(ctx, nas_arch=sub_nas,
+                                          scope=f"{ctx.scope}{name}/")
             sub_metas, sub_impls, sub_refd = define_nn_architecture(sub_arch, sub_hp, sub_ctx)
             nested = SpecModule(node_metas=sub_metas, node_impls=sub_impls,
                                 referenced=sub_refd)
@@ -323,10 +324,12 @@ class SpecModule(fnn.Module):
     Supernet choice mixing (``sampling``):
       * 'softmax' (DARTS): candidates mixed by softmax over trainable
         ``arch__*`` logits;
-      * 'sampled' (SPOS/ENAS-style weight sharing): per-call ONE candidate is
-        drawn from the softmax distribution (Gumbel trick over the same
-        logits, 'nas' rng stream) and only its output used — straight-through
-        one-hot keeps logits trainable; eval uses argmax.
+      * 'sampled' (ProxylessNAS binary gates): per-call ONE candidate drawn
+        from the softmax distribution (Gumbel-max over the logits, 'nas' rng
+        stream) — the straight-through one-hot routes the gate gradient to
+        the logits (paper eq. 4); eval uses argmax;
+      * 'uniform' (SPOS): per-call ONE candidate drawn uniformly, logits NOT
+        trained — selection happens post-hoc on validation.
     """
     node_metas: Tuple[NodeMeta, ...]
     node_impls: Dict[str, Any]
@@ -353,6 +356,11 @@ class SpecModule(fnn.Module):
                 return w
             return jax.nn.one_hot(int(c), n)
         if self.sampling == "sampled":
+            # binary-gate path sampling (ProxylessNAS, arXiv:1812.00332):
+            # ONE path drawn from softmax(logits) (Gumbel-max), the gate's
+            # gradient routed to the logits through the softmax jacobian —
+            # the straight-through form below IS the paper's eq. 4 estimator
+            # dL/da_i = sum_j dL/dg_j p_j (delta_ij - p_i)
             if train and self.has_rng("nas"):
                 g = -jnp.log(-jnp.log(
                     jax.random.uniform(self.make_rng("nas"), (n,), minval=1e-6,
@@ -363,6 +371,16 @@ class SpecModule(fnn.Module):
             hard = jax.nn.one_hot(idx, n)
             soft = jax.nn.softmax(logits)
             return hard + soft - jax.lax.stop_gradient(soft)  # straight-through
+        if self.sampling == "uniform":
+            # true SPOS (arXiv:1904.00420): paths sampled UNIFORMLY, arch
+            # logits NOT trained — architecture selection happens after
+            # supernet training by scoring candidates on validation with the
+            # shared weights (nas.py::_select_arch_by_validation)
+            if train and self.has_rng("nas"):
+                idx = jax.random.randint(self.make_rng("nas"), (), 0, n)
+            else:
+                idx = jnp.argmax(logits)
+            return jax.lax.stop_gradient(jax.nn.one_hot(idx, n))
         return jax.nn.softmax(logits)
 
     @fnn.compact

@@ -160,14 +160,16 @@ class DeepcvModule:
               mutable: Union[bool, Sequence[str], None] = None):
         """Forward pass. When ``train=True`` and the model has state
         collections (batch stats), returns ``(y, updated_state)``."""
-        if train and self.quantize:
-            # w8a8 ops round/clip inside the graph: gradients through them
-            # are zero almost everywhere, so training would silently not
-            # learn. Train the float build; quantize for inference.
+        if train and self.quantize and not str(self.quantize).endswith("_qat"):
+            # REAL w8a8 ops round/clip inside the graph: gradients through
+            # them are zero almost everywhere, so training would silently not
+            # learn. Train the float build (or the 'int8_qat' fake-quant
+            # build, whose straight-through estimator keeps gradients alive);
+            # rebuild with quantize='int8' for serving.
             raise ValueError(
                 f"quantize={self.quantize!r} models are inference-only "
-                "(round/clip kills gradients); train the float build and "
-                "rebuild with quantize for serving")
+                "(round/clip kills gradients); train the float or "
+                "'int8_qat' build and rebuild with quantize for serving")
         if mutable is None:
             cols = [c for c in _STATE_COLLECTIONS if c in variables] if train else []
             mutable = cols if cols else False

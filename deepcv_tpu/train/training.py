@@ -175,7 +175,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
           backend_conf: Optional[BackendConfig] = None,
           metrics: Optional[Mapping[str, Callable]] = None,
           events: Optional[TrainingEvents] = None,
-          loggers: Sequence[Any] = ()) -> Tuple[TrainState, Dict[str, Any]]:
+          loggers: Sequence[Any] = (),
+          param_regularizer: Optional[Callable] = None,
+          init_variables: Optional[Mapping[str, Any]] = None
+          ) -> Tuple[TrainState, Dict[str, Any]]:
     """Run the full training procedure; returns (final_state, history).
 
     Args mirror the reference ``train()`` (ignite_training.py:178):
@@ -184,7 +187,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
       * ``losses``: WeightedLosses / callable / mapping of named losses,
         called as ``loss(logits, targets)``;
       * ``datasets``: {'trainset': ..., 'validset': ..., ['testset': ...]};
-      * ``backend_conf``: mesh/topology (defaults to all local devices).
+      * ``backend_conf``: mesh/topology (defaults to all local devices);
+      * ``param_regularizer``: optional ``fn(params) -> scalar`` added to the
+        training loss (weight penalties, NAS expected-latency terms — the
+        validation loss stays the pure task loss).
     """
     hp, _ = to_hyperparameters(dict(hp), TRAINING_HP_DEFAULTS)
     # reference parity: pipelines configure the backend through
@@ -251,7 +257,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
 
     # ---------------- state init / resume ---------------------------------- #
     init_rng, state_rng = jax.random.split(root_rng)
-    variables = model.init(init_rng)
+    # init_variables: warm-start from existing weights (transfer learning /
+    # QAT fine-tuning) — must match the model's param tree
+    variables = dict(init_variables) if init_variables is not None \
+        else model.init(init_rng)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]),
@@ -326,6 +335,9 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             terms = dict(terms)
             terms["jsd_consistency"] = consistency
             main = main + jsd_weight * consistency
+            terms["main_loss"] = main
+        if param_regularizer is not None:
+            main = main + param_regularizer(params)
             terms["main_loss"] = main
         return main, (terms, new_state.get("batch_stats"), logits, y_t)
 
