@@ -286,14 +286,26 @@ PEAK_BF16_FLOPS = {
     "TPU v6 lite": 918e12,   # v6e / Trillium
 }
 
-def _wide_classifier_hp(out_features: int = 10):
+def _wide_classifier_hp(out_features: int = 10, norm: str = "batch_norm"):
     """The zoo's non-toy spec (conf/base/parameters.yml wide_classifier_model)
     with the classifier head sized — one source of truth with the
-    train_wide_classifier pipeline."""
+    train_wide_classifier pipeline. ``norm`` swaps the normalization
+    technique (r2 verdict: BN's backward is the documented MFU wall;
+    group_norm has no cross-batch stats and fuses better)."""
     from deepcv_tpu.config import load_yaml
     doc = load_yaml(str(Path(__file__).parent / "conf/base/parameters.yml"))
     hp = dict(doc["wide_classifier_model"])
     hp["architecture"][-1]["fully_connected"]["out_features"] = out_features
+    if norm != "batch_norm":
+        bn = hp.pop("batch_norm", None)
+        if norm == "group_norm":
+            hp["group_norm"] = {"num_groups": 32, "eps": 1e-5}
+        elif norm == "layer_norm":
+            hp["layer_norm"] = {"eps": 1e-5}
+        elif norm in ("none", "no_norm"):
+            pass
+        else:
+            raise ValueError(f"unknown --norm {norm!r}")
     return hp
 
 
@@ -313,7 +325,7 @@ def _fwd_flops_per_image(model, batch: int) -> float:
     return float(cost["flops"]) / batch
 
 
-def bench_mfu():
+def bench_mfu(norm: str = "batch_norm"):
     """Config 6 (VERDICT r1 #5): non-toy model throughput + MFU.
 
     Trains a 64-256-channel VGG-style classifier (the smallest spec where the
@@ -328,7 +340,7 @@ def bench_mfu():
 
     data, _ = build()
     backend = BackendConfig()
-    model = DeepcvModule((32, 32, 3), _wide_classifier_hp(),
+    model = DeepcvModule((32, 32, 3), _wide_classifier_hp(norm=norm),
                          dtype=jnp.bfloat16)
     batch = 4096 if backend.is_tpu else 512
     hp = {
@@ -353,6 +365,7 @@ def bench_mfu():
     mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else float("nan")
     print(json.dumps({
         "metric": "mfu_wide_classifier_cifar10",
+        "norm": norm,
         "value": round(mfu * 100, 2) if peak else None,
         "unit": "% MFU (model-FLOPs, fwd+bwd=3x fwd)",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
@@ -479,6 +492,10 @@ if __name__ == "__main__":
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
+    ap.add_argument("--norm", default="batch_norm",
+                    choices=["batch_norm", "group_norm", "layer_norm", "none"],
+                    help="config 6 only: normalization technique of the wide "
+                         "classifier (BN backward is the measured MFU wall)")
     ap.add_argument("--config", type=int, default=1,
                     choices=[1, 2, 3, 4, 5, 6, 7, 8],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
@@ -487,6 +504,9 @@ if __name__ == "__main__":
                          "7=streaming memmap (larger-than-RAM path), "
                          "8=int8 static serving vs bf16")
     args = ap.parse_args()
-    [main, bench_preprocess, bench_one_cycle_cifar100,
-     bench_keypoints_matching, bench_hp_search, bench_mfu,
-     bench_streaming, bench_serving_int8][args.config - 1]()
+    if args.config == 6:
+        bench_mfu(norm=args.norm)
+    else:
+        [main, bench_preprocess, bench_one_cycle_cifar100,
+         bench_keypoints_matching, bench_hp_search, None,
+         bench_streaming, bench_serving_int8][args.config - 1]()

@@ -96,6 +96,22 @@ def main(argv=None) -> int:
                        help="extra params: dotted.key:value[,key:value...]")
     p_run.add_argument("--project-path", default=".")
     p_run.add_argument("--env", default=None, help="extra conf env dir under conf/")
+    # partial runs (reference kedro run --from-nodes/--to-nodes/--node/--tag,
+    # kedro_cli.py:157-231); missing inputs resolve from the intermediate
+    # cache written by earlier runs (data/02_intermediate/<pipeline>/)
+    p_run.add_argument("--from-nodes", default=None, metavar="N1,N2",
+                       help="start at the first of these nodes (earlier "
+                            "nodes' outputs load from the intermediate cache)")
+    p_run.add_argument("--to-nodes", default=None, metavar="N1,N2",
+                       help="stop after the last of these nodes")
+    p_run.add_argument("--only-nodes", "--node", dest="only_nodes",
+                       default=None, metavar="N1,N2",
+                       help="run exactly these nodes")
+    p_run.add_argument("--tags", "--tag", dest="tags", default=None,
+                       metavar="T1,T2", help="run only nodes with any of "
+                                             "these tags")
+    p_run.add_argument("--no-persist", action="store_true",
+                       help="do not write (or read) pipeline intermediates")
 
     p_list = sub.add_parser("list", help="list registered pipelines")
     p_list.add_argument("--project-path", default=".")
@@ -200,7 +216,13 @@ def main(argv=None) -> int:
             conf_paths.append(Path(args.project_path) / "conf" / args.env)
         ctx = ProjectContext(args.project_path, conf_paths=conf_paths,
                              extra_params=_parse_extra_params(args.params))
-        store = ctx.run(args.pipeline)
+        csv = lambda v: tuple(s.strip() for s in v.split(",")) if v else ()
+        store = ctx.run(args.pipeline,
+                        from_nodes=csv(args.from_nodes),
+                        to_nodes=csv(args.to_nodes),
+                        only_nodes=csv(args.only_nodes),
+                        tags=csv(args.tags),
+                        persist_intermediates=not args.no_persist)
         results = store.get("train_results")
         if results and "history" in results:
             h = results["history"]

@@ -412,23 +412,39 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
             merged.update(d)
         augmix_spec = merged
 
-    def augment(x: jnp.ndarray, key) -> jnp.ndarray:
-        keys = jax.random.split(key, 2 * max(1, len(steps)) + 1)
+    return AugmentationRecipe(steps=[(n, s) for n, _fn, s in steps],
+                              gate_p=gate_p, augmix_spec=augmix_spec)
+
+
+class AugmentationRecipe:
+    """Compiled recipe as a PICKLABLE callable: holds transform NAMES +
+    severities (functions resolve through the registry at call time), so
+    preprocessed datasets can persist as pipeline intermediates and reload
+    in another process."""
+
+    def __init__(self, steps, gate_p: float, augmix_spec=None):
+        self._steps = list(steps)              # [(name, severity)]
+        self.gate_p = float(gate_p)
+        self.augmix_spec = augmix_spec
+
+    @property
+    def steps(self):                           # introspection for tests
+        return [n for n, _ in self._steps]
+
+    def __call__(self, x: jnp.ndarray, key) -> jnp.ndarray:
+        keys = jax.random.split(key, 2 * max(1, len(self._steps)) + 1)
         n = x.shape[0]
-        for i, (tname, fn, sev) in enumerate(steps):
-            gate = jax.random.bernoulli(keys[2 * i], gate_p, (n,))
+        for i, (tname, sev) in enumerate(self._steps):
+            fn = _RECIPE_TRANSFORMS[tname]
+            gate = jax.random.bernoulli(keys[2 * i], self.gate_p, (n,))
             augd = fn(x, keys[2 * i + 1], sev)
             x = jnp.where(gate[:, None, None, None], augd, x)
-        if augmix_spec:
-            chains = augmix_spec.get("augmentation_chains_count", [1, 3])
+        if self.augmix_spec:
+            chains = self.augmix_spec.get("augmentation_chains_count", [1, 3])
             width = int(chains[1]) if isinstance(chains, (list, tuple)) else int(chains)
-            alpha = float(augmix_spec.get("transform_chains_dirichlet", 1.0))
+            alpha = float(self.augmix_spec.get("transform_chains_dirichlet", 1.0))
             x = augment_and_mix(x, keys[-1], width=width, alpha=alpha)
         return x
-
-    augment.steps = [s[0] for s in steps]  # introspection for tests
-    augment.gate_p = gate_p
-    return augment
 
 
 if __name__ == "__main__":  # per-module self-test CLI (reference parity)

@@ -325,12 +325,19 @@ class BatchNorm(fnn.Module):
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # fold mean/var/gamma/beta into per-channel a,b (f32), then apply ONE
+        # fused multiply-add in the compute dtype: no full-tensor f32
+        # intermediates — the elementwise chain XLA has to schedule around
+        # the convs is 1 op instead of 4
+        a = jax.lax.rsqrt(var + self.epsilon)
+        b = -mean * a
         if self.use_scale:
-            y = y * self.param("scale", self.scale_init, (c,), jnp.float32)
+            g = self.param("scale", self.scale_init, (c,), jnp.float32)
+            a, b = a * g, b * g
         if self.use_bias:
-            y = y + self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
-        return y.astype(self.dtype or x.dtype)
+            b = b + self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
+        dt = self.dtype or x.dtype
+        return x.astype(dt) * a.astype(dt) + b.astype(dt)
 
 
 class MeanOnlyBatchNorm(fnn.Module):

@@ -86,12 +86,12 @@ def get_pipelines() -> Dict[str, Pipeline]:
     train_pipeline = Pipeline([
         Node(preprocess, ["cifar10_train", "cifar10_test",
                           "params:cifar10_preprocessing"],
-             "datasets", name="preprocess"),
+             "datasets", name="preprocess", tags=("preprocess",)),
         Node(create_model, ["datasets", "params:image_classifier_model"],
-             "model", name="create_model"),
+             "model", name="create_model", tags=("model",)),
         Node(train, ["datasets", "model", "params:train_image_classifier",
                      "trackers"],
-             "train_results", name="train"),
+             "train_results", name="train", tags=("train",)),
     ], name="train_image_classifier", tags={"train", "classification"})
 
     train_c100 = Pipeline([

@@ -48,11 +48,12 @@ class Node:
     """
 
     def __init__(self, fn: Callable, inputs: Sequence[str], outputs: Union[str, Sequence[str]],
-                 name: Optional[str] = None):
+                 name: Optional[str] = None, tags: Sequence[str] = ()):
         self.fn = fn
         self.inputs = list(inputs)
         self.outputs = [outputs] if isinstance(outputs, str) else list(outputs or [])
         self.name = name or getattr(fn, "__name__", "node")
+        self.tags = set(tags)
 
     def __repr__(self):
         return f"Node({self.name}: {self.inputs} -> {self.outputs})"
@@ -82,6 +83,41 @@ class Pipeline:
             lines.append(f"  {n.name}: {n.inputs} -> {n.outputs}")
         return "\n".join(lines)
 
+    def filter(self, from_nodes: Sequence[str] = (), to_nodes: Sequence[str] = (),
+               only_nodes: Sequence[str] = (), tags: Sequence[str] = ()
+               ) -> "Pipeline":
+        """Sub-pipeline selection (reference ``kedro run --from-nodes /
+        --to-nodes / --node / --tag``, kedro_cli.py:157-231).
+
+        Sequential semantics (pipelines here are ordered lists): from_nodes
+        cuts everything before the FIRST named node, to_nodes everything
+        after the LAST named node, only_nodes keeps exactly the named nodes,
+        tags keeps nodes carrying any of the given tags. Filters compose.
+        Unknown node names raise.
+        """
+        names = [n.name for n in self.nodes]
+        for ref in (*from_nodes, *to_nodes, *only_nodes):
+            if ref not in names:
+                raise KeyError(f"Pipeline '{self.name}' has no node '{ref}'; "
+                               f"nodes: {names}")
+        keep = self.nodes
+        if from_nodes:
+            start = min(names.index(r) for r in from_nodes)
+            keep = [n for n in keep if names.index(n.name) >= start]
+        if to_nodes:
+            stop = max(names.index(r) for r in to_nodes)
+            keep = [n for n in keep if names.index(n.name) <= stop]
+        if only_nodes:
+            keep = [n for n in keep if n.name in only_nodes]
+        if tags:
+            keep = [n for n in keep if n.tags & set(tags)]
+        if not keep:
+            raise ValueError(
+                f"Node selection left pipeline '{self.name}' empty "
+                f"(from={list(from_nodes)}, to={list(to_nodes)}, "
+                f"only={list(only_nodes)}, tags={list(tags)})")
+        return Pipeline(keep, name=self.name, tags=self.tags)
+
 
 class ProjectContext:
     """Loads conf, resolves the catalog, registers pipelines, runs them.
@@ -101,6 +137,7 @@ class ProjectContext:
         self._extra_params = dict(extra_params or {})
         self._pipelines: Optional[Dict[str, Pipeline]] = None
         self._tracker: Optional[ExperimentTracker] = None
+        self._persist_dir: Optional[Path] = None
 
     # ------------------------------------------------------------ pipelines
     @property
@@ -134,14 +171,37 @@ class ProjectContext:
                             train=bool(entry.get("train", True)))
 
     # ------------------------------------------------------------ running
+    def intermediate_dir(self, pipeline_name: str) -> Path:
+        return self.project_path / "data" / "02_intermediate" / pipeline_name
+
     def run(self, pipeline_name: str = "__default__",
-            loggers: Sequence[Any] = ()) -> Dict[str, Any]:
-        """Execute a pipeline; returns the final data store."""
+            loggers: Sequence[Any] = (),
+            from_nodes: Sequence[str] = (), to_nodes: Sequence[str] = (),
+            only_nodes: Sequence[str] = (), tags: Sequence[str] = (),
+            persist_intermediates: bool = True) -> Dict[str, Any]:
+        """Execute a pipeline (or a node selection of it); returns the final
+        data store.
+
+        Partial runs (reference ``kedro run --from-nodes/--to-nodes/--node/
+        --tag``, kedro_cli.py:157-231): node outputs are persisted under
+        ``data/02_intermediate/<pipeline>/`` after each run (pickle; skipped
+        with a log when an output is not serializable), and a later partial
+        run resolves missing inputs from there — so ``from_nodes=['train']``
+        starts from the cached ``preprocess`` output instead of recomputing
+        it. ``persist_intermediates=False`` disables both the writes and the
+        fallback reads.
+        """
         pipes = self.pipelines
         if pipeline_name not in pipes:
             raise KeyError(f"Unknown pipeline '{pipeline_name}'; known: "
                            f"{sorted(pipes)}")
         pipeline = pipes[pipeline_name]
+        if from_nodes or to_nodes or only_nodes or tags:
+            pipeline = pipeline.filter(from_nodes=from_nodes, to_nodes=to_nodes,
+                                       only_nodes=only_nodes, tags=tags)
+            _logger.info("partial run: nodes %s", [n.name for n in pipeline.nodes])
+        self._persist_dir = (self.intermediate_dir(pipeline_name)
+                             if persist_intermediates else None)
 
         # hooks: experiment tracking for train-tagged pipelines
         # (reference hooks.py:37-129)
@@ -165,9 +225,11 @@ class ProjectContext:
                              time.perf_counter() - t0)  # log_time parity
                 if len(node.outputs) == 1:
                     store[node.outputs[0]] = out
+                    self._persist_output(node.outputs[0], out)
                 elif node.outputs:
                     for oname, oval in zip(node.outputs, out):
                         store[oname] = oval
+                        self._persist_output(oname, oval)
             return store
         except Exception:
             status = "FAILED"
@@ -175,6 +237,21 @@ class ProjectContext:
         finally:
             if tracker:
                 tracker.end_run(status)
+
+    def _persist_output(self, name: str, value: Any) -> None:
+        if self._persist_dir is None:
+            return
+        import pickle
+        self._persist_dir.mkdir(parents=True, exist_ok=True)
+        path = self._persist_dir / f"{name}.pkl"
+        try:
+            tmp = path.with_suffix(".pkl.tmp")
+            with open(tmp, "wb") as f:
+                pickle.dump(value, f)
+            tmp.replace(path)
+        except Exception as e:  # jit-compiled / device-bound outputs etc.
+            _logger.debug("intermediate '%s' not persisted (%s)", name, e)
+            tmp.unlink(missing_ok=True)
 
     def _resolve_input(self, name: str, store: Mapping[str, Any]):
         if name in store:
@@ -184,7 +261,24 @@ class ProjectContext:
             if v is None:
                 raise KeyError(f"Parameter '{name}' not found in conf")
             return v
-        return self.load_catalog_entry(name)
+        if name in self.config.catalog:
+            return self.load_catalog_entry(name)
+        # partial run: the producing node was filtered out — fall back to the
+        # persisted intermediate from an earlier run
+        if self._persist_dir is not None:
+            path = self._persist_dir / f"{name}.pkl"
+            if path.exists():
+                import pickle
+                _logger.info("input '%s' loaded from intermediate cache %s",
+                             name, path)
+                with open(path, "rb") as f:
+                    return pickle.load(f)
+        raise KeyError(
+            f"Input '{name}' is neither a prior node output, a catalog "
+            f"entry, nor a persisted intermediate"
+            + ("" if self._persist_dir is None else f" (looked in {self._persist_dir})")
+            + " — run the producing node first (partial runs reuse "
+              "data/02_intermediate/)")
 
     @staticmethod
     def _search_trial_run_name() -> Optional[str]:

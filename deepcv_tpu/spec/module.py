@@ -40,6 +40,11 @@ _logger = logging.getLogger(__name__)
 _STATE_COLLECTIONS = ("batch_stats",)
 
 
+def _rebuild_model(cls, input_shape, hp, options):
+    """Unpickle helper for DeepcvModule.__reduce__ (module-level for pickle)."""
+    return cls(input_shape, hp, **options)
+
+
 class DeepcvModule:
     """A compiled YAML-spec model with pure init/apply.
 
@@ -110,6 +115,21 @@ class DeepcvModule:
                                  sampling=nas_sampling, name=name)
 
     # ------------------------------------------------------------------ API
+    def _ctor_options(self) -> Dict[str, Any]:
+        """Constructor kwargs that reproduce this build (subclasses extend)."""
+        return dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                    axis_name=self.axis_name, nas_mode=self.nas_mode,
+                    nas_arch=self.nas_arch, nas_sampling=self.nas_sampling,
+                    quantize=self.quantize, quantize_scales=self.quantize_scales)
+
+    def __reduce__(self):
+        """Pickle as (input_shape, hp, options) and REBUILD on load — the
+        compiled flax graph holds creator closures that cannot pickle, but
+        the spec fully determines it. Makes models persistable as pipeline
+        intermediates (partial runs) and shippable across processes."""
+        return (_rebuild_model, (type(self), self.input_shape,
+                                 self._hp.to_dict(), self._ctor_options()))
+
     def with_options(self, **overrides) -> "DeepcvModule":
         """Rebuild this model with the SAME architecture and NAS options,
         overriding only the given constructor kwargs (``quantize=...``,
@@ -121,10 +141,7 @@ class DeepcvModule:
         a manual rebuild silently drops ``nas_mode``/``nas_arch`` and would
         run a different (default-choice) graph for NAS-exported bundles.
         """
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  axis_name=self.axis_name, nas_mode=self.nas_mode,
-                  nas_arch=self.nas_arch, nas_sampling=self.nas_sampling,
-                  quantize=self.quantize, quantize_scales=self.quantize_scales)
+        kw = self._ctor_options()
         kw.update(overrides)
         return type(self)(self.input_shape, self._hp.to_dict(), **kw)
 
@@ -287,10 +304,10 @@ class DeepcvModuleWithSharedImageBlock(DeepcvModule):
         self._shared = SharedImageEmbedding(dtype=kw.get("dtype"), name=self.SHARED_SCOPE)
         super().__init__(input_shape, hp, **kw)
 
-    def with_options(self, **overrides):
-        overrides.setdefault("enable_shared_block", self.enable_shared_block)
-        overrides.setdefault("freeze_shared", self.freeze_shared)
-        return super().with_options(**overrides)
+    def _ctor_options(self):
+        return dict(super()._ctor_options(),
+                    enable_shared_block=self.enable_shared_block,
+                    freeze_shared=self.freeze_shared)
 
     def init(self, rng, batch_size: int = 1):
         if not self.enable_shared_block:

@@ -314,3 +314,81 @@ def test_cli_default_search_space_resolves():
     p = _default_space_path(str(REPO), "train_image_classifier")
     assert p.exists(), p
     assert p.name == "image_classifier_hp_search_space.json"
+
+
+def _write_tiny_project(tmp_path):
+    conf = tmp_path / "conf" / "base"
+    conf.mkdir(parents=True)
+    (conf / "catalog.yml").write_text(
+        "cifar10_train: {type: synthetic, n: 128, image_shape: [8, 8, 3], num_classes: 4}\n"
+        "cifar10_test: {type: synthetic, train: false, n: 64, image_shape: [8, 8, 3], num_classes: 4}\n")
+    (conf / "parameters.yml").write_text("""
+cifar10_preprocessing:
+  seed: 1
+  split_dataset: { validset_ratio: 0.25 }
+  transforms: [to_tensor]
+image_classifier_model:
+  act_fn: relu
+  architecture:
+    - conv2d: { kernel_size: [3, 3], out_channels: 4, padding: 1 }
+    - flatten: {}
+    - fully_connected: { act_fn: null }
+train_image_classifier:
+  epochs: 1
+  batch_size: 32
+  optimizer_opts: { lr: 1.0e-3 }
+  save_every_iters: 0
+  output_path: %s
+""" % str(tmp_path / "out"))
+    return conf
+
+
+def test_partial_pipeline_runs(tmp_path):
+    """Reference ``kedro run --from-nodes/--to-nodes/--node/--tag``
+    (kedro_cli.py:157-231): a full run persists node outputs under
+    data/02_intermediate/<pipeline>/; a later run starting at a LATER node
+    loads the cached inputs instead of recomputing (proved by breaking the
+    catalog between runs), through the real CLI."""
+    from deepcv_tpu.cli import main as cli_main
+
+    conf = _write_tiny_project(tmp_path)
+    ctx = ProjectContext(str(tmp_path))
+
+    # --to-nodes: run ONLY preprocess, which persists 'datasets'
+    store = ctx.run("train_image_classifier", to_nodes=("preprocess",))
+    assert "datasets" in store and "train_results" not in store
+    inter = tmp_path / "data" / "02_intermediate" / "train_image_classifier"
+    assert (inter / "datasets.pkl").exists()
+
+    # finish model+train from the SECOND node via the CLI; break the catalog
+    # first so any attempt to reload raw data would fail loudly
+    (conf / "catalog.yml").write_text(
+        "cifar10_train: {type: nonexistent_dataset_type}\n"
+        "cifar10_test: {type: nonexistent_dataset_type}\n")
+    rc = cli_main(["run", "--pipeline", "train_image_classifier",
+                   "--from-nodes", "create_model",
+                   "--project-path", str(tmp_path)])
+    assert rc == 0
+    assert (inter / "model.pkl").exists()   # DeepcvModule pickles by spec
+
+    # --only-nodes resumes train alone from cached datasets+model
+    store3 = ProjectContext(str(tmp_path)).run(
+        "train_image_classifier", only_nodes=("train",))
+    assert store3["train_results"]["history"]["steps"] == 3
+
+    # --tags filter selects by node tags
+    store4 = ProjectContext(str(tmp_path)).run(
+        "train_image_classifier", tags=("model",))
+    assert "model" in store4 and "train_results" not in store4
+
+    # unknown node names fail fast; empty selections fail fast
+    with pytest.raises(KeyError, match="no node"):
+        ctx.run("train_image_classifier", from_nodes=("bogus",))
+    with pytest.raises(ValueError, match="empty"):
+        ctx.run("train_image_classifier", tags=("no_such_tag",))
+
+    # persistence off => partial run cannot resolve, and says why
+    with pytest.raises(KeyError, match="persisted intermediate|producing node"):
+        ProjectContext(str(tmp_path)).run(
+            "train_image_classifier", only_nodes=("train",),
+            persist_intermediates=False)
