@@ -302,6 +302,11 @@ def _wide_classifier_hp(out_features: int = 10, norm: str = "batch_norm"):
             hp["group_norm"] = {"num_groups": 32, "eps": 1e-5}
         elif norm == "layer_norm":
             hp["layer_norm"] = {"eps": 1e-5}
+        elif norm == "weight_norm":
+            # normalization in WEIGHT space (per-filter reparameterization,
+            # KB-scale tensors): keeps a normalization mechanism without the
+            # activation-norm HBM traffic that costs ~10 MFU points
+            hp["weight_norm"] = {"eps": 1e-6}
         elif norm in ("none", "no_norm"):
             pass
         else:
@@ -493,7 +498,7 @@ if __name__ == "__main__":
     enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--norm", default="batch_norm",
-                    choices=["batch_norm", "group_norm", "layer_norm", "none"],
+                    choices=["batch_norm", "group_norm", "layer_norm", "weight_norm", "none"],
                     help="config 6 only: normalization technique of the wide "
                          "classifier (BN backward is the measured MFU wall)")
     ap.add_argument("--config", type=int, default=1,

@@ -125,4 +125,24 @@ def get_pipelines() -> Dict[str, Pipeline]:
         "train_image_classifier": train_pipeline,
         "train_image_classifier_cifar100": train_c100,
         "train_wide_classifier": train_wide,
+        "train_wide_classifier_ws": Pipeline([
+            Node(preprocess, ["cifar10_train", "cifar10_test",
+                              "params:cifar10_preprocessing"],
+                 "datasets", name="preprocess", tags=("preprocess",)),
+            Node(create_model, ["datasets", "params:wide_classifier_ws_model"],
+                 "model", name="create_model", tags=("model",)),
+            Node(train, ["datasets", "model", "params:train_wide_classifier",
+                         "trackers"],
+                 "train_results", name="train", tags=("train",)),
+        ], name="train_wide_classifier_ws", tags={"train", "classification"}),
+        "train_wide_classifier_gn": Pipeline([
+            Node(preprocess, ["cifar10_train", "cifar10_test",
+                              "params:cifar10_preprocessing"],
+                 "datasets", name="preprocess", tags=("preprocess",)),
+            Node(create_model, ["datasets", "params:wide_classifier_gn_model"],
+                 "model", name="create_model", tags=("model",)),
+            Node(train, ["datasets", "model", "params:train_wide_classifier",
+                         "trackers"],
+                 "train_results", name="train", tags=("train",)),
+        ], name="train_wide_classifier_gn", tags={"train", "classification"}),
     }
