@@ -30,6 +30,7 @@ from deepcv_tpu.spec.graph import ARCH_PARAM_PREFIX
 __all__ = ["list_mutables", "sample_architecture", "export_architecture",
            "apply_fixed_architecture", "arch_params_mask",
            "gen_classic_nas_search_space", "candidate_costs",
+           "enas_neural_architecture_search",
            "expected_cost_regularizer",
            "single_shot_neural_architecture_search"]
 
@@ -222,6 +223,149 @@ def expected_cost_regularizer(costs: Mapping[str, Sequence[float]],
     return reg
 
 
+def enas_neural_architecture_search(
+        input_shape, model_hp: Mapping[str, Any], training_hp: Mapping[str, Any],
+        losses, datasets, backend_conf=None, metrics=None,
+        arch_export_path: Optional[Union[str, Path]] = None,
+        controller_lr: float = 0.2, controller_samples: int = 8,
+        entropy_weight: float = 1e-2, baseline_decay: float = 0.7,
+        reward_metric: str = "accuracy",
+        reward_fn: Optional[Any] = None,
+        **model_kwargs) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
+    """ENAS (arXiv:1802.03268): weight sharing + an RL controller trained by
+    REINFORCE on validation reward, alternating with weight training.
+
+    Controller: FACTORED categorical policy — one independent softmax per
+    mutable over the shared ``arch__*`` logits (the paper's LSTM adds
+    conditional dependence BETWEEN decisions; with the spec engine's
+    per-mutable choice points the factored policy covers the same search
+    space and keeps the policy-gradient math exact:
+    grad log pi(arch) = onehot(choice) - softmax(logits) per mutable).
+
+    Alternation (one round per weight epoch, the paper's schedule):
+      1. WEIGHT phase — one epoch of shared-weight training with paths
+         sampled from the CURRENT policy (supernet sampling='sampled');
+         ``train_arch_params=False`` zeroes gradient flow into the logits
+         so only REINFORCE moves the policy;
+      2. CONTROLLER phase — sample ``controller_samples`` architectures on
+         the host, score each on a validation batch with the shared weights
+         (one-hot forced paths), and ascend
+         (R - baseline) * grad log pi + entropy_weight * grad H
+         with an EMA baseline (decay ``baseline_decay``).
+
+    ``reward_fn(arch, state) -> float`` overrides the validation-accuracy
+    reward (latency-aware or multi-objective searches; also what the unit
+    test uses to verify the controller maximizes an arbitrary reward).
+
+    Top-level mutables only (nested-module mutables would need namespaced
+    logit routing — same limitation as :func:`candidate_costs`).
+
+    Returns (architecture_dict, final_state, history) — history carries a
+    'controller' list of per-round {reward_mean, baseline, entropy}.
+    """
+    import jax
+    import jax.numpy as jnp
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.graph import clone_with_forced_arch
+    from deepcv_tpu.train import train
+    from deepcv_tpu.train.metrics import METRIC_FNS
+
+    supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
+                            nas_sampling="sampled", **model_kwargs)
+    muts = {n: m for n, m in list_mutables(model_hp).items() if "/" not in n}
+    if not muts:
+        raise ValueError("enas: the spec has no top-level NAS mutables")
+
+    hp = dict(training_hp)
+    epochs = int(hp.get("epochs", 1))
+    hp.update(epochs=1, train_arch_params=False)
+    rng = np.random.default_rng(int(hp.get("seed", 0)) + 1)
+
+    # default reward: accuracy of the forced-arch model on a validation batch
+    validset = datasets.get("validset", datasets["trainset"])
+    inner = getattr(validset, "dataset", validset)
+    n = min(len(inner), 512)
+    vx = jnp.asarray(inner.images[:n])
+    vy = jnp.asarray(inner.targets[:n])
+    tf = getattr(validset, "batch_transform", None)
+    vxb = tf(vx, augment=False) if tf is not None else vx
+    metric_fn = METRIC_FNS[reward_metric]
+    _eval_cache: Dict[Tuple, Any] = {}
+
+    def default_reward(arch, state) -> float:
+        forced = clone_with_forced_arch(supernet.module, arch)
+        key = tuple(sorted(arch.items()))
+        fn = _eval_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda v, x: forced.apply(v, x, train=False))
+            _eval_cache[key] = fn
+        logits = fn(state.variables(), vxb)
+        return float(metric_fn(logits, vy))
+
+    reward_of = reward_fn or default_reward
+
+    state = None
+    history: Dict[str, Any] = {"train": [], "valid": [], "controller": []}
+    baseline = None
+    variables = None
+    for epoch in range(epochs):
+        # ---- weight phase (paths ~ current policy; logits frozen) -------- #
+        state, h = train(hp, supernet, losses, datasets,
+                         backend_conf=backend_conf, metrics=metrics,
+                         init_variables=variables)
+        history["train"].extend(h["train"])
+        history["valid"].extend(h["valid"])
+        params = jax.device_get(state.params)
+        variables = {"params": params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = jax.device_get(state.batch_stats)
+
+        # ---- controller phase (REINFORCE over the factored policy) ------- #
+        logits = {name: np.asarray(params[f"{ARCH_PARAM_PREFIX}{name}"],
+                                   np.float64) for name in muts}
+        probs = {n: np.exp(l - l.max()) / np.exp(l - l.max()).sum()
+                 for n, l in logits.items()}
+        grads = {n: np.zeros_like(l) for n, l in logits.items()}
+        rewards = []
+        for _s in range(int(controller_samples)):
+            arch = {n: int(rng.choice(len(p), p=p)) for n, p in probs.items()}
+            r = float(reward_of(arch, state))
+            rewards.append(r)
+            baseline = r if baseline is None else \
+                baseline_decay * baseline + (1 - baseline_decay) * r
+            adv = r - baseline
+            for n_, c in arch.items():
+                onehot = np.zeros_like(probs[n_])
+                onehot[c] = 1.0
+                grads[n_] += adv * (onehot - probs[n_])
+        ent = 0.0
+        for n_, p in probs.items():
+            logp = np.log(p + 1e-12)
+            h_n = float(-(p * logp).sum())
+            ent += h_n
+            # dH/dlogit_i = -p_i (log p_i + H)  (softmax jacobian form)
+            grads[n_] += entropy_weight * (-p * (logp + h_n))
+        for n_ in muts:
+            new = logits[n_] + controller_lr * grads[n_] / max(1, controller_samples)
+            params[f"{ARCH_PARAM_PREFIX}{n_}"] = jnp.asarray(
+                new, np.asarray(params[f"{ARCH_PARAM_PREFIX}{n_}"]).dtype)
+        variables["params"] = params
+        history["controller"].append({
+            "epoch": epoch + 1,
+            "reward_mean": float(np.mean(rewards)),
+            "baseline": float(baseline),
+            "entropy": ent})
+        _logger.info("enas round %d: reward %.4f baseline %.4f entropy %.3f",
+                     epoch + 1, np.mean(rewards), baseline, ent)
+
+    arch = {n: int(np.argmax(np.asarray(params[f"{ARCH_PARAM_PREFIX}{n}"])))
+            for n in muts}
+    if arch_export_path:
+        Path(arch_export_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(arch_export_path).write_text(json.dumps(arch, indent=1))
+    return arch, state, history
+
+
 def single_shot_neural_architecture_search(
         input_shape, model_hp: Mapping[str, Any], training_hp: Mapping[str, Any],
         losses, datasets, backend_conf=None, metrics=None,
@@ -247,15 +391,16 @@ def single_shot_neural_architecture_search(
         (latency) objective ``latency_weight * E[cost]/max_cost`` added to
         the training loss (eq. 7; analytic MAC table, see
         :func:`candidate_costs`).
-    'enas' is accepted for reference-registry parity but its RL controller
-    is not implemented — it WARNS and falls back to the SPOS regime.
+    'enas' dispatches to :func:`enas_neural_architecture_search` — a REAL
+    RL controller (factored policy + REINFORCE on validation reward with an
+    EMA baseline), alternating weight/controller phases per epoch.
 
     ``eval_candidates=True`` scores each candidate architecture on the
     validation set with the shared weights and exports the best (reference
     ``_single_shot_nas_retrain_for_eval`` intent, nni_tools.py:193-228 — the
     BN-stat reset happens implicitly because the fixed-arch evaluation
-    recomputes activations with eval-mode stats). Default: ON for
-    spos/enas (required — their logits are untrained), OFF otherwise.
+    recomputes activations with eval-mode stats). Default: ON for spos
+    (required — its logits are untrained), OFF otherwise.
 
     Returns (architecture_dict, final_state, history).
     """
@@ -263,18 +408,20 @@ def single_shot_neural_architecture_search(
     from deepcv_tpu.train import train
 
     algorithm = str(algorithm).lower()
-    sampling = {"darts": "softmax", "spos": "uniform", "enas": "uniform",
+    sampling = {"darts": "softmax", "spos": "uniform", "enas": "sampled",
                 "proxylessnas": "sampled"}.get(algorithm)
     if sampling is None:
         raise ValueError(f"Unknown single-shot NAS algorithm '{algorithm}' "
                          "(darts|spos|enas|proxylessnas)")
     if algorithm == "enas":
-        _logger.warning(
-            "ENAS's RL controller is not implemented; falling back to the "
-            "SPOS regime (uniform path sampling + validation selection). "
-            "Benchmark results will NOT reflect ENAS (arXiv:1802.03268).")
+        # the RL-controller loop owns its own weight/controller alternation
+        return enas_neural_architecture_search(
+            input_shape, model_hp, training_hp, losses, datasets,
+            backend_conf=backend_conf, metrics=metrics,
+            arch_export_path=arch_export_path,
+            reward_metric=eval_metric, **model_kwargs)
     if eval_candidates is None:
-        eval_candidates = algorithm in ("spos", "enas")
+        eval_candidates = algorithm == "spos"
     supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
                             nas_sampling=sampling, **model_kwargs)
     reg = None

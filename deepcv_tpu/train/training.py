@@ -21,6 +21,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from pathlib import Path
@@ -83,6 +84,8 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # is the opt-in uniform-sampling throughput mode
     "sampling": "epoch",
     "max_epochs_per_dispatch": 1,    # fuse k quiet epochs into one dispatch
+    "train_arch_params": True,       # False: zero updates to arch__ logits
+                                     # (ENAS: an RL controller owns them)
     "run_dir": None,                 # explicit run directory name (else timestamped)
     # 'input' => self-supervised/autoencoder: loss target is the transformed
     # input batch (reference keypoints autoencoder, keypoints/detector.py:44-84)
@@ -249,6 +252,14 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     hp_plain = hp.to_dict()
     schedule = build_schedule(hp.get("scheduler"), hp_plain, steps_per_epoch)
     tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"], schedule)
+    if not hp.get("train_arch_params", True):
+        # NAS supernets whose architecture distribution is trained OUTSIDE
+        # the gradient loop (ENAS RL controller): arch__ logits get zero
+        # updates here; everything else trains normally
+        from deepcv_tpu.search.nas import arch_params_mask
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), arch_params_mask),
+            optax.masked(tx, functools.partial(arch_params_mask, invert=True)))
     accum = int(hp.get("grad_accumulation_steps", 1) or 1)
     if accum > 1:
         # large effective batches without the HBM for them: gradients average
