@@ -41,7 +41,11 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
     dtype = hp.pop("dtype", None)
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)
-    model = DeepcvModule(input_shape, hp, dtype=dtype)
+    # 'quantize: int8_qat' in the model conf turns the training pipeline
+    # into quantization-aware training (fake-quant STE, compression.py);
+    # 'int8' builds the inference-only w8a8 graph
+    quantize = hp.pop("quantize", None)
+    model = DeepcvModule(input_shape, hp, dtype=dtype, quantize=quantize)
     _logger.info("created model: %s", model)
     return model
 

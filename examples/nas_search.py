@@ -1,8 +1,18 @@
 """Single-shot NAS: train a weight-sharing supernet over YAML choice points,
 then pick the architecture by shared-weight validation.
 
-Run: ``python examples/nas_search.py``
+Four genuinely distinct algorithms share the supernet plumbing
+(search/nas.py):
+  * darts         — softmax mixture, logits trained by gradient;
+  * spos          — uniform path sampling, validation selects post hoc;
+  * proxylessnas  — binary-gate path sampling + expected-cost (latency)
+                    objective (``latency_weight=``);
+  * enas          — RL controller: REINFORCE on validation reward with an
+                    EMA baseline, alternating weight/controller phases.
+
+Run: ``python examples/nas_search.py [darts|spos|proxylessnas|enas]``
 """
+import sys
 import jax
 
 from deepcv_tpu.config import load_yaml
@@ -36,12 +46,15 @@ def main():
     hp = {"epochs": 2, "batch_size": 128, "optimizer_opts": {"lr": 2e-3},
           "save_every_iters": 0, "log_progress_every_iters": 2, "seed": 0,
           "output_path": "data/04_training"}
+    algorithm = sys.argv[1] if len(sys.argv) > 1 else "darts"
     arch, state, history = single_shot_neural_architecture_search(
         (16, 16, 3), load_yaml(SUPERNET), hp, cross_entropy_loss, data,
-        metrics={"accuracy": accuracy}, algorithm="darts",
-        eval_candidates=True)
+        metrics={"accuracy": accuracy}, algorithm=algorithm)
     print("chosen architecture:", arch)
-    print("supernet valid:", history["valid"][-1])
+    if history.get("controller"):              # enas: per-round RL stats
+        print("controller:", history["controller"][-1])
+    if history["valid"]:
+        print("supernet valid:", history["valid"][-1])
 
 
 if __name__ == "__main__":

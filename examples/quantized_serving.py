@@ -1,9 +1,20 @@
-"""Calibrated int8 (w8a8) serving: train float, calibrate once, serve 1.37x.
+"""Calibrated int8 (w8a8) serving: train float, calibrate once, serve ~1.31x.
 
 The float checkpoint is reused unchanged — quantization lives inside the
 conv/dense ops, not in the params. Measured on TPU v5e (wide classifier,
-batch 4096): 445k img/s int8 vs 325k bf16 with 99.6% top-1 agreement
-(bench.py --config 8 reproduces the measurement).
+batch 4096): 412k img/s int8 vs 314k bf16, 99.4% top-1 agreement, median of
+5 alternating draws (bench.py --config 8 reproduces the measurement).
+
+For accuracy-critical deployments, fine-tune UNDER the quantization grid
+first (quantization-aware training) and calibrate the QAT weights:
+
+    mq = model.with_options(quantize='int8_qat')      # fake-quant STE build
+    state, _ = train(hp_finetune, mq, loss, data,
+                     init_variables={'params': trained_params})
+    scales = calibrate_int8_scales(model, vars_of(state), batches)
+    serve = model.with_options(quantize='int8', quantize_scales=scales)
+
+(tests/test_qat.py measures QAT beating PTQ at low bit widths.)
 
 Run: ``python examples/quantized_serving.py`` (CPU-capable, tiny shapes).
 """
