@@ -29,7 +29,7 @@ __all__ = [
     "ACTIVATION_FNS", "XAVIER_GAINS", "get_activation", "get_gain",
     "xavier_uniform_with_gain", "xavier_normal_with_gain", "BatchNorm",
     "Layer", "NormTechnique", "normalization_techniques",
-    "Flatten", "Identity", "MultiHeadConcat", "ConcatCoords", "ConcatHilbertCoords",
+    "ConvTransposeTorch", "Flatten", "Identity", "MultiHeadConcat", "ConcatCoords", "ConcatHilbertCoords",
     "concat_coords_maps", "concat_hilbert_coords_map", "interpolate",
     "get_padding_from_kernel", "get_model_capacity", "get_out_features_shape",
     "ensure_mean_batch_loss", "func_to_module", "avg_pool_nd", "max_pool_nd",
@@ -428,6 +428,68 @@ def normalization_techniques(norm_specs: Mapping[str, Optional[Mapping[str, Any]
             raise ValueError(f"Unknown normalization technique '{tech}'; "
                              f"expected one of {NormTechnique.ALL}")
     return mods
+
+
+class ConvTransposeTorch(fnn.Module):
+    """Transposed convolution with TORCH semantics (verified against an
+    executing ``torch.nn.ConvTranspose2d`` in tests/test_torch_parity.py).
+
+    The true transpose of the forward conv: input dilated by ``strides``,
+    kernel spatially FLIPPED, per-side padding ``dilation*(k-1) - padding``
+    plus ``output_padding`` on the trailing edge — so
+    ``out = (in-1)*s - 2p + d*(k-1) + 1 + op`` exactly like torch.
+    flax's ``nn.ConvTranspose`` implements a different operator (no kernel
+    flip, grow-by-VALID shape rule) whose values AND shapes both diverge
+    from the reference's ``torch.nn.ConvTranspose2d``
+    (submodule_creators.py:265-267).
+
+    Kernel layout: spatial..., in, out (HWIO-style) — same as fnn.Conv, so
+    checkpoints and init logic are uniform across conv types.
+    """
+    features: int
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Optional[Tuple[int, ...]] = None
+    padding: Any = 0
+    output_padding: Any = 0
+    kernel_dilation: Any = 1
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = fnn.initializers.lecun_normal()
+    bias_init: Callable = fnn.initializers.zeros
+
+    @fnn.compact
+    def __call__(self, x):
+        nd = len(self.kernel_size)
+        strides = self.strides or (1,) * nd
+        as_tup = lambda v: tuple(v) if isinstance(v, (tuple, list)) else (int(v),) * nd
+        pads, ops, dil = as_tup(self.padding), as_tup(self.output_padding), \
+            as_tup(self.kernel_dilation)
+        # collapse ((p,p),...) pair form to per-dim ints
+        pads = tuple(p[0] if isinstance(p, (tuple, list)) else int(p) for p in pads)
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (*self.kernel_size, cin, self.features),
+                            self.param_dtype)
+        kernel = jnp.asarray(kernel, self.dtype or x.dtype)
+        flip = kernel[tuple(slice(None, None, -1) for _ in range(nd))]
+        pad_cfg = tuple(
+            (d * (k - 1) - p, d * (k - 1) - p + op)
+            for k, p, op, d in zip(self.kernel_size, pads, ops, dil))
+        spatial = "DHW"[-nd:] if nd <= 3 else None
+        if spatial is None:
+            raise ValueError("ConvTransposeTorch supports 1-3 spatial dims")
+        dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(x, self.dtype or x.dtype), flip,
+            window_strides=(1,) * nd, padding=pad_cfg,
+            lhs_dilation=tuple(strides), rhs_dilation=dil,
+            dimension_numbers=dn)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype)
+            y = y + jnp.asarray(b, y.dtype)
+        return y
 
 
 def pad_channels_for_tpu(x: jnp.ndarray, min_channels: int = 8) -> jnp.ndarray:

@@ -277,7 +277,7 @@ def _conv_common(params: Mapping[str, Any], rank: int):
 
 
 _CONV_ALLOWED = ("kernel_size", "out_channels", "padding", "stride", "strides",
-                 "dilation", "groups", "use_bias", "bias")
+                 "dilation", "groups", "use_bias", "bias", "output_padding")
 
 
 def _make_conv_creator(rank: int, transpose: bool):
@@ -317,9 +317,20 @@ def _make_conv_creator(rank: int, transpose: bool):
                       dtype=ctx.dtype, param_dtype=ctx.param_dtype, kernel_init=kinit,
                       name=f"{name}_op")
         if transpose:
-            # no int8 path for transposed convs (flax ConvTranspose has no
-            # conv injection point); they stay in the float dtype
-            op = fnn.ConvTranspose(kernel_dilation=dilation, **common)
+            # torch-semantics transpose (flax's ConvTranspose is a different
+            # operator — shapes and values diverge, see ops.nn); no int8
+            # path (no conv injection point); stays in the float dtype
+            if isinstance(padding, str):
+                raise ValueError(
+                    f"Submodule '{name}': transposed convs take integer "
+                    "padding (torch semantics), not 'SAME'/'VALID'")
+            op = dnn.ConvTransposeTorch(
+                features=common["features"], kernel_size=common["kernel_size"],
+                strides=common["strides"], padding=padding,
+                output_padding=params.get("output_padding", 0),
+                kernel_dilation=dilation, use_bias=common["use_bias"],
+                dtype=common["dtype"], param_dtype=common["param_dtype"],
+                kernel_init=common["kernel_init"], name=common["name"])
         else:
             if ctx.quantize == "int8":
                 import functools

@@ -356,3 +356,55 @@ def test_init_distributions_match_reference_semantics():
     limit = 1.0 * np.sqrt(6.0 / (fi2 + 64))
     assert np.abs(fck).max() <= limit + 1e-7
     assert fck.std() > 0.8 * limit / np.sqrt(3)    # uniform, not normal/zeros
+
+
+# --------------------------------------------------------------------------- #
+# Transposed conv vs torch.nn.ConvTranspose2d
+# --------------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("stride,pad,out_pad", [
+    (1, 1, 0), (2, 1, 1), (2, 0, 0), (2, 1, 0), (3, 2, 1)])
+def test_conv_transpose_torch_semantics(stride, pad, out_pad):
+    """ops.nn.ConvTransposeTorch matches torch.nn.ConvTranspose2d in shape
+    AND values across stride/padding/output_padding — flax's nn.ConvTranspose
+    is a DIFFERENT operator (no kernel flip, grow-by-VALID shapes) and was
+    replaced in the transposed_conv creators after this oracle caught the
+    divergence (reference transosed_convNd, submodule_creators.py:265-267)."""
+    from deepcv_tpu.ops.nn import ConvTransposeTorch
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 7, 7, 3)).astype(np.float32)
+    w = (rng.normal(size=(3, 3, 3, 5)) * 0.2).astype(np.float32)   # HWIO
+    b = rng.normal(size=(5,)).astype(np.float32)
+
+    tconv = tnn.ConvTranspose2d(3, 5, 3, stride=stride, padding=pad,
+                                output_padding=out_pad)
+    tconv.weight.data = _t(w.transpose(2, 3, 0, 1))   # HWIO -> (in,out,kh,kw)
+    tconv.bias.data = _t(b)
+    with torch.no_grad():
+        ty = tconv(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    jconv = ConvTransposeTorch(features=5, kernel_size=(3, 3),
+                               strides=(stride, stride), padding=pad,
+                               output_padding=out_pad)
+    v = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
+    jy = np.asarray(jconv.apply(v, jnp.asarray(x)))
+    assert jy.shape == ty.shape, (jy.shape, ty.shape)
+    np.testing.assert_allclose(jy, ty, atol=1e-5, rtol=1e-5)
+
+
+def test_transposed_conv_creator_roundtrips_conv(tmp_path):
+    """A spec using transposed_conv2d upsamples with torch shape semantics:
+    conv(s=2,p=1) then transposed_conv(s=2,p=1,output_padding=1) restores the
+    spatial size (the autoencoder pattern, reference keypoints/detector.py)."""
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.spec import DeepcvModule
+
+    m = DeepcvModule((16, 16, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n"
+        "  - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1, stride: 2 }\n"
+        "  - transposed_conv2d: { kernel_size: [3, 3], out_channels: 3, padding: 1,\n"
+        "                         stride: 2, output_padding: 1 }\n"))
+    v = m.init(jax.random.PRNGKey(0))
+    y = m.apply(v, jnp.ones((2, 16, 16, 3)))
+    assert y.shape == (2, 16, 16, 3)
