@@ -408,3 +408,52 @@ def test_transposed_conv_creator_roundtrips_conv(tmp_path):
     v = m.init(jax.random.PRNGKey(0))
     y = m.apply(v, jnp.ones((2, 16, 16, 3)))
     assert y.shape == (2, 16, 16, 3)
+
+
+# --------------------------------------------------------------------------- #
+# remaining op families vs their torch counterparts
+# --------------------------------------------------------------------------- #
+
+def test_local_response_norm_torch_semantics():
+    """ops.nn.LocalResponseNorm (cumsum-window impl) == torch.nn.LocalResponseNorm."""
+    from deepcv_tpu.ops.nn import LocalResponseNorm
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 6, 6, 13)).astype(np.float32)   # odd C: window tails
+    mod = LocalResponseNorm(size=5, alpha=1e-3, beta=0.75, k=1.5)
+    jy = np.asarray(mod.apply({}, jnp.asarray(x)))
+    tmod = tnn.LocalResponseNorm(5, alpha=1e-3, beta=0.75, k=1.5)
+    with torch.no_grad():
+        ty = tmod(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(jy, ty, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("src,dst", [(8, 4), (4, 8), (6, 9), (9, 6)])
+def test_interpolate_torch_semantics(src, dst):
+    """dnn.interpolate == torch F.interpolate(bilinear, align_corners=False)
+    for up AND down scaling, integer and fractional factors (the dense_link /
+    HRNet rescaling path; antialias=False was a round-3 oracle catch)."""
+    from deepcv_tpu.ops.nn import interpolate
+
+    x = np.random.default_rng(6).normal(size=(2, src, src, 3)).astype(np.float32)
+    jy = np.asarray(interpolate(jnp.asarray(x), (dst, dst)))
+    with torch.no_grad():
+        ty = tF.interpolate(_t(x).permute(0, 3, 1, 2), size=(dst, dst),
+                            mode="bilinear", align_corners=False
+                            ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(jy, ty, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,p", [(2, 2, 0), (3, 2, 1), (3, 1, 1)])
+def test_avg_pool_torch_semantics(k, s, p):
+    """dnn.avg_pool_nd == torch AvgPool2d (count_include_pad=True default) —
+    padded windows divide by the FULL window size in both."""
+    from deepcv_tpu.ops.nn import avg_pool_nd
+
+    x = np.random.default_rng(7).normal(size=(2, 8, 8, 3)).astype(np.float32)
+    jy = np.asarray(avg_pool_nd(jnp.asarray(x), (k, k), (s, s), p))
+    with torch.no_grad():
+        ty = tnn.AvgPool2d(k, stride=s, padding=p)(
+            _t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    assert jy.shape == ty.shape, (jy.shape, ty.shape)
+    np.testing.assert_allclose(jy, ty, atol=1e-6, rtol=1e-6)
