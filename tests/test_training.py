@@ -441,3 +441,45 @@ def test_staged_streaming_matches_per_batch(tiny_setup, tmp_path):
                                rtol=2e-2)
     np.testing.assert_allclose(h1["valid"][-1]["valid_accuracy"],
                                h4["valid"][-1]["valid_accuracy"], atol=0.06)
+
+
+def test_weight_standardized_variant_trains_comparably(tmp_path):
+    """The throughput-optimal norm-free + weight_norm config (zoo
+    wide_classifier_ws_model pattern; 53.9% vs 38.5% MFU on v5e) must remain
+    TRAINABLE: on a seeded learnable task it reaches accuracy within a
+    documented margin of the batch-norm build (docs/design.md 5.9 records
+    0.92 vs 0.88 on this task)."""
+    from deepcv_tpu.data.datasets import ArrayDataset
+    from deepcv_tpu.data.preprocess import preprocess
+
+    rng = np.random.default_rng(3)
+    protos = rng.normal(size=(4, 8, 8, 3))
+    yc = rng.integers(0, 4, 512)
+    x = np.clip(protos[yc] * 12 + 128 + rng.normal(scale=50, size=(512, 8, 8, 3)),
+                0, 255).astype(np.uint8)
+    raw = ArrayDataset(x, yc.astype(np.int32), classes=list("abcd"),
+                       name="protos", provenance="synthetic")
+    data = preprocess({"trainset": raw},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+
+    def run(extra):
+        m = DeepcvModule((8, 8, 3), load_yaml(
+            "act_fn: relu\n" + extra + "architecture:\n"
+            "  - conv2d: {kernel_size: [3,3], out_channels: 16, padding: 1}\n"
+            "  - conv2d: {kernel_size: [3,3], out_channels: 16, padding: 1}\n"
+            "  - flatten: {}\n"
+            "  - fully_connected: {act_fn: null, out_features: 4,"
+            " batch_norm: null}"))
+        hp = {"epochs": 8, "batch_size": 32, "optimizer_opts": {"lr": 3e-3},
+              "save_every_iters": 0, "log_progress_every_iters": 12,
+              "validate_every_epochs": 8, "output_path": str(tmp_path),
+              "seed": 11}
+        _, h = train(hp, m, "cross_entropy", data,
+                     backend_conf=BackendConfig(n_devices=1))
+        return h["valid"][-1]["valid_accuracy"]
+
+    acc_bn = run("batch_norm: { momentum: 0.1 }\n")
+    acc_ws = run("weight_norm: { eps: 1.0e-06 }\n")
+    assert acc_bn > 0.7                      # the task is learnable
+    assert acc_ws > acc_bn - 0.08, (acc_bn, acc_ws)
