@@ -269,7 +269,9 @@ def _cmd_search(args) -> int:
         # keep trials cheap & checkpoint-free by default; users override in conf
         extra.setdefault(f"{training_key}.save_every_iters", 0)
         ctx = ProjectContext(args.project_path, extra_params=extra)
-        store = ctx.run(pipeline)
+        # trials re-run the same pipeline N times: re-pickling identical
+        # intermediates every trial is pure wasted IO
+        store = ctx.run(pipeline, persist_intermediates=False)
         hist = store["train_results"]["history"]
         for v in hist["valid"]:
             trial.report_intermediate_result(v.get(args.metric, 0.0))

@@ -476,7 +476,7 @@ class ConvTransposeTorch(fnn.Module):
         pad_cfg = tuple(
             (d * (k - 1) - p, d * (k - 1) - p + op)
             for k, p, op, d in zip(self.kernel_size, pads, ops, dil))
-        spatial = "DHW"[-nd:] if nd <= 3 else None
+        spatial = "DHW"[-nd:] if 1 <= nd <= 3 else None
         if spatial is None:
             raise ValueError("ConvTransposeTorch supports 1-3 spatial dims")
         dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
@@ -511,7 +511,8 @@ def pad_channels_for_tpu(x: jnp.ndarray, min_channels: int = 8) -> jnp.ndarray:
 def _is_conv_op(op) -> bool:
     from deepcv_tpu.ops.pallas.fused_layer import PallasConv
     inner = getattr(op, "layer_instance", op)  # SpectralNorm/WeightNorm wrappers
-    return isinstance(inner, (fnn.Conv, fnn.ConvTranspose, PallasConv))
+    return isinstance(inner, (fnn.Conv, fnn.ConvTranspose, ConvTransposeTorch,
+                              PallasConv))
 
 
 def _conv_groups(op) -> int:

@@ -87,66 +87,39 @@ def get_pipelines() -> Dict[str, Pipeline]:
                  "datasets", name=f"preprocess_{ds}"),
         ], name=f"preprocess_{ds}", tags={"preprocess"})
 
-    train_pipeline = Pipeline([
-        Node(preprocess, ["cifar10_train", "cifar10_test",
-                          "params:cifar10_preprocessing"],
-             "datasets", name="preprocess", tags=("preprocess",)),
-        Node(create_model, ["datasets", "params:image_classifier_model"],
-             "model", name="create_model", tags=("model",)),
-        Node(train, ["datasets", "model", "params:train_image_classifier",
-                     "trackers"],
-             "train_results", name="train", tags=("train",)),
-    ], name="train_image_classifier", tags={"train", "classification"})
-
-    train_c100 = Pipeline([
-        Node(preprocess, ["cifar100_train", "cifar100_test",
-                          "params:cifar100_preprocessing"],
-             "datasets", name="preprocess"),
-        Node(create_model, ["datasets", "params:image_classifier_model"],
-             "model", name="create_model"),
-        Node(train, ["datasets", "model", "params:train_image_classifier",
-                     "trackers"],
-             "train_results", name="train"),
-    ], name="train_image_classifier_cifar100", tags={"train", "classification"})
-
-    # the non-toy zoo model (wide_classifier_model, conf/base/parameters.yml)
-    # on CIFAR-10 — the shape bench.py --config 6 reports MFU for
-    train_wide = Pipeline([
-        Node(preprocess, ["cifar10_train", "cifar10_test",
-                          "params:cifar10_preprocessing"],
-             "datasets", name="preprocess"),
-        Node(create_model, ["datasets", "params:wide_classifier_model"],
-             "model", name="create_model"),
-        Node(train, ["datasets", "model", "params:train_wide_classifier",
-                     "trackers"],
-             "train_results", name="train"),
-    ], name="train_wide_classifier", tags={"train", "classification"})
+    def train_pipeline(name: str, model_key: str, training_key: str,
+                       ds: str = "cifar10") -> Pipeline:
+        return Pipeline([
+            Node(preprocess, [f"{ds}_train", f"{ds}_test",
+                              f"params:{ds}_preprocessing"],
+                 "datasets", name="preprocess", tags=("preprocess",)),
+            Node(create_model, ["datasets", f"params:{model_key}"],
+                 "model", name="create_model", tags=("model",)),
+            Node(train, ["datasets", "model", f"params:{training_key}",
+                         "trackers"],
+                 "train_results", name="train", tags=("train",)),
+        ], name=name, tags={"train", "classification"})
 
     return {
         "preprocess_cifar10": preprocess_pipeline("cifar10", "cifar10_preprocessing"),
         "preprocess_cifar100": preprocess_pipeline("cifar100", "cifar100_preprocessing"),
         "preprocess_mnist": preprocess_pipeline("mnist", "mnist_preprocessing"),
-        "train_image_classifier": train_pipeline,
-        "train_image_classifier_cifar100": train_c100,
-        "train_wide_classifier": train_wide,
-        "train_wide_classifier_ws": Pipeline([
-            Node(preprocess, ["cifar10_train", "cifar10_test",
-                              "params:cifar10_preprocessing"],
-                 "datasets", name="preprocess", tags=("preprocess",)),
-            Node(create_model, ["datasets", "params:wide_classifier_ws_model"],
-                 "model", name="create_model", tags=("model",)),
-            Node(train, ["datasets", "model", "params:train_wide_classifier",
-                         "trackers"],
-                 "train_results", name="train", tags=("train",)),
-        ], name="train_wide_classifier_ws", tags={"train", "classification"}),
-        "train_wide_classifier_gn": Pipeline([
-            Node(preprocess, ["cifar10_train", "cifar10_test",
-                              "params:cifar10_preprocessing"],
-                 "datasets", name="preprocess", tags=("preprocess",)),
-            Node(create_model, ["datasets", "params:wide_classifier_gn_model"],
-                 "model", name="create_model", tags=("model",)),
-            Node(train, ["datasets", "model", "params:train_wide_classifier",
-                         "trackers"],
-                 "train_results", name="train", tags=("train",)),
-        ], name="train_wide_classifier_gn", tags={"train", "classification"}),
+        "train_image_classifier": train_pipeline(
+            "train_image_classifier", "image_classifier_model",
+            "train_image_classifier"),
+        "train_image_classifier_cifar100": train_pipeline(
+            "train_image_classifier_cifar100", "image_classifier_model",
+            "train_image_classifier", ds="cifar100"),
+        # the non-toy zoo model on CIFAR-10 (the shape bench.py --config 6
+        # reports MFU for) + its group-norm and weight-standardized variants
+        # (docs/design.md 5.9: activation-norm traffic vs weight-space norm)
+        "train_wide_classifier": train_pipeline(
+            "train_wide_classifier", "wide_classifier_model",
+            "train_wide_classifier"),
+        "train_wide_classifier_ws": train_pipeline(
+            "train_wide_classifier_ws", "wide_classifier_ws_model",
+            "train_wide_classifier"),
+        "train_wide_classifier_gn": train_pipeline(
+            "train_wide_classifier_gn", "wide_classifier_gn_model",
+            "train_wide_classifier"),
     }

@@ -241,15 +241,17 @@ class ProjectContext:
     def _persist_output(self, name: str, value: Any) -> None:
         if self._persist_dir is None:
             return
+        import os
         import pickle
-        self._persist_dir.mkdir(parents=True, exist_ok=True)
         path = self._persist_dir / f"{name}.pkl"
+        # pid-unique tmp: concurrent runs/trials must not race on one name
+        tmp = path.with_suffix(f".pkl.{os.getpid()}.tmp")
         try:
-            tmp = path.with_suffix(".pkl.tmp")
+            self._persist_dir.mkdir(parents=True, exist_ok=True)
             with open(tmp, "wb") as f:
                 pickle.dump(value, f)
             tmp.replace(path)
-        except Exception as e:  # jit-compiled / device-bound outputs etc.
+        except Exception as e:  # unpicklable outputs, read-only data dir, ...
             _logger.debug("intermediate '%s' not persisted (%s)", name, e)
             tmp.unlink(missing_ok=True)
 

@@ -278,8 +278,9 @@ def enas_neural_architecture_search(
 
     hp = dict(training_hp)
     epochs = int(hp.get("epochs", 1))
+    base_seed = int(hp.get("seed", 0))
     hp.update(epochs=1, train_arch_params=False)
-    rng = np.random.default_rng(int(hp.get("seed", 0)) + 1)
+    rng = np.random.default_rng(base_seed + 1)
 
     # default reward: accuracy of the forced-arch model on a validation batch
     validset = datasets.get("validset", datasets["trainset"])
@@ -310,8 +311,14 @@ def enas_neural_architecture_search(
     variables = None
     for epoch in range(epochs):
         # ---- weight phase (paths ~ current policy; logits frozen) -------- #
-        state, h = train(hp, supernet, losses, datasets,
-                         backend_conf=backend_conf, metrics=metrics,
+        # per-round seed offset: each round must see a DIFFERENT shuffle /
+        # augmentation / path-sampling stream (a fixed seed would replay the
+        # same epoch ordering every round). Known approximation vs the
+        # paper: optimizer moments and the LR schedule restart each round
+        # (train() owns its opt_state) — acceptable at controller-search
+        # scale, retrain the exported arch from scratch regardless.
+        state, h = train(dict(hp, seed=base_seed + epoch), supernet, losses,
+                         datasets, backend_conf=backend_conf, metrics=metrics,
                          init_variables=variables)
         history["train"].extend(h["train"])
         history["valid"].extend(h["valid"])
@@ -466,9 +473,23 @@ def _select_arch_by_validation(input_shape, model_hp, state, datasets, losses,
             axes.append([(name, i) for i in range(m["n_candidates"])])
         else:
             axes.append([(name, [i]) for i in range(m["n_candidates"])])
-    combos = list(itertools.islice(itertools.product(*axes), max_archs))
-    if not combos:
+    total = int(np.prod([len(a) for a in axes])) if axes else 0
+    if not total:
         return default_arch
+    if total <= max_archs:
+        combos = list(itertools.product(*axes))
+    else:
+        # a lexicographic islice would pin the leading mutables to candidate
+        # 0 and never explore most of the space — sample uniformly instead,
+        # and say what fraction was covered
+        rng = np.random.default_rng(0)
+        seen = set()
+        while len(seen) < max_archs:
+            seen.add(tuple(a[rng.integers(len(a))] for a in axes))
+        combos = list(seen)
+        _logger.info("candidate evaluation sampled %d of %d architectures "
+                     "uniformly (raise max_eval_archs for wider coverage)",
+                     max_archs, total)
     if supernet is None:
         supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
                                 **model_kwargs)

@@ -324,6 +324,11 @@ def _make_conv_creator(rank: int, transpose: bool):
                 raise ValueError(
                     f"Submodule '{name}': transposed convs take integer "
                     "padding (torch semantics), not 'SAME'/'VALID'")
+            if int(params.get("groups", 1)) != 1:
+                raise NotImplementedError(
+                    f"Submodule '{name}': grouped transposed convolutions "
+                    "are not implemented (silently ignoring 'groups' would "
+                    "build a different layer than torch's)")
             op = dnn.ConvTransposeTorch(
                 features=common["features"], kernel_size=common["kernel_size"],
                 strides=common["strides"], padding=padding,
@@ -345,6 +350,10 @@ def _make_conv_creator(rank: int, transpose: bool):
                     fake_quant_conv_general_dilated,
                     act_scale=ctx.quantize_scales.get(ctx.scope + name),
                     bits=_qat_bits(ctx.quantize))
+            if params.get("output_padding"):
+                raise ValueError(
+                    f"Submodule '{name}': 'output_padding' only applies to "
+                    "transposed convolutions")
             op = fnn.Conv(kernel_dilation=dilation,
                           feature_group_count=int(params.get("groups", 1)), **common)
         return _as_layer(op, params, ctx, name=name)

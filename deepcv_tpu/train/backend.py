@@ -64,12 +64,14 @@ class BackendConfig:
                 # env but num_processes/process_id only via cluster plugins
                 # (SLURM & co) — honor the generic env vars too so plain
                 # process launchers (and the 2-process CPU test) work
-                np_env = os.environ.get("JAX_NUM_PROCESSES")
-                pid_env = os.environ.get("JAX_PROCESS_ID")
+                np_env = os.environ.get("JAX_NUM_PROCESSES") or None
+                pid_env = os.environ.get("JAX_PROCESS_ID") or None
                 jax.distributed.initialize(
                     num_processes=int(np_env) if np_env else None,
-                    process_id=int(pid_env) if pid_env is not None else None)
-            except RuntimeError as e:  # already initialized — fine
+                    process_id=int(pid_env) if pid_env else None)
+            except (RuntimeError, ValueError) as e:
+                # already initialized, or half-configured env (one of
+                # NUM_PROCESSES/PROCESS_ID unset) — single-process fallback
                 _logger.debug("jax.distributed.initialize skipped: %s", e)
 
         devices = jax.devices(device) if device else jax.devices()
