@@ -177,26 +177,79 @@ def _candidate_cost(candidate, in_shape) -> float:
     return float(n_params * spatial)
 
 
-def candidate_costs(supernet) -> Dict[str, List[float]]:
-    """Per-candidate cost table for every TOP-LEVEL layer-choice mutable
-    (ProxylessNAS latency table, arXiv:1812.00332 §3.2 — measured latency on
-    the target device is replaced by an analytic MAC estimate; swap in real
-    measurements by passing your own table to
-    :func:`expected_cost_regularizer`). Input-choice mutables carry no
-    compute and are skipped."""
-    from deepcv_tpu.spec.module import DeepcvModuleDescriptor
+def _arch_logits_get(params: Mapping[str, Any], name: str):
+    """Arch logits for mutable ``name`` — nested mutables are addressed
+    '<nested>/<local>' and live under 'node_impls_<nested>' param scopes."""
+    parts = name.split("/")
+    node = params
+    for p in parts[:-1]:
+        node = node[f"node_impls_{p}"]
+    return node[f"{ARCH_PARAM_PREFIX}{parts[-1]}"]
 
-    desc = DeepcvModuleDescriptor(supernet)
-    shapes = desc.features_shapes
+
+def _arch_logits_set(params, name: str, value) -> None:
+    """In-place update of (host, plain-dict) param trees — controller use."""
+    parts = name.split("/")
+    node = params
+    for p in parts[:-1]:
+        node = node[f"node_impls_{p}"]
+    node[f"{ARCH_PARAM_PREFIX}{parts[-1]}"] = value
+
+
+def _all_node_shapes(supernet) -> Dict[str, Any]:
+    """Namespaced output shape of EVERY spec node (nested included): rewrap
+    each (nested) SpecModule with a recording shape_cb and run ONE
+    ``jax.eval_shape`` over the whole graph — zero FLOPs."""
+    import jax
+    import jax.numpy as jnp
+    from deepcv_tpu.spec.graph import SpecModule
+
+    shapes: Dict[str, Any] = {}
+
+    def wrap(mod, prefix):
+        impls = {k: (wrap(v, f"{prefix}{k}/") if isinstance(v, SpecModule)
+                     else v) for k, v in mod.node_impls.items()}
+        return mod.clone(node_impls=impls,
+                         shape_cb=lambda n, s, _p=prefix:
+                         shapes.__setitem__(_p + n, s))
+
+    wrapped = wrap(supernet.module, "")
+    x = jax.ShapeDtypeStruct((1, *supernet.input_shape), jnp.float32)
+
+    def init_apply(x):
+        vs = wrapped.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        return wrapped.apply(vs, x, train=False)
+
+    jax.eval_shape(init_apply, x)
+    return shapes
+
+
+def candidate_costs(supernet) -> Dict[str, List[float]]:
+    """Per-candidate cost table for every layer-choice mutable, nested
+    modules included (keys '<nested>/<local>') — the ProxylessNAS latency
+    table (arXiv:1812.00332 §3.2; measured latency on the target device is
+    replaced by an analytic MAC estimate — swap in real measurements by
+    passing your own table to :func:`expected_cost_regularizer`).
+    Input-choice mutables carry no compute and are skipped."""
+    from deepcv_tpu.spec.graph import SpecModule
+
+    shapes = _all_node_shapes(supernet)
     costs: Dict[str, List[float]] = {}
-    prev = (1, *supernet.input_shape)
-    for meta in supernet.module.node_metas:
-        if meta.kind == "choice":
-            impls = supernet.module.node_impls[meta.name]
-            costs[meta.name] = [_candidate_cost(c, tuple(prev)[1:])
-                                for c in impls]
-        s = shapes.get(meta.name, prev)
-        prev = s[0] if isinstance(s, list) else s
+
+    def walk(mod, prefix, in_shape):
+        prev = in_shape
+        for meta in mod.node_metas:
+            full = prefix + meta.name
+            impl = mod.node_impls[meta.name]
+            if meta.kind == "choice":
+                costs[full] = [_candidate_cost(c, tuple(prev)[1:])
+                               for c in impl]
+            elif isinstance(impl, SpecModule):
+                walk(impl, f"{full}/", prev)
+            s = shapes.get(full, prev)
+            prev = s[0] if isinstance(s, list) else s
+
+    walk(supernet.module, "", (1, *supernet.input_shape))
     return costs
 
 
@@ -206,7 +259,8 @@ def expected_cost_regularizer(costs: Mapping[str, Sequence[float]],
     E[cost] = sum_mutable <softmax(logits), candidate_costs>, normalized by
     the most expensive architecture so ``weight`` is comparable to a task
     loss. Plugs into ``train(param_regularizer=...)`` — the ProxylessNAS
-    latency objective (arXiv:1812.00332 eq. 7)."""
+    latency objective (arXiv:1812.00332 eq. 7). Nested mutables resolve
+    through their 'node_impls_*' param scopes."""
     import jax
     import jax.numpy as jnp
 
@@ -216,7 +270,7 @@ def expected_cost_regularizer(costs: Mapping[str, Sequence[float]],
     def reg(params):
         e = 0.0
         for name, cs in tables.items():
-            logits = params[f"{ARCH_PARAM_PREFIX}{name}"]
+            logits = _arch_logits_get(params, name)
             e = e + jnp.dot(jax.nn.softmax(logits), cs)
         return weight * e / total
 
@@ -257,8 +311,8 @@ def enas_neural_architecture_search(
     reward (latency-aware or multi-objective searches; also what the unit
     test uses to verify the controller maximizes an arbitrary reward).
 
-    Top-level mutables only (nested-module mutables would need namespaced
-    logit routing — same limitation as :func:`candidate_costs`).
+    Nested-module mutables participate ('<nested>/<local>' names route
+    through their param scopes, like the cost table).
 
     Returns (architecture_dict, final_state, history) — history carries a
     'controller' list of per-round {reward_mean, baseline, entropy}.
@@ -272,9 +326,9 @@ def enas_neural_architecture_search(
 
     supernet = DeepcvModule(input_shape, model_hp, nas_mode="supernet",
                             nas_sampling="sampled", **model_kwargs)
-    muts = {n: m for n, m in list_mutables(model_hp).items() if "/" not in n}
+    muts = list_mutables(model_hp)
     if not muts:
-        raise ValueError("enas: the spec has no top-level NAS mutables")
+        raise ValueError("enas: the spec has no NAS mutables")
 
     hp = dict(training_hp)
     epochs = int(hp.get("epochs", 1))
@@ -328,8 +382,8 @@ def enas_neural_architecture_search(
             variables["batch_stats"] = jax.device_get(state.batch_stats)
 
         # ---- controller phase (REINFORCE over the factored policy) ------- #
-        logits = {name: np.asarray(params[f"{ARCH_PARAM_PREFIX}{name}"],
-                                   np.float64) for name in muts}
+        logits = {name: np.asarray(_arch_logits_get(params, name), np.float64)
+                  for name in muts}
         probs = {n: np.exp(l - l.max()) / np.exp(l - l.max()).sum()
                  for n, l in logits.items()}
         grads = {n: np.zeros_like(l) for n, l in logits.items()}
@@ -354,8 +408,8 @@ def enas_neural_architecture_search(
             grads[n_] += entropy_weight * (-p * (logp + h_n))
         for n_ in muts:
             new = logits[n_] + controller_lr * grads[n_] / max(1, controller_samples)
-            params[f"{ARCH_PARAM_PREFIX}{n_}"] = jnp.asarray(
-                new, np.asarray(params[f"{ARCH_PARAM_PREFIX}{n_}"]).dtype)
+            _arch_logits_set(params, n_, jnp.asarray(
+                new, np.asarray(_arch_logits_get(params, n_)).dtype))
         variables["params"] = params
         history["controller"].append({
             "epoch": epoch + 1,
@@ -365,7 +419,7 @@ def enas_neural_architecture_search(
         _logger.info("enas round %d: reward %.4f baseline %.4f entropy %.3f",
                      epoch + 1, np.mean(rewards), baseline, ent)
 
-    arch = {n: int(np.argmax(np.asarray(params[f"{ARCH_PARAM_PREFIX}{n}"])))
+    arch = {n: int(np.argmax(np.asarray(_arch_logits_get(params, n))))
             for n in muts}
     if arch_export_path:
         Path(arch_export_path).parent.mkdir(parents=True, exist_ok=True)

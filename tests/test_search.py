@@ -346,3 +346,58 @@ architecture:
         (8, 8, 3), model_hp, dict(hp, epochs=2), "cross_entropy", data,
         algorithm="enas")
     assert arch_acc["m1"] in (0, 1) and hist_acc["controller"]
+
+
+def test_nested_mutable_costs_and_proxyless(tmp_path):
+    """Cost tables, the latency regularizer, and ENAS logit routing all
+    handle NESTED-module mutables ('<nested>/<local>' names resolving
+    through node_impls_* param scopes) — closing the top-level-only
+    limitation documented in round 3's first cut."""
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.search.nas import (candidate_costs,
+                                       expected_cost_regularizer,
+                                       enas_neural_architecture_search)
+    from deepcv_tpu.spec import DeepcvModule
+
+    model_hp = load_yaml("""
+act_fn: relu
+architecture:
+  - _nested_deepcvmodule:
+      _name: "inner"
+      act_fn: relu
+      architecture:
+        - _nas_layer_choice:
+            _name: "m1"
+            _candidates:
+              - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+              - conv2d: { kernel_size: [7, 7], out_channels: 8, padding: 3 }
+  - flatten: {}
+  - fully_connected: { out_features: 4, act_fn: null }
+""")
+    supernet = DeepcvModule((8, 8, 3), model_hp, nas_mode="supernet")
+    costs = candidate_costs(supernet)
+    assert list(costs) == ["inner/m1"]
+    assert costs["inner/m1"][1] > costs["inner/m1"][0] * 3   # 7x7 >> 3x3
+
+    # the regularizer differentiates through the NESTED logits
+    import jax
+    v = supernet.init(jax.random.PRNGKey(0))
+    reg = expected_cost_regularizer(costs, weight=1.0)
+    g = jax.grad(reg)(v["params"])
+    gl = np.asarray(g["node_impls_inner"]["arch__m1"])
+    assert np.abs(gl).max() > 0
+
+    # ENAS steers a nested mutable with a rigged reward
+    raw = load_dataset("synthetic", n=96, image_shape=(8, 8, 3), num_classes=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    hp = {"epochs": 3, "batch_size": 24, "optimizer_opts": {"lr": 1e-2},
+          "save_every_iters": 0, "output_path": str(tmp_path),
+          "validate_every_epochs": 100, "seed": 5}
+    arch, _, hist = enas_neural_architecture_search(
+        (8, 8, 3), model_hp, hp, "cross_entropy", data,
+        controller_lr=10.0, controller_samples=8,
+        reward_fn=lambda a, s: float(a["inner/m1"] == 1))
+    assert arch["inner/m1"] == 1
