@@ -138,6 +138,7 @@ class ProjectContext:
         self._pipelines: Optional[Dict[str, Pipeline]] = None
         self._tracker: Optional[ExperimentTracker] = None
         self._persist_dir: Optional[Path] = None
+        self._persist_names: set = set()
 
     # ------------------------------------------------------------ pipelines
     @property
@@ -196,6 +197,10 @@ class ProjectContext:
             raise KeyError(f"Unknown pipeline '{pipeline_name}'; known: "
                            f"{sorted(pipes)}")
         pipeline = pipes[pipeline_name]
+        # persist only outputs some node of the FULL pipeline consumes as an
+        # input — that is what a later partial run can need; terminal outputs
+        # (train_results with a full model state, ...) would only burn disk
+        self._persist_names = {i for n in pipeline.nodes for i in n.inputs}
         if from_nodes or to_nodes or only_nodes or tags:
             pipeline = pipeline.filter(from_nodes=from_nodes, to_nodes=to_nodes,
                                        only_nodes=only_nodes, tags=tags)
@@ -239,7 +244,7 @@ class ProjectContext:
                 tracker.end_run(status)
 
     def _persist_output(self, name: str, value: Any) -> None:
-        if self._persist_dir is None:
+        if self._persist_dir is None or name not in self._persist_names:
             return
         import os
         import pickle
