@@ -457,3 +457,106 @@ def test_avg_pool_torch_semantics(k, s, p):
             _t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     assert jy.shape == ty.shape, (jy.shape, ty.shape)
     np.testing.assert_allclose(jy, ty, atol=1e-6, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# optimizer + spectral norm vs torch
+# --------------------------------------------------------------------------- #
+
+def test_adamw_step_torch_semantics():
+    """build_optimizer('adamw') == torch.optim.AdamW step for step: identical
+    params after 5 updates from identical weights/grads (decoupled weight
+    decay, bias correction — the reference trains with AdamW,
+    parameters.yml:129-134)."""
+    from deepcv_tpu.train.training import build_optimizer
+
+    rng = np.random.default_rng(8)
+    w0 = rng.normal(size=(6, 4)).astype(np.float32)
+    grads = [rng.normal(size=(6, 4)).astype(np.float32) for _ in range(5)]
+    opts = {"lr": 1e-2, "betas": [0.9, 0.999], "eps": 1e-8,
+            "weight_decay": 1e-2}
+
+    tx = build_optimizer("adamw", opts)
+    p = jnp.asarray(w0)
+    st = tx.init(p)
+    for g in grads:
+        u, st = tx.update(jnp.asarray(g), st, p)
+        import optax
+        p = optax.apply_updates(p, u)
+
+    tw = torch.nn.Parameter(_t(w0))
+    topt = torch.optim.AdamW([tw], lr=1e-2, betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=1e-2)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = _t(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(p), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_sgd_momentum_step_torch_semantics():
+    """build_optimizer('sgd') with momentum+nesterov+weight_decay matches
+    torch.optim.SGD. NOTE: torch folds weight decay INTO the gradient BEFORE
+    the momentum buffer (L2-style); optax.sgd has no decay, so the builder's
+    add_decayed_weights placement is what this pins."""
+    from deepcv_tpu.train.training import build_optimizer
+    import optax
+
+    rng = np.random.default_rng(9)
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    grads = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(4)]
+    opts = {"lr": 0.1, "momentum": 0.9, "weight_decay": 1e-2, "nesterov": True}
+
+    tx = build_optimizer("sgd", opts)
+    p = jnp.asarray(w0)
+    st = tx.init(p)
+    for g in grads:
+        u, st = tx.update(jnp.asarray(g), st, p)
+        p = optax.apply_updates(p, u)
+
+    tw = torch.nn.Parameter(_t(w0))
+    topt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, weight_decay=1e-2,
+                           nesterov=True)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = _t(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(p), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spectral_norm_sigma_converges_to_torch():
+    """Spectral norm cannot be compared per-step (each framework starts its
+    power iteration from its own random u), but both MUST converge to the
+    same normalization W/sigma_max: after enough update steps on the same
+    weight, the effective weights agree. This turns the documented
+    structural-only exclusion into a behavioral check (reference
+    spectral_norm hook, base_module.py:106-111)."""
+    import flax.linen as fnn
+
+    rng = np.random.default_rng(10)
+    w = rng.normal(size=(12, 7)).astype(np.float32)
+    x = np.eye(12, dtype=np.float32)       # identity probe reads the weight
+
+    jm = fnn.SpectralNorm(fnn.Dense(7, use_bias=False), n_steps=1)
+    v = jm.init(jax.random.PRNGKey(0), x, update_stats=True)
+    v = jax.tree_util.tree_map(lambda a: a, v)  # materialize
+    v["params"]["layer_instance"]["kernel"] = jnp.asarray(w)
+    for _ in range(50):                    # power iteration to convergence
+        y, mut = jm.apply(v, x, update_stats=True,
+                          mutable=["batch_stats"])
+        v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+    jy = np.asarray(jm.apply(v, x, update_stats=False))
+
+    tlin = tnn.Linear(12, 7, bias=False)
+    tlin.weight.data = _t(w.T)             # (in,out) -> (out,in)
+    tsn = tnn.utils.spectral_norm(tlin, n_power_iterations=1)
+    tsn.train()
+    with torch.no_grad():
+        for _ in range(50):
+            ty = tsn(_t(x))
+    tsn.eval()
+    with torch.no_grad():
+        ty = tsn(_t(x)).numpy()
+    np.testing.assert_allclose(jy, ty, atol=2e-4, rtol=2e-4)
