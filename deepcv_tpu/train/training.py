@@ -487,7 +487,13 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     # ---------------- checkpointing ---------------------------------------- #
     out_dir = Path(hp["output_path"]) / (hp.get("run_dir") or _run_dir_name(backend))
     ckpt = None
-    if rank0 and int(hp["save_every_iters"]) > 0:
+    if int(hp["save_every_iters"]) > 0:
+        # EVERY process participates (orbax coordinates multi-process saves
+        # internally and writes each replicated array once) — a rank-0-only
+        # gate deadlocks multi-host runs on orbax's global sync barrier,
+        # caught by tests/test_multihost.py. The torch reference's
+        # rank-0-only convention (ignite_training.py:278) maps to orbax's
+        # primary-writer election, not to skipping the call.
         ckpt = CheckpointManager(out_dir / "checkpoints",
                                  save_every_iters=int(hp["save_every_iters"]),
                                  best_k=int(hp["keep_best_models"]),
@@ -520,7 +526,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         return {f"valid_{k}": v for k, v in acc.compute().items()}
 
     # ---------------- the loop ---------------------------------------------- #
-    history: Dict[str, Any] = {"train": [], "valid": [], "throughput_img_s": []}
+    history: Dict[str, Any] = {"train": [], "valid": [], "throughput_img_s": [],
+                               # where checkpoints/artifacts land — identical
+                               # on every host (rank-0 timestamp broadcast)
+                               "run_dir": str(out_dir)}
     crash_at = int(hp["crash_iteration"])
     log_every = max(1, int(hp["log_progress_every_iters"]))
     train_acc = MetricAccumulator()
@@ -757,9 +766,19 @@ def _streaming_epoch(iterator, trainset, epoch, skip, hp, backend, seed):
 
 def _run_dir_name(backend: BackendConfig) -> str:
     """Output dir named from experiment + datetime + backend string
-    (reference ``add_training_output_dir``, ignite_training.py:124-135)."""
+    (reference ``add_training_output_dir``, ignite_training.py:124-135).
+
+    Multi-host: every process derives paths from this name (checkpoints,
+    crash-retry resume), so the timestamp must be rank-0's — two hosts
+    straddling a second boundary would otherwise silently write to
+    different run dirs."""
     import datetime
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    if backend.process_count > 1:  # pragma: no cover (multi-host only)
+        from jax.experimental import multihost_utils
+        buf = np.frombuffer(stamp.encode().ljust(24), dtype=np.uint8).copy()
+        stamp = bytes(multihost_utils.broadcast_one_to_all(buf)) \
+            .rstrip(b" \x00").decode()
     return f"run_{stamp}_{backend}"
 
 

@@ -17,6 +17,7 @@ import hashlib
 import json
 import os
 import sys
+from pathlib import Path
 
 
 def build_model_and_data():
@@ -42,7 +43,7 @@ def build_model_and_data():
 
 def training_hp(output_path: str) -> dict:
     return {"epochs": 2, "batch_size": 32, "optimizer_opts": {"lr": 1e-2},
-            "save_every_iters": 0, "log_progress_every_iters": 1,
+            "save_every_iters": 4, "log_progress_every_iters": 1,
             "device_resident_dataset": False,      # force the streaming path
             # the C++ ring-buffer loader (single-process only) shuffles with
             # its own RNG; pin both topologies to the numpy BatchIterator so
@@ -65,9 +66,15 @@ def run(output_path: str, distributed: bool) -> dict:
     digest = hashlib.sha256(
         b"".join(np.ascontiguousarray(np.asarray(l, np.float32)).tobytes()
                  for l in leaves)).hexdigest()
+    import glob
+    run_dirs = sorted(glob.glob(str(Path(output_path) / "run_*")))
+    ckpts = sorted(glob.glob(str(Path(output_path) / "run_*" / "checkpoints" / "*")))
     return {"rank": jax.process_index(), "nproc": jax.process_count(),
             "n_devices": len(jax.devices()),
             "params_sha": digest,
+            "run_dirs": [Path(d).name for d in run_dirs],
+            "run_dir": Path(hist["run_dir"]).name,
+            "n_checkpoint_entries": len(ckpts),
             "train_loss": [float(r["main_loss"]) for r in hist["train"]],
             "valid": [{k: float(v) for k, v in r.items()}
                       for r in hist["valid"]]}

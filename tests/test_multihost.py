@@ -78,6 +78,11 @@ def test_two_process_training_matches_single_process(tmp_path):
     # replicated state must be BIT-identical across hosts
     assert r0["params_sha"] == r1["params_sha"]
     np.testing.assert_array_equal(r0["train_loss"], r1["train_loss"])
+    # every host derives the SAME run dir (rank-0 timestamp broadcast —
+    # two hosts straddling a second boundary must not diverge paths), and
+    # rank 0 wrote periodic checkpoints into it
+    assert r0["run_dir"] == r1["run_dir"]
+    assert r0["n_checkpoint_entries"] > 0
 
     # single-process 8-device run of the IDENTICAL config (this pytest
     # process already runs on an 8-device CPU mesh)
