@@ -80,8 +80,8 @@ class CheckpointManager:
         step = int(step) if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {self.dir / 'steps'}")
-        args = ocp.args.StandardRestore(state_template) if state_template is not None \
-            else ocp.args.StandardRestore()
+        args = ocp.args.StandardRestore(_host_template(state_template)) \
+            if state_template is not None else ocp.args.StandardRestore()
         return self._mgr.restore(step, args=args)
 
     @property
@@ -127,6 +127,17 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def _host_template(template):
+    """Template with jax.Array leaves replaced by HOST numpy copies: orbax
+    then restores plain numpy, which ``jax.device_put`` can place onto ANY
+    global sharding afterwards. Restoring straight into jax.Array templates
+    resurrects the SAVING run's per-device sharding metadata — on multi-host
+    that demands an unsupported cross-host transfer at the device_put
+    (caught by tests/test_multihost.py crash-resume)."""
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, template)
+
+
 def resume_from_path(path, state_template=None):
     """Reference ``_resume_training`` parity (ignite_training.py:393-399):
     load a checkpoint from an explicit path (into state_template's structure
@@ -139,5 +150,5 @@ def resume_from_path(path, state_template=None):
         return out
     ckptr = ocp.StandardCheckpointer()
     if state_template is not None:
-        return ckptr.restore(p.absolute(), target=state_template)
+        return ckptr.restore(p.absolute(), target=_host_template(state_template))
     return ckptr.restore(p.absolute())

@@ -820,6 +820,15 @@ def train_with_retries(hp: Mapping[str, Any], model, losses, datasets,
     if not hp.get("run_dir"):
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
         hp["run_dir"] = f"run_{stamp}_{_os.getpid()}_{uuid.uuid4().hex[:6]}"
+        backend = kwargs.get("backend_conf")
+        if backend is not None and getattr(backend, "process_count", 1) > 1:
+            # pid/uuid diverge across hosts: adopt rank-0's name so every
+            # process resumes from the SAME checkpoint dir
+            from jax.experimental import multihost_utils
+            buf = np.frombuffer(hp["run_dir"].encode().ljust(64),
+                                np.uint8).copy()
+            hp["run_dir"] = bytes(multihost_utils.broadcast_one_to_all(buf)) \
+                .rstrip(b" \x00").decode()
     ckpt_dir = (Path(hp.get("output_path", TRAINING_HP_DEFAULTS["output_path"]))
                 / hp["run_dir"] / "checkpoints")
     for attempt in range(max_retries + 1):

@@ -52,16 +52,26 @@ def training_hp(output_path: str) -> dict:
             "output_path": output_path, "seed": 42}
 
 
-def run(output_path: str, distributed: bool) -> dict:
+def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
     import jax
     import numpy as np
     from deepcv_tpu.train import train
+    from deepcv_tpu.train.training import train_with_retries
     from deepcv_tpu.train.backend import BackendConfig
 
     backend = BackendConfig(distributed=distributed)
     model, data = build_model_and_data()
-    state, hist = train(training_hp(output_path), model, "cross_entropy",
-                        data, backend_conf=backend)
+    hp = training_hp(output_path)
+    if mode == "crash_resume":
+        # fault-tolerance across PROCESSES: both hosts crash at step 5
+        # (host-side injection is deterministic and global), both retry and
+        # resume from the shared step-4 checkpoint, training completes
+        hp["crash_iteration"] = 5
+        state, hist = train_with_retries(hp, model, "cross_entropy", data,
+                                         max_retries=1, backend_conf=backend)
+    else:
+        state, hist = train(hp, model, "cross_entropy",
+                            data, backend_conf=backend)
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
     digest = hashlib.sha256(
         b"".join(np.ascontiguousarray(np.asarray(l, np.float32)).tobytes()
@@ -70,6 +80,7 @@ def run(output_path: str, distributed: bool) -> dict:
     run_dirs = sorted(glob.glob(str(Path(output_path) / "run_*")))
     ckpts = sorted(glob.glob(str(Path(output_path) / "run_*" / "checkpoints" / "*")))
     return {"rank": jax.process_index(), "nproc": jax.process_count(),
+            "final_step": int(jax.device_get(state.step)),
             "n_devices": len(jax.devices()),
             "params_sha": digest,
             "run_dirs": [Path(d).name for d in run_dirs],
@@ -89,6 +100,7 @@ if __name__ == "__main__":
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-    payload = run(sys.argv[2], distributed=True)
+    payload = run(sys.argv[2], distributed=True,
+                  mode=sys.argv[3] if len(sys.argv) > 3 else "train")
     with open(sys.argv[1], "w") as f:
         json.dump(payload, f)

@@ -99,3 +99,45 @@ def test_two_process_training_matches_single_process(tmp_path):
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
                                        err_msg=f"validation metric {k}")
+
+
+def test_two_process_crash_and_resume(tmp_path):
+    """Fault tolerance ACROSS processes: both hosts hit the injected crash,
+    both retry through train_with_retries, adopt rank-0's run dir (pid/uuid
+    would diverge), resume from the SAME step-4 checkpoint, and finish with
+    bit-identical params. The reference had no elasticity at all (SURVEY
+    §5.3); this exercises recovery under jax.distributed for real."""
+    port = _free_port()
+    procs, outs = [], []
+    shared_out = tmp_path / "train_out"        # SHARED output dir (one fs)
+    for rank in range(2):
+        out_json = tmp_path / f"rank{rank}.json"
+        outs.append(out_json)
+        env = dict(os.environ,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(rank),
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   JAX_PLATFORMS="cpu")
+        procs.append(subprocess.Popen(
+            [sys.executable, "tests/_multihost_worker.py",
+             str(out_json), str(shared_out), "crash_resume"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    deadline = time.time() + 420
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(5, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("crash-resume workers timed out")
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    r0, r1 = (json.loads(o.read_text()) for o in outs)
+    assert r0["params_sha"] == r1["params_sha"]
+    assert r0["run_dir"] == r1["run_dir"]
+    # 195 train samples / 32 global batch = 6 steps/epoch x 2 epochs
+    assert r0["final_step"] == r1["final_step"] == 12
