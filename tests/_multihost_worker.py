@@ -59,7 +59,8 @@ def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
     from deepcv_tpu.train.training import train_with_retries
     from deepcv_tpu.train.backend import BackendConfig
 
-    backend = BackendConfig(distributed=distributed)
+    backend = BackendConfig(distributed=distributed,
+                            tensor_parallel=2 if mode == "tp" else 1)
     model, data = build_model_and_data()
     hp = training_hp(output_path)
     if mode == "crash_resume":

@@ -141,3 +141,46 @@ def test_two_process_crash_and_resume(tmp_path):
     assert r0["run_dir"] == r1["run_dir"]
     # 195 train samples / 32 global batch = 6 steps/epoch x 2 epochs
     assert r0["final_step"] == r1["final_step"] == 12
+
+
+def test_two_process_tensor_parallel(tmp_path):
+    """dp x tp over 2 REAL processes (4 devices each, tensor_parallel=2):
+    kernels shard over the 'model' axis, the batch over 'data', and the
+    2-process loss trajectory matches the single-process 8-device TP run —
+    TP had only ever executed single-process before this."""
+    port = _free_port()
+    procs, outs = [], []
+    for rank in range(2):
+        out_json = tmp_path / f"rank{rank}.json"
+        outs.append(out_json)
+        env = dict(os.environ,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(rank),
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   JAX_PLATFORMS="cpu")
+        procs.append(subprocess.Popen(
+            [sys.executable, "tests/_multihost_worker.py",
+             str(out_json), str(tmp_path / f"out_{rank}"), "tp"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    deadline = time.time() + 420
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(5, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("tp workers timed out")
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    r0, r1 = (json.loads(o.read_text()) for o in outs)
+    assert r0["params_sha"] == r1["params_sha"]
+
+    sys.path.insert(0, str(REPO / "tests"))
+    import _multihost_worker as W
+    single = W.run(str(tmp_path / "out_single"), distributed=False, mode="tp")
+    np.testing.assert_allclose(r0["train_loss"], single["train_loss"],
+                               rtol=1e-4, atol=1e-5)
