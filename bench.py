@@ -291,14 +291,8 @@ def bench_hp_search():
                       "data": "synthetic"}))
 
 
-# Peak dense bf16 FLOP/s per chip by jax device_kind (public spec sheets).
-PEAK_BF16_FLOPS = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,   # v5e
-    "TPU v5": 459e12,        # v5p
-    "TPU v5p": 459e12,
-    "TPU v6 lite": 918e12,   # v6e / Trillium
-}
+# Peak per-chip bf16 FLOP/s table lives with the measurement API.
+from deepcv_tpu.profiling import PEAK_BF16_FLOPS  # noqa: E402
 
 def _wide_classifier_hp(out_features: int = 10, norm: str = "batch_norm"):
     """The zoo's non-toy spec (conf/base/parameters.yml wide_classifier_model)

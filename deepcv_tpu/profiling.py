@@ -23,9 +23,11 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 
 __all__ = ["trace", "annotate", "StepTimer", "device_memory_stats",
-           "check_determinism",
+           "check_determinism", "forced_sync_time", "mfu_report",
+           "PEAK_BF16_FLOPS",
            "start_tensorboard_server", "stop_tensorboard_server"]
 
 _logger = logging.getLogger(__name__)
@@ -141,3 +143,66 @@ def stop_tensorboard_server():
         except subprocess.TimeoutExpired:  # pragma: no cover
             _TB_PROCESS.kill()
     _TB_PROCESS = None
+
+
+# --------------------------------------------------------------------------- #
+# MFU / roofline reporting
+# --------------------------------------------------------------------------- #
+
+#: peak dense bf16 FLOP/s per chip by jax device_kind (public spec sheets)
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+
+def forced_sync_time(fn, *args, n: int = 20) -> float:
+    """Mean wall seconds per call with a FORCED host sync: on tunneled
+    backends ``block_until_ready`` can return before remote execution
+    finishes, but pulling a scalar through ``device_get`` cannot be faked
+    (docs/design.md §5.4). Warm-up call included before timing."""
+    import time as _time
+
+    def _sync(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        float(jax.device_get(jnp.sum(leaf.astype(jnp.float32))))
+
+    _sync(fn(*args))
+    t0 = _time.perf_counter()
+    for _ in range(n):
+        r = fn(*args)
+    _sync(r)
+    return (_time.perf_counter() - t0) / n
+
+
+def mfu_report(fn, *args, flops: Optional[float] = None, n: int = 20,
+               peak_flops: Optional[float] = None) -> Dict[str, Any]:
+    """Measure a callable end to end and report model-FLOPs utilization.
+
+    ``fn`` is jitted if it is not already; FLOPs default to XLA's cost
+    analysis of the lowered program (each dot/conv counted as 2*MACs — the
+    standard model-FLOPs convention), ``peak_flops`` to the current chip's
+    public bf16 peak (None => MFU is None, e.g. on CPU). Returns
+    {'seconds', 'flops', 'tflops_per_s', 'mfu', 'device_kind'}.
+
+    Measurement protocol (round-3 findings, docs/design.md §5.9): times are
+    forced-sync WARM draws — run the report once to compile, then trust the
+    repeat; cold-session numbers on shared chips can read ~15 % low from
+    compile contention.
+    """
+    jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
+    if flops is None:
+        cost = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):   # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    kind = jax.devices()[0].device_kind
+    peak = peak_flops if peak_flops is not None else PEAK_BF16_FLOPS.get(kind)
+    secs = forced_sync_time(jfn, *args, n=n)
+    return {"seconds": secs, "flops": flops,
+            "tflops_per_s": flops / secs / 1e12,
+            "mfu": (flops / secs / peak) if peak else None,
+            "device_kind": kind}

@@ -251,3 +251,19 @@ architecture:
     mq = m.with_options(quantize="int8", quantize_scales=scales)
     y = mq.apply(v, x, train=False)
     assert y.shape[0] == 2
+
+
+def test_mfu_report_measures_a_matmul():
+    """profiling.mfu_report: forced-sync timing + XLA cost analysis. On CPU
+    the peak table has no entry so mfu is None, but flops and throughput
+    must be real (a 256^3 matmul is ~33.6 MFLOP)."""
+    import jax
+    import jax.numpy as jnp
+    from deepcv_tpu.profiling import mfu_report
+
+    a = jnp.ones((256, 256), jnp.float32)
+    rep = mfu_report(lambda x: x @ x, a, n=3)
+    assert rep["seconds"] > 0
+    assert 0.9 * 2 * 256**3 <= rep["flops"] <= 3 * 2 * 256**3
+    assert rep["mfu"] is None or 0 < rep["mfu"] < 1.5
+    assert rep["tflops_per_s"] > 0

@@ -560,3 +560,33 @@ def test_spectral_norm_sigma_converges_to_torch():
     with torch.no_grad():
         ty = tsn(_t(x)).numpy()
     np.testing.assert_allclose(jy, ty, atol=2e-4, rtol=2e-4)
+
+
+def test_flow_warp_matches_torch_grid_sample():
+    """pipelines.video.flow_warp (deep-feature-flow's core op) == torch
+    F.grid_sample(mode='bilinear', padding_mode='zeros', align_corners=True)
+    on the same absolute sample positions — per-tap zeroing outside the
+    image and bilinear weights both match (reference deep_feature_flow.py
+    delegated this to torch; arXiv:1611.07715)."""
+    from deepcv_tpu.pipelines.video import flow_warp
+
+    rng = np.random.default_rng(11)
+    n, h, w, c = 2, 9, 7, 3
+    feats = rng.normal(size=(n, h, w, c)).astype(np.float32)
+    flow = (rng.normal(size=(n, h, w, 2)) * 2.5).astype(np.float32)  # off-grid + OOB
+
+    jy = np.asarray(flow_warp(jnp.asarray(feats), jnp.asarray(flow)))
+
+    jj, ii = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    sx = jj[None] + flow[..., 0]
+    sy = ii[None] + flow[..., 1]
+    # absolute positions -> align_corners=True normalized grid
+    gx = 2.0 * sx / (w - 1) - 1.0
+    gy = 2.0 * sy / (h - 1) - 1.0
+    grid = torch.tensor(np.stack([gx, gy], axis=-1))
+    with torch.no_grad():
+        ty = tF.grid_sample(_t(feats).permute(0, 3, 1, 2), grid,
+                            mode="bilinear", padding_mode="zeros",
+                            align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(jy, ty, atol=1e-5, rtol=1e-5)
