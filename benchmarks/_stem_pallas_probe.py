@@ -1,4 +1,6 @@
 """Existing Pallas im2col kernel on the cin=8 stem shape (gate bypassed)."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent.parent))
 import time
 import jax, jax.numpy as jnp
 from deepcv_tpu.ops.pallas.fused_layer import fused_conv2d_bias_act

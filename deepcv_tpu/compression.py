@@ -276,6 +276,11 @@ def calibrate_int8_scales(model, variables, batches) -> Dict[str, float]:
 # weights learn to sit where the int grid can represent them. Serving then
 # rebuilds with quantize='int8' (REAL int8 MXU kernels, identical param
 # tree) using scales calibrated from the QAT model.
+#
+# Measured cost (v5e, wide classifier, batch 4096, fwd+bwd, forced-sync):
+# int8_qat 36.1 ms vs float 32.9 ms — ~10 % step overhead; XLA fuses the
+# quantize->dequantize chains into the surrounding elementwise work
+# (benchmarks/_qat_overhead_probe.py).
 
 def _fake_quant_ste(x, scale, levels: int):
     """quantize->dequantize with straight-through gradients."""
