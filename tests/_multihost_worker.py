@@ -59,6 +59,9 @@ def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
     from deepcv_tpu.train.training import train_with_retries
     from deepcv_tpu.train.backend import BackendConfig
 
+    if mode == "sp_pp":
+        return run_sp_pp(distributed)
+
     backend = BackendConfig(distributed=distributed,
                             tensor_parallel=2 if mode == "tp" else 1)
     model, data = build_model_and_data()
@@ -90,6 +93,57 @@ def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
             "train_loss": [float(r["main_loss"]) for r in hist["train"]],
             "valid": [{k: float(v) for k, v in r.items()}
                       for r in hist["valid"]]}
+
+
+def run_sp_pp(distributed: bool) -> dict:
+    """Spatial partitioning (conv halo exchange over hosts) and GPipe
+    pipeline parallelism (ppermute stage hops over hosts) executed across
+    REAL process boundaries — the dryrun only ever ran them single-process.
+    Numeric ground truth: the unsharded single-device computation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from deepcv_tpu.train.backend import BackendConfig
+    from deepcv_tpu.parallel import (make_mesh, spatial_sharding,
+                                     pipeline_parallel_apply)
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.spec import DeepcvModule
+
+    BackendConfig(distributed=distributed)   # jax.distributed init
+    n = len(jax.devices())
+
+    # --- sp: H-sharded conv forward == unsharded forward ------------------- #
+    model = DeepcvModule((8 * n, 8, 3), load_yaml(
+        "act_fn: relu\narchitecture:\n"
+        "  - conv2d: {kernel_size: [3,3], out_channels: 8, padding: 1}\n"))
+    v = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8 * n, 8, 3))
+    mesh = make_mesh({"data": n}, devices=jax.devices())
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    y_sp = jax.jit(lambda v, x: model.apply(v, x))(v, xs)
+    y_ref = jax.jit(lambda v, x: model.apply(v, x))(v, x)
+    sp_err = float(jnp.max(jnp.abs(y_sp - y_ref)))
+
+    # --- pp: GPipe schedule == sequential stage application ---------------- #
+    S, F = n, 8
+    ks = jax.random.split(jax.random.PRNGKey(2), S)
+    stage_params = {"w": jnp.stack([jax.random.normal(k, (F, F)) * 0.3
+                                    for k in ks])}
+    pp_mesh = make_mesh({"stage": S}, devices=jax.devices())
+    h = jnp.asarray(np.random.default_rng(3).normal(size=(4 * S, F)),
+                    jnp.float32)
+    out = pipeline_parallel_apply(
+        lambda p, hh: jnp.tanh(hh @ p["w"]), stage_params, h,
+        mesh=pp_mesh, n_microbatches=2 * S)
+    ref = h
+    for i in range(S):
+        ref = jnp.tanh(ref @ stage_params["w"][i])
+    pp_err = float(jnp.max(jnp.abs(out - ref)))
+
+    return {"rank": jax.process_index(), "nproc": jax.process_count(),
+            "n_devices": n, "sp_err": sp_err, "pp_err": pp_err,
+            "final_step": -1, "params_sha": "", "run_dir": "",
+            "n_checkpoint_entries": 0, "train_loss": [], "valid": []}
 
 
 if __name__ == "__main__":

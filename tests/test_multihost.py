@@ -184,3 +184,42 @@ def test_two_process_tensor_parallel(tmp_path):
     single = W.run(str(tmp_path / "out_single"), distributed=False, mode="tp")
     np.testing.assert_allclose(r0["train_loss"], single["train_loss"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_two_process_spatial_and_pipeline_parallel(tmp_path):
+    """SP conv halo exchanges and PP ppermute stage hops cross a REAL
+    process boundary (2 processes x 4 devices) and agree with the unsharded
+    ground truth computed in-process."""
+    port = _free_port()
+    procs, outs = [], []
+    for rank in range(2):
+        out_json = tmp_path / f"rank{rank}.json"
+        outs.append(out_json)
+        env = dict(os.environ,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(rank),
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   JAX_PLATFORMS="cpu")
+        procs.append(subprocess.Popen(
+            [sys.executable, "tests/_multihost_worker.py",
+             str(out_json), str(tmp_path / f"out_{rank}"), "sp_pp"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    deadline = time.time() + 420
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(5, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("sp/pp workers timed out")
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    r0, r1 = (json.loads(o.read_text()) for o in outs)
+    assert r0["n_devices"] == 8
+    for r in (r0, r1):
+        assert r["sp_err"] < 1e-5, r
+        assert r["pp_err"] < 1e-5, r
