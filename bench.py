@@ -500,6 +500,60 @@ def bench_serving_int8():
                       "top1_agreement": agree, "data": "synthetic"}))
 
 
+def bench_resnet50(norm: str = "batch_norm"):
+    """Config 9: canonical-architecture benchmark — ResNet-50 built from the
+    SPEC LANGUAGE (torchvision-exact 25.557M params modulo the inert
+    channel-padded stem rows, spec/zoo.py) training at 224x224, batch 256,
+    bf16 — the universally comparable number. ``--norm`` swaps the
+    normalization (design.md 5.9: weight_norm trades a little accuracy for
+    activation-norm-free throughput)."""
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import resnet_spec
+    from deepcv_tpu.train import train, BackendConfig
+
+    backend = BackendConfig()
+    on_tpu = backend.is_tpu
+    n = 8192 if on_tpu else 512
+    hw = 224 if on_tpu else 64
+    raw = load_dataset("synthetic", n=n, image_shape=(hw, hw, 3),
+                       num_classes=1000, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
+                       "transforms": ["to_tensor"]})
+    hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
+                       norm=None if norm in ("none", "weight_norm") else norm)
+    if norm == "weight_norm":
+        hp_m["weight_norm"] = {"eps": 1e-6}
+    model = DeepcvModule((hw, hw, 3), hp_m, dtype=jnp.bfloat16)
+    batch = 256 if on_tpu else 64
+    hp = {"epochs": 6 if on_tpu else 1, "batch_size": batch,
+          "optimizer": "sgd", "optimizer_opts": {"lr": 0.1, "momentum": 0.9,
+                                                 "weight_decay": 1e-4},
+          "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
+          "validate_every_epochs": 1000, "seed": 0,
+          "output_path": "data/04_training",
+          "device_resident_dataset": True, "dtype": "bfloat16",
+          "max_epochs_per_dispatch": 2, "log_grad_norm": False}
+    state, hist = train(hp, model, "cross_entropy", data, backend_conf=backend)
+    tps = hist["throughput_img_s"]
+    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+    per_chip = steady / max(1, backend.n_devices)
+    fwd_flops = _fwd_flops_per_image(model, batch)
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_FLOPS.get(kind)
+    mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else None
+    print(json.dumps({
+        "metric": "resnet50_train_throughput_224",
+        "value": round(per_chip, 1), "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+        "mfu_pct": round(mfu * 100, 2) if peak else None,
+        "norm": norm,
+        "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
+        "params_m": 25.56, "device_kind": kind, "data": "synthetic"}))
+
+
 if __name__ == "__main__":
     import argparse
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
@@ -510,15 +564,18 @@ if __name__ == "__main__":
                     help="config 6 only: normalization technique of the wide "
                          "classifier (BN backward is the measured MFU wall)")
     ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7, 8],
+                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
                          "7=streaming memmap (larger-than-RAM path), "
-                         "8=int8 static serving vs bf16")
+                         "8=int8 static serving vs bf16, "
+                         "9=ResNet-50 @224 (spec-built, --norm applies)")
     args = ap.parse_args()
     if args.config == 6:
         bench_mfu(norm=args.norm)
+    elif args.config == 9:
+        bench_resnet50(norm=args.norm)
     else:
         [main, bench_preprocess, bench_one_cycle_cifar100,
          bench_keypoints_matching, bench_hp_search, None,

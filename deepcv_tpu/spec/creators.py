@@ -434,6 +434,16 @@ def _flatten(params, ctx: CreatorContext, name: str) -> fnn.Module:
     return dnn.Flatten(name=name)
 
 
+@submodule_creator("activation", aliases=("act",), global_keys=("act_fn",),
+                   allowed=("act_fn",))
+def _activation(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Bare activation node — e.g. the post-sum ReLU of a residual block
+    (spec zoo ResNet builder)."""
+    return dnn.Layer(op=dnn.Identity(name=f"{name}_op"),
+                     act_fn=dnn.get_activation(params.get("act_fn")),
+                     name=name)
+
+
 @submodule_creator("concat_coords", allowed=())
 def _concat_coords(params, ctx: CreatorContext, name: str) -> fnn.Module:
     return dnn.ConcatCoords(name=name)

@@ -441,3 +441,38 @@ architecture:
     # pre: relu(x)=0 -> conv(0)=0 exactly; post: conv(x) then relu >= 0
     assert float(jnp.abs(y_pre).max()) == 0.0
     assert float(y_post.min()) >= 0.0
+
+
+def test_resnet_zoo_builder_matches_torchvision_params():
+    """spec/zoo.resnet_spec emits canonical ResNets through the spec
+    language (named nodes + new-branch projection shortcuts + residual
+    links + activation nodes): parameter counts equal torchvision's
+    published counts EXACTLY, modulo the documented inert stem rows from
+    TPU channel padding (3->8 lanes: 5*49*64 zero-gradient weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepcv_tpu.ops.nn import get_model_capacity
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import resnet_spec
+
+    import numpy as np
+
+    PAD = 5 * 49 * 64
+    for depth, expect in [(18, 11_689_512), (50, 25_557_032)]:
+        m = DeepcvModule((64, 64, 3), resnet_spec(depth, pool_kernel=2))
+        # eval_shape: count params without computing a single init value
+        vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(vs["params"]))
+        assert n == expect + PAD, depth
+    # forward shape + train-mode batch stats on the small build
+    m = DeepcvModule((64, 64, 3), resnet_spec(18, num_classes=10, pool_kernel=2))
+    v = m.init(jax.random.PRNGKey(0))
+    y, st = m.apply(v, jnp.ones((2, 64, 64, 3)), train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y.shape == (2, 10) and "batch_stats" in st
+    # identity shortcuts where torchvision uses them (r18 stage 0 has no proj)
+    names = [e[list(e)[0]][0] if isinstance(e[list(e)[0]], list) else None
+             for e in resnet_spec(18)["architecture"] if isinstance(e, dict)]
+    assert "s0b0_proj" not in names and "s1b0_proj" in names
