@@ -1,7 +1,10 @@
 """Dev wrapper: bench.py with INFO logging (progress visibility on slow runs)."""
 import logging
-import runpy
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import runpy
 
 logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 sys.argv = ["bench.py"] + sys.argv[1:]
