@@ -36,6 +36,21 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
     input_shape = trainset.image_shape
     num_classes = trainset.num_classes
     hp = copy.deepcopy(dict(model_params))
+    zoo = hp.pop("zoo", None)
+    if zoo:
+        # programmatic zoo builders (spec/zoo.py): e.g.
+        #   resnet50_model: { zoo: resnet, depth: 50 }
+        # remaining keys override builder kwargs; input size sets the
+        # global-pool window
+        from deepcv_tpu.spec.zoo import resnet_spec
+        if str(zoo) not in ("resnet",):
+            raise ValueError(f"Unknown zoo builder '{zoo}' (known: resnet)")
+        built = resnet_spec(depth=int(hp.pop("depth", 50)),
+                            num_classes=num_classes or 1000,
+                            norm=hp.pop("norm", "batch_norm"),
+                            pool_kernel=max(1, input_shape[0] // 32))
+        built.update(hp)          # user overrides (act_fn, weight_norm, ...)
+        hp = built
     arch = hp.get("architecture", [])
     _inject_out_features(arch, num_classes)
     dtype = hp.pop("dtype", None)
@@ -88,10 +103,10 @@ def get_pipelines() -> Dict[str, Pipeline]:
         ], name=f"preprocess_{ds}", tags={"preprocess"})
 
     def train_pipeline(name: str, model_key: str, training_key: str,
-                       ds: str = "cifar10") -> Pipeline:
+                       ds: str = "cifar10", pp_key: str = None) -> Pipeline:
         return Pipeline([
             Node(preprocess, [f"{ds}_train", f"{ds}_test",
-                              f"params:{ds}_preprocessing"],
+                              f"params:{pp_key or ds + '_preprocessing'}"],
                  "datasets", name="preprocess", tags=("preprocess",)),
             Node(create_model, ["datasets", f"params:{model_key}"],
                  "model", name="create_model", tags=("model",)),
@@ -122,4 +137,8 @@ def get_pipelines() -> Dict[str, Pipeline]:
         "train_wide_classifier_gn": train_pipeline(
             "train_wide_classifier_gn", "wide_classifier_gn_model",
             "train_wide_classifier"),
+        # canonical architecture via the programmatic zoo (spec/zoo.py)
+        "train_resnet50": train_pipeline(
+            "train_resnet50", "resnet50_model", "train_resnet50",
+            ds="imagenet224", pp_key="imagenet224_preprocessing"),
     }
