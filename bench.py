@@ -445,22 +445,33 @@ def bench_streaming():
         shutil.rmtree(d, ignore_errors=True)   # ~400MB on TPU: don't leak
 
 
-def bench_serving_int8():
+def bench_serving_int8(model: str = "wide"):
     """Config 8: serving throughput — bf16 vs CALIBRATED static-int8 w8a8 on
-    the wide classifier (the int8 path that actually wins: dynamic scales
-    break even because the per-call amax pass costs what the MXU saves)."""
+    the wide classifier or spec-built ResNet-50 (the int8 path that actually
+    wins: dynamic scales break even because the per-call amax pass costs
+    what the MXU saves)."""
     import numpy as np
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.compression import calibrate_int8_scales
 
-    hp = _wide_classifier_hp()
-    B = 4096 if jax.devices()[0].platform != "cpu" else 256
-    mf = DeepcvModule((32, 32, 3), hp, dtype=jnp.bfloat16)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if model == "resnet50":
+        from deepcv_tpu.spec.zoo import resnet_spec
+        hw = 224 if on_tpu else 64
+        hp = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32)
+        shape = (hw, hw, 3)
+        B = 256 if on_tpu else 64
+    else:
+        hp = _wide_classifier_hp()
+        shape = (32, 32, 3)
+        B = 4096 if on_tpu else 256
+    mf = DeepcvModule(shape, hp, dtype=jnp.bfloat16)
     v = mf.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(0, 1, (B, 32, 32, 3)), jnp.bfloat16)
-    scales = calibrate_int8_scales(mf, v, [x[:256].astype(jnp.float32)])
-    ms = DeepcvModule((32, 32, 3), hp, dtype=jnp.bfloat16, quantize="int8",
+    x = jnp.asarray(rng.normal(0, 1, (B, *shape)), jnp.bfloat16)
+    calib_n = 64 if model == "resnet50" else 256   # 224^2 batches are big
+    scales = calibrate_int8_scales(mf, v, [x[:calib_n].astype(jnp.float32)])
+    ms = DeepcvModule(shape, hp, dtype=jnp.bfloat16, quantize="int8",
                       quantize_scales=scales)
 
     def timer(f, n=40):
@@ -491,6 +502,7 @@ def bench_serving_int8():
     agree = float((jnp.argmax(yf, -1) == jnp.argmax(ys, -1)).mean())
     import statistics
     print(json.dumps({"metric": "int8_static_serving_speedup",
+                      "model": model,
                       "value": round(med, 3),
                       "unit": "x vs bf16 (median of 5 alternating draws)",
                       "vs_baseline": round(med, 3),
@@ -559,6 +571,8 @@ if __name__ == "__main__":
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="wide", choices=["wide", "resnet50"],
+                    help="config 8 only: serving model")
     ap.add_argument("--norm", default="batch_norm",
                     choices=["batch_norm", "group_norm", "layer_norm", "weight_norm", "none"],
                     help="config 6 only: normalization technique of the wide "
@@ -576,6 +590,8 @@ if __name__ == "__main__":
         bench_mfu(norm=args.norm)
     elif args.config == 9:
         bench_resnet50(norm=args.norm)
+    elif args.config == 8:
+        bench_serving_int8(model=args.model)
     else:
         [main, bench_preprocess, bench_one_cycle_cifar100,
          bench_keypoints_matching, bench_hp_search, None,
