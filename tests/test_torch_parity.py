@@ -590,3 +590,240 @@ def test_flow_warp_matches_torch_grid_sample():
                             mode="bilinear", padding_mode="zeros",
                             align_corners=True).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(jy, ty, atol=1e-5, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# ResNet zoo family (spec/zoo.py) vs a torch mirror
+# --------------------------------------------------------------------------- #
+
+def _copy_conv_nobias(tconv: tnn.Conv2d, node_params):
+    """Like copy_conv but for use_bias=False convs (zoo sets conv biases off
+    when a norm follows, like torchvision); slices inert padded cin rows."""
+    k = np.asarray(node_params["op"]["kernel"])[:, :, : tconv.in_channels, :]
+    tconv.weight.data = _t(k.transpose(3, 2, 0, 1))
+
+
+class TorchZooResNet(tnn.Module):
+    """Torch mirror of spec/zoo.resnet_spec semantics: the framework's layer
+    unit order op -> act -> norm (zoo.py docstring; reference nn.py:519-554),
+    projection shortcuts as conv -> bn on a branch from the block input, and
+    a post-sum ReLU — torchvision-exact shapes/strides/params otherwise
+    (He et al., arXiv:1512.03385)."""
+
+    def __init__(self, depth: int, width: int = 8, num_classes: int = 5):
+        super().__init__()
+        from deepcv_tpu.spec.zoo import RESNET_LAYERS
+        layers, kind = RESNET_LAYERS[depth]
+        self.kind = kind
+
+        def bn(c):
+            return tnn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+
+        def conv(ci, co, k, s):
+            return tnn.Conv2d(ci, co, k, stride=s, padding=k // 2, bias=False)
+
+        self.stem = conv(3, width, 7, 2)
+        self.stem_bn = bn(width)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        exp = 4 if kind == "bottleneck" else 1
+        self.blocks = tnn.ModuleList()
+        self.block_names = []
+        c_in = width
+        for s, n_blocks in enumerate(layers):
+            c_mid = width * 2 ** s
+            c_out = c_mid * exp
+            for b in range(n_blocks):
+                stride = 2 if (s > 0 and b == 0) else 1
+                blk = tnn.ModuleDict()
+                if kind == "bottleneck":
+                    blk["c1"], blk["c1_bn"] = conv(c_in, c_mid, 1, 1), bn(c_mid)
+                    blk["c2"], blk["c2_bn"] = conv(c_mid, c_mid, 3, stride), bn(c_mid)
+                    blk["c3"], blk["c3_bn"] = conv(c_mid, c_out, 1, 1), bn(c_out)
+                else:
+                    blk["c1"], blk["c1_bn"] = conv(c_in, c_out, 3, stride), bn(c_out)
+                    blk["c2"], blk["c2_bn"] = conv(c_out, c_out, 3, 1), bn(c_out)
+                if b == 0 and (stride != 1 or c_in != c_out):
+                    blk["proj"], blk["proj_bn"] = conv(c_in, c_out, 1, stride), bn(c_out)
+                self.blocks.append(blk)
+                self.block_names.append(f"s{s}b{b}")
+                c_in = c_out
+        self.fc = tnn.Linear(c_in, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.stem_bn(tF.relu(self.stem(x))))
+        for blk in self.blocks:
+            inp = x
+            h = blk["c1_bn"](tF.relu(blk["c1"](inp)))
+            if self.kind == "bottleneck":
+                h = blk["c2_bn"](tF.relu(blk["c2"](h)))
+                h = blk["c3_bn"](blk["c3"](h))            # act=False pre-sum
+            else:
+                h = blk["c2_bn"](blk["c2"](h))
+            sc = blk["proj_bn"](blk["proj"](inp)) if "proj" in blk else inp
+            x = tF.relu(h + sc)
+        x = x.mean(dim=(2, 3))                            # global average pool
+        return self.fc(x)
+
+
+def _resnet_pair(depth: int, width: int = 8, num_classes: int = 5, hw: int = 32):
+    """Build the spec-language ResNet and its weight-copied torch mirror.
+
+    hw=32 makes the post-stage spatial size 1x1 (32/32), so the zoo's
+    average_pooling(k=pool_kernel) == global mean and HWC-vs-CHW flatten
+    order is moot."""
+    from deepcv_tpu.spec.zoo import resnet_spec
+
+    hp = resnet_spec(depth, num_classes=num_classes, pool_kernel=hw // 32,
+                     width=width)
+    jm = DeepcvModule((hw, hw, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(7))
+    p = jv["params"]
+
+    tm = TorchZooResNet(depth, width=width, num_classes=num_classes)
+    _copy_conv_nobias(tm.stem, p["node_impls_stem"])
+    copy_affine(tm.stem_bn, p["node_impls_stem"]["norms_0"])
+    for name, blk in zip(tm.block_names, tm.blocks):
+        for part in ("c1", "c2", "c3", "proj"):
+            if part in blk:
+                node = p[f"node_impls_{name}_{part}"]
+                _copy_conv_nobias(blk[part], node)
+                copy_affine(blk[f"{part}_bn"], node["norms_0"])
+    fc_key = next(k for k in p if "fully_connected" in k)
+    copy_dense(tm.fc, p[fc_key])
+    return jm, jv, tm, fc_key
+
+
+@pytest.mark.parametrize("depth", [18, 50])
+def test_resnet_zoo_forward_parity(depth):
+    """Forward of the spec-built ResNet (basic + bottleneck kinds: stem
+    7x7/s2, -inf-padded maxpool, strided stage transitions, projection and
+    identity shortcuts, post-sum ReLU, global pool, fc) matches the
+    executing torch mirror; so do the stem BN running stats after a
+    train-mode pass.
+
+    depth 18 compares TRAIN-mode logits (batch-stat BN exercised through
+    the whole residual topology). depth 50 compares EVAL-mode logits at
+    1e-6: at this test size its late stages are 1x1 spatial x batch 3, so
+    train-mode BN normalizes over 3 samples and amplifies f32 noise ~1e-7
+    into O(0.1) logit drift over 16 blocks on BOTH frameworks — a
+    conditioning artifact, not a semantics gap (train-mode BN math is
+    covered by depth 18 + test_conv_bn_graph_level_torch_semantics)."""
+    jm, jv, tm, _ = _resnet_pair(depth)
+    x = np.random.default_rng(20 + depth).normal(
+        size=(3, 32, 32, 3)).astype(np.float32)
+    if depth == 50:
+        # eval comparison FIRST: the torch train() pass below mutates the
+        # running stats in place, which eval-mode would then consume.
+        je = np.asarray(jm.apply(jv, jnp.asarray(x), train=False))
+        tm.eval()
+        with torch.no_grad():
+            te = tm(_t(x).permute(0, 3, 1, 2)).numpy()
+        np.testing.assert_allclose(je, te, atol=1e-6, rtol=1e-5)
+        assert je.std() > 1e-3
+    jy, mut = jm.apply(jv, jnp.asarray(x), train=True,
+                       rngs={"dropout": jax.random.PRNGKey(0)})
+    tm.train()
+    with torch.no_grad():
+        ty = tm(_t(x).permute(0, 3, 1, 2)).numpy()
+    if depth == 18:
+        np.testing.assert_allclose(np.asarray(jy), ty, atol=5e-4, rtol=1e-3)
+        assert np.asarray(jy).std() > 1e-3
+    bs = mut["batch_stats"]["node_impls_stem"]["norms_0"]
+    np.testing.assert_allclose(np.asarray(bs["mean"]),
+                               tm.stem_bn.running_mean.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bs["var"]),
+                               tm.stem_bn.running_var.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_batch_norm_backward_torch_semantics():
+    """TRAIN-mode BN backward (gradient THROUGH the batch statistics — the
+    mean/var terms of the BN vjp) matches torch autograd on a conv+BN graph.
+    Isolated to one layer because stacking small-sample BNs amplifies f32
+    noise beyond any useful tolerance on both frameworks alike."""
+    hp = load_yaml(
+        "act_fn: relu\n"
+        "batch_norm: { affine: true, eps: 1.0e-05, momentum: 0.1 }\n"
+        "architecture:\n"
+        "  - conv2d: { kernel_size: [3, 3], out_channels: 6, padding: 1 }\n")
+    jm = DeepcvModule((8, 8, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(1))
+    node = jv["params"]["node_impls__submodule_0_conv2d"]
+    tconv = tnn.Conv2d(3, 6, 3, padding=1)
+    tbn = tnn.BatchNorm2d(6, eps=1e-5, momentum=0.1)
+    copy_conv(tconv, node)
+    copy_affine(tbn, node["norms_0"])
+
+    x = np.random.default_rng(3).normal(size=(4, 8, 8, 3)).astype(np.float32)
+
+    def loss_fn(params):
+        y, _ = jm.apply({"params": params, "batch_stats": jv["batch_stats"]},
+                        jnp.asarray(x), train=True,
+                        rngs={"dropout": jax.random.PRNGKey(0)})
+        # fixed non-uniform weighting so the grad exercises every position
+        return jnp.sum(y * jnp.sin(jnp.arange(y.size).reshape(y.shape)))
+
+    jloss, jg = jax.value_and_grad(loss_fn)(jv["params"])
+
+    tbn.train()
+    ty = tbn(tF.relu(tconv(_t(x).permute(0, 3, 1, 2)))).permute(0, 2, 3, 1)
+    w = torch.sin(torch.arange(ty.numel(), dtype=torch.float32)
+                  .reshape(ty.shape))
+    (ty * w).sum().backward()
+    np.testing.assert_allclose(float(jloss), float(ty.detach().mul(w).sum()),
+                               rtol=1e-5)
+    gnode = jg["node_impls__submodule_0_conv2d"]
+    jk_full = np.asarray(gnode["op"]["kernel"])
+    tk = grad_of(tconv.weight).transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(jk_full[:, :, :3, :], tk, rtol=1e-4, atol=1e-5)
+    # the lane-padded cin rows are inert: exactly zero gradient
+    assert np.abs(jk_full[:, :, 3:, :]).max() == 0.0
+    np.testing.assert_allclose(np.asarray(gnode["norms_0"]["scale"]),
+                               grad_of(tbn.weight), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gnode["norms_0"]["bias"]),
+                               grad_of(tbn.bias), rtol=1e-4, atol=1e-5)
+
+
+def test_resnet18_zoo_first_step_gradient_parity():
+    """Loss and gradients through the residual topology (stem, a projection
+    shortcut, a mid-stage conv, the fc head) match torch autograd.
+
+    EVAL-mode BN: gradients through 8 stacked train-mode BNs (each
+    normalizing over as few as 16 samples at this test size) amplify f32
+    noise by orders of magnitude on both frameworks, so no tolerance both
+    tight and meaningful exists for the deep-net train-mode comparison.
+    The train-mode BN backward itself is verified in isolation above
+    (test_batch_norm_backward_torch_semantics); this test pins the
+    residual-graph backward (branch sums, projections, strides, pooling)."""
+    jm, jv, tm, fc_key = _resnet_pair(18)
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 5, size=(4,))
+
+    def loss_fn(params):
+        logits = jm.apply({"params": params,
+                           "batch_stats": jv["batch_stats"]},
+                          jnp.asarray(x), train=False)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(y)).mean()
+
+    jloss, jg = jax.value_and_grad(loss_fn)(jv["params"])
+
+    tm.eval()
+    tlogits = tm(_t(x).permute(0, 3, 1, 2))
+    tloss = tF.cross_entropy(tlogits, torch.tensor(y, dtype=torch.long))
+    tloss.backward()
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-5)
+
+    checks = [(jg["node_impls_stem"], tm.stem, 3),
+              (jg["node_impls_s1b0_proj"], tm.blocks[2]["proj"], None),
+              (jg["node_impls_s2b1_c2"], tm.blocks[5]["c2"], None)]
+    for gnode, tconv, cin in checks:
+        jk = np.asarray(gnode["op"]["kernel"])
+        if cin is not None:
+            jk = jk[:, :, :cin, :]
+        tg = grad_of(tconv.weight).transpose(2, 3, 1, 0)   # OIHW -> HWIO
+        np.testing.assert_allclose(jk, tg, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jg[fc_key]["op"]["kernel"]),
+                               grad_of(tm.fc.weight).T, rtol=1e-3, atol=1e-6)
