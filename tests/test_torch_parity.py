@@ -827,3 +827,125 @@ def test_resnet18_zoo_first_step_gradient_parity():
         np.testing.assert_allclose(jk, tg, rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(jg[fc_key]["op"]["kernel"]),
                                grad_of(tm.fc.weight).T, rtol=1e-3, atol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# HRNet fusion blocks (ops/hrnet.py) vs functional torch mirrors
+# --------------------------------------------------------------------------- #
+
+def _t_conv(node, x, stride=1, padding=0, groups=1):
+    """Run a flax Conv's params through torch.nn.functional.conv2d (NCHW).
+    Slices the kernel's in-dim: conv inputs under 8 channels are lane-padded
+    on the jax side (ops/nn.py::pad_channels_for_tpu, inert kernel rows)."""
+    k = np.asarray(node["kernel"])[:, :, : x.shape[1] // groups, :]
+    w = _t(k.transpose(3, 2, 0, 1))
+    b = _t(node["bias"]) if "bias" in node else None
+    return tF.conv2d(x, w, b, stride=stride, padding=padding, groups=groups)
+
+
+def test_parallel_convolution_torch_parity():
+    """ParallelConvolution (reference hrnet.py:30-117): N independent convs
+    with per-stream kernel/channels/groups + act — each stream matches a
+    torch conv built from the same params (incl. a grouped stream)."""
+    from deepcv_tpu.ops.hrnet import ParallelConvolution
+
+    rng = np.random.default_rng(40)
+    streams = [rng.normal(size=(2, 16, 16, 4)).astype(np.float32),
+               rng.normal(size=(2, 8, 8, 8)).astype(np.float32),
+               rng.normal(size=(2, 4, 4, 16)).astype(np.float32)]
+    jm = ParallelConvolution(kernel_size=[[3, 3], [5, 5], [3, 3]],
+                             out_channels=[4, 8, 16], groups=[1, 2, 1],
+                             act_fn=jax.nn.relu)
+    jx = [jnp.asarray(s) for s in streams]
+    jv = jm.init(jax.random.PRNGKey(8), jx)
+    jy = [np.asarray(o) for o in jm.apply(jv, jx)]
+
+    pads = [1, 2, 1]
+    for i, (s, g) in enumerate(zip(streams, (1, 2, 1))):
+        node = jv["params"][f"stream{i}_conv"]
+        ty = tF.relu(_t_conv(node, _t(s).permute(0, 3, 1, 2),
+                             padding=pads[i], groups=g))
+        np.testing.assert_allclose(jy[i], ty.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_multiresolution_fusion_torch_parity():
+    """MultiresolutionFusion (reference hrnet.py:120-250): every stream is
+    rescaled into every resolution (strided 3x3 chains down, bilinear +
+    1x1 up) and summed, plus the optional new lower-res branch — all output
+    streams match a functional torch mirror of those semantics."""
+    from deepcv_tpu.ops.hrnet import MultiresolutionFusion
+
+    rng = np.random.default_rng(41)
+    streams = [rng.normal(size=(2, 16, 16, 4)).astype(np.float32),
+               rng.normal(size=(2, 8, 8, 8)).astype(np.float32),
+               rng.normal(size=(2, 4, 4, 16)).astype(np.float32)]
+    jm = MultiresolutionFusion(create_new_branch=True, act_fn=jax.nn.relu)
+    jx = [jnp.asarray(s) for s in streams]
+    jv = jm.init(jax.random.PRNGKey(9), jx)
+    p = jv["params"]
+    jy = [np.asarray(o) for o in jm.apply(jv, jx)]
+    assert len(jy) == 4                      # 3 fused + 1 new branch
+
+    tx = [_t(s).permute(0, 3, 1, 2) for s in streams]
+    touts = []
+    for i in range(3):
+        acc = tx[i].clone()
+        hw = tuple(tx[i].shape[2:])
+        for j in range(3):
+            if j == i:
+                continue
+            if j < i:                        # downscale: i-j strided 3x3s
+                y = _t_conv(p[f"down_{j}to{i}_0"], tx[j], stride=2, padding=1)
+                for k in range(1, i - j):
+                    y = _t_conv(p[f"down_{j}to{i}_{k}"], y, stride=2, padding=1)
+            else:                            # upscale: bilinear + 1x1
+                y = tF.interpolate(tx[j], size=hw, mode="bilinear",
+                                   align_corners=False)
+                y = _t_conv(p[f"up_{j}to{i}"], y)
+            acc = acc + y
+        touts.append(tF.relu(acc))
+    touts.append(tF.relu(_t_conv(p["down_newbranch"], tx[-1],
+                                 stride=2, padding=1)))
+    for i, (jo, to) in enumerate(zip(jy, touts)):
+        np.testing.assert_allclose(jo, to.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"stream {i}")
+    assert jy[3].shape == (2, 2, 2, 32)      # new branch: half res, 2x chans
+
+
+def test_hrnet_v2_heads_torch_parity():
+    """HRNetV2 head (upscale-all + concat + 1x1 mix, reference
+    hrnet.py:269-301) and the V2p downscale pyramid (:304-322) match
+    functional torch mirrors."""
+    from deepcv_tpu.ops.hrnet import (HRNetV2RepresentationHead,
+                                      HRNetV2pRepresentationHead)
+
+    rng = np.random.default_rng(42)
+    streams = [rng.normal(size=(2, 8, 8, 4)).astype(np.float32),
+               rng.normal(size=(2, 4, 4, 8)).astype(np.float32)]
+    jx = [jnp.asarray(s) for s in streams]
+    tx = [_t(s).permute(0, 3, 1, 2) for s in streams]
+
+    jm = HRNetV2RepresentationHead(out_channels=6, act_fn=jax.nn.relu)
+    jv = jm.init(jax.random.PRNGKey(10), jx)
+    jy = np.asarray(jm.apply(jv, jx))
+    ups = [tx[0], tF.interpolate(tx[1], size=(8, 8), mode="bilinear",
+                                 align_corners=False)]
+    ty = tF.relu(_t_conv(jv["params"]["mix"], torch.cat(ups, dim=1)))
+    np.testing.assert_allclose(jy, ty.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+    jm2 = HRNetV2pRepresentationHead(out_channels=6, pyramid_levels=3,
+                                     act_fn=jax.nn.relu)
+    jv2 = jm2.init(jax.random.PRNGKey(11), jx)
+    jy2 = [np.asarray(o) for o in jm2.apply(jv2, jx)]
+    assert len(jy2) == 3
+    ty2 = tF.relu(_t_conv(jv2["params"]["v2"]["mix"], torch.cat(ups, dim=1)))
+    np.testing.assert_allclose(jy2[0], ty2.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-5)
+    y = ty2
+    for i in range(2):
+        y = tF.relu(_t_conv(jv2["params"][f"pyr{i}"], y, stride=2, padding=1))
+        np.testing.assert_allclose(jy2[i + 1],
+                                   y.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-5, rtol=1e-5)
