@@ -90,6 +90,11 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # 'input' => self-supervised/autoencoder: loss target is the transformed
     # input batch (reference keypoints autoencoder, keypoints/detector.py:44-84)
     "self_supervised_target": None,
+    # exponential moving average of params (production serving staple the
+    # torch reference lacks): ema_t = d*ema_{t-1} + (1-d)*params_t, kept in
+    # TrainState (checkpointed, donated, resumable). None disables.
+    "ema_decay": None,
+    "ema_eval": True,                # validate/serve with the EMA weights
 }
 
 
@@ -116,9 +121,14 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray
+    # EMA shadow of ``params`` when hp['ema_decay'] is set, else None.
+    # Batch stats are shared with the live model (the running averages are
+    # already a slow EMA of batch statistics by construction).
+    ema_params: Any = None
 
-    def variables(self) -> Dict[str, Any]:
-        v = {"params": self.params}
+    def variables(self, ema: bool = False) -> Dict[str, Any]:
+        use_ema = ema and self.ema_params is not None
+        v = {"params": self.ema_params if use_ema else self.params}
         if self.batch_stats is not None:
             v["batch_stats"] = self.batch_stats
         return v
@@ -269,14 +279,26 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     # ---------------- state init / resume ---------------------------------- #
     init_rng, state_rng = jax.random.split(root_rng)
     # init_variables: warm-start from existing weights (transfer learning /
-    # QAT fine-tuning) — must match the model's param tree
-    variables = dict(init_variables) if init_variables is not None \
-        else model.init(init_rng)
+    # QAT fine-tuning) — must match the model's param tree. COPY the leaves:
+    # the jitted scans donate the whole TrainState, so threading the caller's
+    # arrays in directly would delete them out from under the caller (and
+    # break reusing the same init_variables for a second train() call).
+    variables = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True),
+                                       dict(init_variables)) \
+        if init_variables is not None else model.init(init_rng)
+    ema_decay = hp.get("ema_decay")
+    ema_decay = float(ema_decay) if ema_decay is not None else None
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats"),
                        opt_state=tx.init(variables["params"]),
                        step=jnp.zeros((), jnp.int32),
-                       rng=state_rng)
+                       rng=state_rng,
+                       # jnp.copy: the EMA must not ALIAS the live params —
+                       # the jitted scans donate the whole state, and two
+                       # pytree leaves sharing one donated buffer is invalid
+                       ema_params=jax.tree_util.tree_map(jnp.copy,
+                                                         variables["params"])
+                       if ema_decay is not None else None)
     if hp["resume_from"]:
         state = resume_from_path(hp["resume_from"], state)
         _logger.info("Resumed from %s at step %d", hp["resume_from"], int(state.step))
@@ -370,8 +392,14 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             step_metrics["grad_norm"] = optax.global_norm(grads)
         for mname, mfn in metrics.items():
             step_metrics[mname] = mfn(logits, y_t)
+        new_ema = state.ema_params
+        if ema_decay is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, new_params)
         new_state = state.replace(params=new_params, batch_stats=new_bs,
-                                  opt_state=new_opt, step=state.step + 1, rng=rng)
+                                  opt_state=new_opt, step=state.step + 1,
+                                  rng=rng, ema_params=new_ema)
         return new_state, step_metrics
 
     sampling = str(hp.get("sampling", "epoch"))
@@ -447,6 +475,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         jit_stage = jax.jit(scan_steps_staged, donate_argnums=(0,),
                             in_shardings=(None, stage_shd, stage_shd))
 
+    eval_with_ema = ema_decay is not None and bool(hp.get("ema_eval", True))
+
     def eval_step(state: TrainState, raw_x, y, n_valid: Tuple[int, ...]):
         """Eval on a batch where host i's block holds ``n_valid[i]`` real
         samples at its head; the rest are wrap-around padding that keeps
@@ -468,7 +498,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         x = validset.batch_transform(raw_x, augment=False)
         if dtype is not None:
             x = x.astype(dtype)
-        logits = model.apply(state.variables(), x, train=False)
+        logits = model.apply(state.variables(ema=eval_with_ema), x, train=False)
         y_t = x if self_target else validset.transform_targets(y)
         k = backend.process_count
         block = x.shape[0] // k

@@ -228,6 +228,56 @@ def test_grad_accumulation_and_remat(tiny_setup, tmp_path):
     assert np.isfinite([r["main_loss"] for r in h_acc["train"]]).all()
 
 
+def test_ema_weight_averaging(tiny_setup, tmp_path):
+    """hp['ema_decay'] maintains an EMA shadow of the params inside the
+    donated TrainState: decay=0 tracks the live params exactly, decay=1
+    freezes the init weights, and validation runs on the EMA weights when
+    ema_eval is set (production-serving staple beyond the reference)."""
+    model, data = tiny_setup
+    init_vars = model.init(jax.random.PRNGKey(99))
+    hp = {"epochs": 1, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    be1 = BackendConfig(n_devices=1)
+
+    # decay=0: ema == live params after every update
+    st0, _ = train(dict(hp, ema_decay=0.0), model, cross_entropy_loss, data,
+                   backend_conf=be1, init_variables=init_vars)
+    jax.tree_util.tree_map(
+        lambda e, p: np.testing.assert_allclose(e, p, rtol=1e-6),
+        st0.ema_params, st0.params)
+
+    # decay=1: ema stays at the init weights while live params move
+    st1, h1 = train(dict(hp, ema_decay=1.0), model, cross_entropy_loss, data,
+                    backend_conf=be1, init_variables=init_vars)
+    jax.tree_util.tree_map(
+        lambda e, p0: np.testing.assert_allclose(e, p0, rtol=1e-6),
+        st1.ema_params, init_vars["params"])
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, d: acc + float(jnp.abs(d).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, st1.params,
+                               init_vars["params"]), 0.0)
+    assert moved > 1e-3
+    # ema_eval=True (default): validation metrics come from the frozen init
+    # weights, not the trained ones — so they differ from a no-EMA run
+    _, h_live = train(dict(hp), model, cross_entropy_loss, data,
+                      backend_conf=be1, init_variables=init_vars)
+    assert (h1["valid"][-1]["valid_main_loss"]
+            != pytest.approx(h_live["valid"][-1]["valid_main_loss"], rel=1e-6))
+
+    # ema state round-trips through TrainState.variables(ema=True)
+    v = st1.variables(ema=True)
+    assert v["params"] is st1.ema_params
+
+    # intermediate decay: ema is neither init nor live
+    st, _ = train(dict(hp, ema_decay=0.9), model, cross_entropy_loss, data,
+                  backend_conf=be1, init_variables=init_vars)
+    leaf_e = jax.tree_util.tree_leaves(st.ema_params)[0]
+    leaf_p = jax.tree_util.tree_leaves(st.params)[0]
+    leaf_0 = jax.tree_util.tree_leaves(init_vars["params"])[0]
+    assert not np.allclose(leaf_e, leaf_p) and not np.allclose(leaf_e, leaf_0)
+
+
 def test_crash_and_resume(tiny_setup, tmp_path):
     model, data = tiny_setup
     hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
