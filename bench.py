@@ -512,6 +512,65 @@ def bench_serving_int8(model: str = "wide"):
                       "top1_agreement": agree, "data": "synthetic"}))
 
 
+def bench_serving_latency(model: str = "wide"):
+    """Config 10: online-serving LATENCY (the throughput benches measure the
+    offline batch regime). Per batch size: p50/p99 of end-to-end dispatch ->
+    device -> host-sync round trips on the compiled bf16 forward, the number
+    an SLO is written against. Batch 1 is the interactive worst case (MXU
+    utilization is irrelevant there; the wall is dispatch + tunnel RTT)."""
+    import numpy as np
+    from deepcv_tpu.spec import DeepcvModule
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if model == "resnet50":
+        from deepcv_tpu.spec.zoo import resnet_spec
+        hw = 224 if on_tpu else 64
+        hp = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32)
+        shape = (hw, hw, 3)
+    else:
+        hp = _wide_classifier_hp()
+        shape = (32, 32, 3)
+    m = DeepcvModule(shape, hp, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0))
+    f = jax.jit(lambda v, x: m.apply(v, x, train=False))
+    rng = np.random.default_rng(0)
+    draws = 60 if on_tpu else 15
+    sizes = (1, 8, 64, 256) if on_tpu else (1, 8)
+    per_batch = {}
+    for B in sizes:
+        x = jnp.asarray(rng.normal(0, 1, (B, *shape)), jnp.bfloat16)
+        _ = jax.device_get(f(v, x))             # compile out of the timing
+        lat = []
+        for _ in range(draws):
+            t0 = time.perf_counter()
+            # device_get of the logits, not block_until_ready: on tunneled
+            # backends block_until_ready returns before remote execution
+            # finishes (design.md 'forced host sync'), and a real server
+            # must pull the predictions anyway
+            _ = jax.device_get(f(v, x))
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat.sort()
+        # pipelined regime: k requests in flight, one sync — per-request
+        # latency without the per-request host round trip. On a tunneled
+        # host p50 above is dominated by the tunnel RTT (measured flat
+        # ~25 ms across batch sizes); co-located serving sees ~this number.
+        k = 32
+        t0 = time.perf_counter()
+        rs = [f(v, x) for _ in range(k)]
+        _ = jax.device_get(rs[-1])
+        piped = (time.perf_counter() - t0) * 1e3 / k
+        per_batch[str(B)] = {
+            "p50_ms": round(lat[len(lat) // 2], 3),
+            "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
+            "pipelined_ms": round(piped, 3),
+            "img_s_pipelined": round(B / (piped / 1e3), 0)}
+    p50_b1 = per_batch["1"]["p50_ms"]
+    print(json.dumps({"metric": "serving_latency_bf16", "model": model,
+                      "value": p50_b1, "unit": "ms p50 @ batch 1",
+                      "vs_baseline": None, "per_batch": per_batch,
+                      "data": "synthetic"}))
+
+
 def bench_resnet50(norm: str = "batch_norm"):
     """Config 9: canonical-architecture benchmark — ResNet-50 built from the
     SPEC LANGUAGE (torchvision-exact 25.557M params modulo the inert
@@ -578,13 +637,14 @@ if __name__ == "__main__":
                     help="config 6 only: normalization technique of the wide "
                          "classifier (BN backward is the measured MFU wall)")
     ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9],
+                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
                          "7=streaming memmap (larger-than-RAM path), "
                          "8=int8 static serving vs bf16, "
-                         "9=ResNet-50 @224 (spec-built, --norm applies)")
+                         "9=ResNet-50 @224 (spec-built, --norm applies), "
+                         "10=online serving latency p50/p99 (--model applies)")
     args = ap.parse_args()
     if args.config == 6:
         bench_mfu(norm=args.norm)
@@ -592,6 +652,8 @@ if __name__ == "__main__":
         bench_resnet50(norm=args.norm)
     elif args.config == 8:
         bench_serving_int8(model=args.model)
+    elif args.config == 10:
+        bench_serving_latency(model=args.model)
     else:
         [main, bench_preprocess, bench_one_cycle_cifar100,
          bench_keypoints_matching, bench_hp_search, None,
