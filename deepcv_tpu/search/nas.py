@@ -30,7 +30,7 @@ from deepcv_tpu.spec.graph import ARCH_PARAM_PREFIX
 __all__ = ["list_mutables", "sample_architecture", "export_architecture",
            "apply_fixed_architecture", "arch_params_mask",
            "gen_classic_nas_search_space", "candidate_costs",
-           "enas_neural_architecture_search",
+           "enas_neural_architecture_search", "LstmController",
            "expected_cost_regularizer",
            "single_shot_neural_architecture_search"]
 
@@ -277,6 +277,126 @@ def expected_cost_regularizer(costs: Mapping[str, Sequence[float]],
     return reg
 
 
+class LstmController:
+    """The ENAS paper's recurrent controller (arXiv:1802.03268 §2): an LSTM
+    samples architecture decisions SEQUENTIALLY, each conditioned on the
+    previous choices through the hidden state — so the policy is a joint
+    distribution over architectures, not a product of per-mutable factors.
+
+    Per step t: h_t = LSTM(embed(choice_{t-1}), h_{t-1}); logits_t = W_t h_t.
+    Trained by REINFORCE (advantage-weighted log-prob + entropy bonus) with
+    Adam, matching the paper's controller optimizer. Pure JAX: log pi and
+    entropy differentiate through the unrolled cell with ``jax.grad``.
+    """
+
+    def __init__(self, sizes: Sequence[int], seed: int = 0,
+                 embed_dim: int = 16, hidden_dim: int = 32, lr: float = 0.05,
+                 entropy_weight: float = 1e-2):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        self.sizes = [int(s) for s in sizes]
+        self.H = hidden_dim
+        rng = np.random.default_rng(seed)
+
+        def init(*shape, scale=0.1):
+            return jnp.asarray(rng.normal(0, scale, shape), jnp.float32)
+
+        self.params = {
+            "x0": init(embed_dim),
+            "wx": init(embed_dim, 4 * hidden_dim),
+            "wh": init(hidden_dim, 4 * hidden_dim),
+            "b": jnp.zeros((4 * hidden_dim,), jnp.float32),
+            "head": [init(hidden_dim, n) for n in self.sizes],
+            "head_b": [jnp.zeros((n,), jnp.float32) for n in self.sizes],
+            "emb": [init(n, embed_dim) for n in self.sizes],
+        }
+        self._tx = optax.adam(float(lr))
+        self._opt = self._tx.init(self.params)
+        self._w_ent = float(entropy_weight)
+
+        def cell(p, x, h, c):
+            z = x @ p["wx"] + h @ p["wh"] + p["b"]
+            i, f, g, o = jnp.split(z, 4)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            return jax.nn.sigmoid(o) * jnp.tanh(c), c
+
+        def step_logits(p, t: int, x, h, c):
+            h, c = cell(p, x, h, c)
+            return h @ p["head"][t] + p["head_b"][t], h, c
+
+        def logprob_entropy(p, choices):
+            """log pi(arch) and policy entropy along the SAMPLED path
+            (choices: int32[T]); unrolled — T is the mutable count."""
+            h = jnp.zeros((self.H,))
+            c = jnp.zeros((self.H,))
+            x = p["x0"]
+            lp = jnp.float32(0.0)
+            ent = jnp.float32(0.0)
+            for t in range(len(self.sizes)):
+                logits, h, c = step_logits(p, t, x, h, c)
+                logq = jax.nn.log_softmax(logits)
+                lp = lp + logq[choices[t]]
+                ent = ent - jnp.sum(jnp.exp(logq) * logq)
+                x = p["emb"][t][choices[t]]
+            return lp, ent
+
+        def loss(p, arch_mat, adv):
+            lps, ents = jax.vmap(lambda ch: logprob_entropy(p, ch))(arch_mat)
+            return -(jnp.mean(adv * lps) + self._w_ent * jnp.mean(ents))
+
+        self._grad = jax.jit(jax.grad(loss))
+        self._step_logits = jax.jit(step_logits, static_argnums=(1,))
+        self._logprob_entropy = logprob_entropy
+
+    def _decode(self, pick) -> List[int]:
+        import jax.numpy as jnp
+        h = jnp.zeros((self.H,))
+        c = jnp.zeros((self.H,))
+        x = self.params["x0"]
+        out = []
+        for t in range(len(self.sizes)):
+            logits, h, c = self._step_logits(self.params, t, x, h, c)
+            ch = pick(t, np.asarray(logits, np.float64))
+            out.append(int(ch))
+            x = self.params["emb"][t][ch]
+        return out
+
+    def sample(self, rng: np.random.Generator) -> List[int]:
+        def pick(t, logits):
+            p = np.exp(logits - logits.max())
+            return rng.choice(self.sizes[t], p=p / p.sum())
+        return self._decode(pick)
+
+    def greedy(self) -> List[int]:
+        return self._decode(lambda t, logits: int(np.argmax(logits)))
+
+    def marginals(self, rng: np.random.Generator, k: int = 64) -> List[np.ndarray]:
+        """Empirical per-step marginals from k policy samples (used to point
+        the supernet's path sampling at the current policy)."""
+        counts = [np.full(n, 1e-3) for n in self.sizes]
+        for _ in range(k):
+            for t, ch in enumerate(self.sample(rng)):
+                counts[t][ch] += 1.0
+        return [c / c.sum() for c in counts]
+
+    def entropy(self) -> float:
+        import jax.numpy as jnp
+        _, ent = self._logprob_entropy(self.params,
+                                       jnp.asarray(self.greedy(), jnp.int32))
+        return float(ent)
+
+    def update(self, arch_rows: Sequence[Sequence[int]],
+               advantages: Sequence[float]) -> None:
+        import jax.numpy as jnp
+        import optax
+        g = self._grad(self.params, jnp.asarray(arch_rows, jnp.int32),
+                       jnp.asarray(advantages, jnp.float32))
+        upd, self._opt = self._tx.update(g, self._opt, self.params)
+        self.params = optax.apply_updates(self.params, upd)
+
+
 def enas_neural_architecture_search(
         input_shape, model_hp: Mapping[str, Any], training_hp: Mapping[str, Any],
         losses, datasets, backend_conf=None, metrics=None,
@@ -285,16 +405,26 @@ def enas_neural_architecture_search(
         entropy_weight: float = 1e-2, baseline_decay: float = 0.7,
         reward_metric: str = "accuracy",
         reward_fn: Optional[Any] = None,
+        controller: str = "factored",
         **model_kwargs) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
     """ENAS (arXiv:1802.03268): weight sharing + an RL controller trained by
     REINFORCE on validation reward, alternating with weight training.
 
-    Controller: FACTORED categorical policy — one independent softmax per
-    mutable over the shared ``arch__*`` logits (the paper's LSTM adds
-    conditional dependence BETWEEN decisions; with the spec engine's
-    per-mutable choice points the factored policy covers the same search
-    space and keeps the policy-gradient math exact:
-    grad log pi(arch) = onehot(choice) - softmax(logits) per mutable).
+    Controller (``controller=``):
+      * ``'factored'`` (default) — one independent softmax per mutable over
+        the shared ``arch__*`` logits; covers the same search space with
+        exact policy-gradient math
+        (grad log pi(arch) = onehot(choice) - softmax(logits) per mutable);
+      * ``'lstm'`` — the paper's recurrent controller
+        (:class:`LstmController`): decisions sampled sequentially, each
+        conditioned on previous choices through the LSTM state, REINFORCE +
+        Adam (``controller_lr`` is the Adam lr here — 0.05-ish, not the
+        0.2+ that suits the factored sign-SGD-style update). The weight
+        phase samples paths from the controller's empirical MARGINALS
+        (written into the ``arch__*`` logits): the joint policy drives the
+        controller phase and the export, the marginal projection drives
+        shared-weight path sampling — the one approximation vs the paper,
+        which threads the sampler into every train step.
 
     Alternation (one round per weight epoch, the paper's schedule):
       1. WEIGHT phase — one epoch of shared-weight training with paths
@@ -329,12 +459,27 @@ def enas_neural_architecture_search(
     muts = list_mutables(model_hp)
     if not muts:
         raise ValueError("enas: the spec has no NAS mutables")
+    if controller not in ("factored", "lstm"):
+        raise ValueError(f"enas: unknown controller '{controller}' "
+                         "(factored|lstm)")
 
     hp = dict(training_hp)
     epochs = int(hp.get("epochs", 1))
     base_seed = int(hp.get("seed", 0))
     hp.update(epochs=1, train_arch_params=False)
     rng = np.random.default_rng(base_seed + 1)
+
+    lstm = None
+    mut_names = list(muts)
+    if controller == "lstm":
+        # candidate counts per mutable WITHOUT running a real init: the
+        # arch__ logits' shapes come from one eval_shape of the initializer
+        var_shapes = jax.eval_shape(supernet.init, jax.random.PRNGKey(0))
+        sizes = [_arch_logits_get(var_shapes["params"], n).shape[0]
+                 for n in mut_names]
+        lstm = LstmController(sizes, seed=base_seed + 2,
+                              lr=float(controller_lr),
+                              entropy_weight=float(entropy_weight))
 
     # default reward: accuracy of the forced-arch model on a validation batch
     validset = datasets.get("validset", datasets["trainset"])
@@ -381,6 +526,37 @@ def enas_neural_architecture_search(
         if state.batch_stats is not None:
             variables["batch_stats"] = jax.device_get(state.batch_stats)
 
+        if lstm is not None:
+            # ---- controller phase (REINFORCE through the LSTM policy) ---- #
+            rows, advs, rewards = [], [], []
+            for _s in range(int(controller_samples)):
+                row = lstm.sample(rng)
+                arch = dict(zip(mut_names, row))
+                r = float(reward_of(arch, state))
+                rewards.append(r)
+                baseline = r if baseline is None else \
+                    baseline_decay * baseline + (1 - baseline_decay) * r
+                rows.append(row)
+                advs.append(r - baseline)
+            lstm.update(rows, advs)
+            # point the supernet's path sampling at the updated policy: its
+            # per-mutable 'arch__' logits become the policy's log-marginals
+            for name, m in zip(mut_names, lstm.marginals(rng)):
+                cur = np.asarray(_arch_logits_get(params, name))
+                _arch_logits_set(params, name,
+                                 jnp.asarray(np.log(m), cur.dtype))
+            variables["params"] = params
+            ent = lstm.entropy()
+            history["controller"].append({
+                "epoch": epoch + 1,
+                "reward_mean": float(np.mean(rewards)),
+                "baseline": float(baseline),
+                "entropy": ent})
+            _logger.info("enas[lstm] round %d: reward %.4f baseline %.4f "
+                         "entropy %.3f", epoch + 1, np.mean(rewards),
+                         baseline, ent)
+            continue
+
         # ---- controller phase (REINFORCE over the factored policy) ------- #
         logits = {name: np.asarray(_arch_logits_get(params, name), np.float64)
                   for name in muts}
@@ -419,8 +595,13 @@ def enas_neural_architecture_search(
         _logger.info("enas round %d: reward %.4f baseline %.4f entropy %.3f",
                      epoch + 1, np.mean(rewards), baseline, ent)
 
-    arch = {n: int(np.argmax(np.asarray(_arch_logits_get(params, n))))
-            for n in muts}
+    if lstm is not None:
+        # export = greedy decode through the joint policy (each argmax
+        # conditioned on the previous decisions via the LSTM state)
+        arch = dict(zip(mut_names, lstm.greedy()))
+    else:
+        arch = {n: int(np.argmax(np.asarray(_arch_logits_get(params, n))))
+                for n in muts}
     if arch_export_path:
         Path(arch_export_path).parent.mkdir(parents=True, exist_ok=True)
         Path(arch_export_path).write_text(json.dumps(arch, indent=1))

@@ -401,3 +401,77 @@ architecture:
         controller_lr=10.0, controller_samples=8,
         reward_fn=lambda a, s: float(a["inner/m1"] == 1))
     assert arch["inner/m1"] == 1
+
+
+def test_enas_lstm_controller_joint_policy(tmp_path):
+    """controller='lstm' is the paper's recurrent controller: decisions are
+    sampled sequentially, each conditioned on the previous ones through the
+    LSTM state. A JOINT reward (1 iff the two mutables AGREE) has two optimal
+    modes — the recurrent policy must converge onto one of them, and the
+    greedy export must decode a matching (joint-optimal) pair."""
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.search.nas import enas_neural_architecture_search
+
+    model_hp = load_yaml("""
+act_fn: relu
+architecture:
+  - _nas_layer_choice:
+      _name: "c0"
+      _candidates:
+        - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+        - conv2d: { kernel_size: [5, 5], out_channels: 8, padding: 2 }
+  - _nas_layer_choice:
+      _name: "c1"
+      _candidates:
+        - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+        - conv2d: { kernel_size: [5, 5], out_channels: 8, padding: 2 }
+  - flatten: {}
+  - fully_connected: { out_features: 4, act_fn: null }
+""")
+    raw = load_dataset("synthetic", n=96, image_shape=(8, 8, 3), num_classes=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    hp = {"epochs": 5, "batch_size": 24, "optimizer_opts": {"lr": 1e-2},
+          "save_every_iters": 0, "output_path": str(tmp_path),
+          "validate_every_epochs": 100, "seed": 11}
+    arch, _, hist = enas_neural_architecture_search(
+        (8, 8, 3), model_hp, hp, "cross_entropy", data,
+        controller="lstm", controller_lr=0.08, controller_samples=12,
+        entropy_weight=1e-3,
+        reward_fn=lambda a, s: float(a["c0"] == a["c1"]))
+    assert arch["c0"] == arch["c1"], arch
+    rounds = hist["controller"]
+    assert len(rounds) == 5
+    # the policy improves: late-round mean reward beats the first round
+    assert rounds[-1]["reward_mean"] >= rounds[0]["reward_mean"]
+    assert rounds[-1]["reward_mean"] >= 0.75
+
+
+def test_lstm_controller_unit():
+    """LstmController alone: REINFORCE on a deterministic joint reward
+    concentrates the policy; sampling respects conditioning (after training
+    on 'both choices equal', P(second == first | first) is high for BOTH
+    first choices — a factored policy can't represent that simultaneously
+    unless it collapses one marginal)."""
+    from deepcv_tpu.search.nas import LstmController
+
+    ctl = LstmController([2, 2], seed=3, lr=0.1, entropy_weight=5e-3)
+    rng = np.random.default_rng(0)
+    baseline = None
+    for _round in range(40):
+        rows, advs = [], []
+        for _ in range(16):
+            row = ctl.sample(rng)
+            r = float(row[0] == row[1])
+            baseline = r if baseline is None else 0.7 * baseline + 0.3 * r
+            rows.append(row)
+            advs.append(r - baseline)
+        ctl.update(rows, advs)
+    # joint reward achieved by the trained policy
+    wins = sum(r[0] == r[1] for r in (ctl.sample(rng) for _ in range(100)))
+    assert wins >= 85, wins
+    g = ctl.greedy()
+    assert g[0] == g[1]
