@@ -112,6 +112,11 @@ def main(argv=None) -> int:
                                              "these tags")
     p_run.add_argument("--no-persist", action="store_true",
                        help="do not write (or read) pipeline intermediates")
+    p_run.add_argument("--export", default=None, metavar="DIR",
+                       help="after the run, save a serving bundle "
+                            "(serve.save_model_bundle) from the trained "
+                            "model — EMA weights when trained with "
+                            "ema_decay; consume with 'predict --bundle DIR'")
 
     p_list = sub.add_parser("list", help="list registered pipelines")
     p_list.add_argument("--project-path", default=".")
@@ -229,6 +234,16 @@ def main(argv=None) -> int:
             last_val = h["valid"][-1] if h["valid"] else {}
             print(f"pipeline '{args.pipeline}' finished: steps={h['steps']} "
                   f"{last_val}")
+        if args.export:
+            if not results or "model" not in results or "state" not in results:
+                raise SystemExit("--export: the pipeline produced no "
+                                 "train_results with a model+state to bundle")
+            from deepcv_tpu.serve import save_model_bundle
+            state = results["state"]
+            variables = state.variables(ema=True) \
+                if hasattr(state, "variables") else dict(state)
+            d = save_model_bundle(args.export, results["model"], variables)
+            print(f"serving bundle -> {d}")
         return 0
 
     return 1  # pragma: no cover

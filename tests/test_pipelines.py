@@ -343,6 +343,38 @@ train_image_classifier:
     return conf
 
 
+def test_cli_run_export_bundle(tmp_path):
+    """`run --export DIR` closes the train->serve loop from the CLI: the
+    trained pipeline state is saved as a serving bundle, `predict` consumes
+    it. With ema_decay set, the bundle carries the EMA weights
+    (state.variables(ema=True))."""
+    from deepcv_tpu.cli import main as cli_main
+    from deepcv_tpu.serve import load_model_bundle
+
+    _write_tiny_project(tmp_path)
+    bundle = tmp_path / "bundle"
+    rc = cli_main(["run", "--pipeline", "train_image_classifier",
+                   "--project-path", str(tmp_path),
+                   "--params", "train_image_classifier.ema_decay:1.0",
+                   "--export", str(bundle)])
+    assert rc == 0
+    model, variables = load_model_bundle(bundle)
+    import jax
+    y = model.apply(variables, jnp.zeros((2, 8, 8, 3)), train=False)
+    assert y.shape == (2, 4)
+    # ema_decay=1.0 freezes the EMA at the init weights: the exported params
+    # must equal a fresh seeded init, proving the EMA (not live) tree shipped
+    ctx = ProjectContext(str(tmp_path))
+    store = ctx.run("train_image_classifier", to_nodes=("create_model",))
+    seed = 563454   # TRAINING_HP_DEFAULTS['seed']: the tiny project sets none
+    init = store["model"].init(
+        jax.random.split(jax.random.PRNGKey(seed))[0])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        variables["params"], init["params"])
+
+
 def test_partial_pipeline_runs(tmp_path):
     """Reference ``kedro run --from-nodes/--to-nodes/--node/--tag``
     (kedro_cli.py:157-231): a full run persists node outputs under
