@@ -95,6 +95,8 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # TrainState (checkpointed, donated, resumable). None disables.
     "ema_decay": None,
     "ema_eval": True,                # validate/serve with the EMA weights
+    "gradient_clip_norm": None,      # clip grads to this global L2 norm
+                                     # before the optimizer update
 }
 
 
@@ -270,6 +272,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         tx = optax.chain(
             optax.masked(optax.set_to_zero(), arch_params_mask),
             optax.masked(tx, functools.partial(arch_params_mask, invert=True)))
+    clip = hp.get("gradient_clip_norm")
+    if clip:
+        # clip BEFORE the optimizer transform chain (the norm the clip sees
+        # is the raw gradient's, as torch clip_grad_norm_ before step)
+        tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
     accum = int(hp.get("grad_accumulation_steps", 1) or 1)
     if accum > 1:
         # large effective batches without the HBM for them: gradients average

@@ -228,6 +228,37 @@ def test_grad_accumulation_and_remat(tiny_setup, tmp_path):
     assert np.isfinite([r["main_loss"] for r in h_acc["train"]]).all()
 
 
+def test_gradient_clip_norm(tiny_setup, tmp_path):
+    """hp['gradient_clip_norm'] caps the global grad L2 norm before the
+    optimizer (torch clip_grad_norm_ placement): a tiny cap with SGD freezes
+    the params to within the cap*lr*steps ball; a huge cap is a no-op
+    (bit-identical trajectory to unclipped)."""
+    model, data = tiny_setup
+    init_vars = model.init(jax.random.PRNGKey(4))
+    hp = {"epochs": 1, "batch_size": 64, "optimizer": "sgd",
+          "optimizer_opts": {"lr": 1.0}, "save_every_iters": 0,
+          "log_progress_every_iters": 1, "output_path": str(tmp_path),
+          "seed": 9}
+    be1 = BackendConfig(n_devices=1)
+    st_tiny, _ = train(dict(hp, gradient_clip_norm=1e-6), model,
+                       cross_entropy_loss, data, backend_conf=be1,
+                       init_variables=init_vars)
+    moved = max(float(jnp.abs(d).max()) for d in jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a, b: a - b, st_tiny.params,
+                               init_vars["params"])))
+    assert moved < 1e-4, moved
+
+    st_free, h_free = train(dict(hp), model, cross_entropy_loss, data,
+                            backend_conf=be1, init_variables=init_vars)
+    st_big, h_big = train(dict(hp, gradient_clip_norm=1e9), model,
+                          cross_entropy_loss, data, backend_conf=be1,
+                          init_variables=init_vars)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        st_free.params, st_big.params)
+
+
 def test_ema_weight_averaging(tiny_setup, tmp_path):
     """hp['ema_decay'] maintains an EMA shadow of the params inside the
     donated TrainState: decay=0 tracks the live params exactly, decay=1
