@@ -338,7 +338,7 @@ def _fwd_flops_per_image(model, batch: int) -> float:
     return float(cost["flops"]) / batch
 
 
-def bench_mfu(norm: str = "batch_norm"):
+def bench_mfu(norm: str = "batch_norm", batch: int = 0):
     """Config 6 (VERDICT r1 #5): non-toy model throughput + MFU.
 
     Trains a 64-256-channel VGG-style classifier (the smallest spec where the
@@ -355,7 +355,7 @@ def bench_mfu(norm: str = "batch_norm"):
     backend = BackendConfig()
     model = DeepcvModule((32, 32, 3), _wide_classifier_hp(norm=norm),
                          dtype=jnp.bfloat16)
-    batch = 4096 if backend.is_tpu else 512
+    batch = int(batch) or (4096 if backend.is_tpu else 512)
     hp = {
         "epochs": 8 if backend.is_tpu else 1, "batch_size": batch,
         "optimizer": "adamw",
@@ -383,6 +383,7 @@ def bench_mfu(norm: str = "batch_norm"):
         "unit": "% MFU (model-FLOPs, fwd+bwd=3x fwd)",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
         "img_s_per_chip": round(per_chip, 1),
+        "batch": batch,
         "fwd_mflops_per_img": round(fwd_flops / 1e6, 2),
         "device_kind": kind,
         "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
@@ -632,6 +633,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="wide", choices=["wide", "resnet50"],
                     help="config 8 only: serving model")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="config 6 only: global batch override (default 4096)")
     ap.add_argument("--norm", default="batch_norm",
                     choices=["batch_norm", "group_norm", "layer_norm", "weight_norm", "none"],
                     help="config 6 only: normalization technique of the wide "
@@ -647,7 +650,7 @@ if __name__ == "__main__":
                          "10=online serving latency p50/p99 (--model applies)")
     args = ap.parse_args()
     if args.config == 6:
-        bench_mfu(norm=args.norm)
+        bench_mfu(norm=args.norm, batch=args.batch)
     elif args.config == 9:
         bench_resnet50(norm=args.norm)
     elif args.config == 8:

@@ -32,6 +32,7 @@ __all__ = [
     "shear_x", "shear_y", "translate_x", "translate_y",
     "rotate", "color", "contrast", "brightness",
     "AUGMENTATION_OPS", "augment_and_mix", "apply_augmentation_recipe",
+    "mixup_batch", "cutmix_batch",
 ]
 
 
@@ -445,6 +446,49 @@ class AugmentationRecipe:
             alpha = float(self.augmix_spec.get("transform_chains_dirichlet", 1.0))
             x = augment_and_mix(x, keys[-1], width=width, alpha=alpha)
         return x
+
+
+# --------------------------------------------------------------------------- #
+# Batch-mixing regularizers (mixup / CutMix) — beyond the reference, the
+# standard production companions to AugMix. Pure batch->batch transforms;
+# the train loop turns (perm, lam) into the convex loss combination
+# lam*loss(y) + (1-lam)*loss(y[perm]) so ANY (logits, labels) loss works
+# without soft-target plumbing.
+# --------------------------------------------------------------------------- #
+
+def mixup_batch(x: jnp.ndarray, key, alpha: float = 0.2):
+    """mixup (arXiv:1710.09412): convex pixel blend of the batch with a
+    permutation of itself; one lam ~ Beta(alpha, alpha) per batch (the
+    paper's per-batch variant). Returns (x_mixed, perm, lam)."""
+    kperm, klam = jax.random.split(key)
+    perm = jax.random.permutation(kperm, x.shape[0])
+    lam = jax.random.beta(klam, alpha, alpha)
+    lam = jnp.maximum(lam, 1.0 - lam)   # canonical: keep the original dominant
+    xm = lam * x + (1.0 - lam) * jnp.take(x, perm, axis=0)
+    return xm.astype(x.dtype), perm, lam
+
+
+def cutmix_batch(x: jnp.ndarray, key, alpha: float = 1.0):
+    """CutMix (arXiv:1905.04899): paste a random box from the permuted batch;
+    lam returns the ACTUAL kept-area fraction (box clipping included), as the
+    paper prescribes. Static shapes: the box is a mask from iota comparisons,
+    not a dynamic slice. Returns (x_mixed, perm, lam)."""
+    H, W = x.shape[1], x.shape[2]
+    kperm, klam, kc = jax.random.split(key, 3)
+    perm = jax.random.permutation(kperm, x.shape[0])
+    lam0 = jax.random.beta(klam, alpha, alpha)
+    cut = jnp.sqrt(1.0 - lam0)
+    bh, bw = cut * H, cut * W
+    cy = jax.random.uniform(kc, (), minval=0.0, maxval=float(H))
+    cx = jax.random.uniform(jax.random.fold_in(kc, 1), (),
+                            minval=0.0, maxval=float(W))
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    mask = ((yy >= cy - bh / 2) & (yy < cy + bh / 2)
+            & (xx >= cx - bw / 2) & (xx < cx + bw / 2))
+    xm = jnp.where(mask[None, :, :, None], jnp.take(x, perm, axis=0), x)
+    lam = 1.0 - jnp.mean(mask.astype(jnp.float32))
+    return xm.astype(x.dtype), perm, lam
 
 
 if __name__ == "__main__":  # per-module self-test CLI (reference parity)

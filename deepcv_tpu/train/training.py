@@ -97,6 +97,12 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     "ema_eval": True,                # validate/serve with the EMA weights
     "gradient_clip_norm": None,      # clip grads to this global L2 norm
                                      # before the optimizer update
+    # batch-mixing regularizers (beyond the reference; AugMix companions):
+    # mixup (arXiv:1710.09412) / CutMix (arXiv:1905.04899) with the convex
+    # loss combination lam*loss(y) + (1-lam)*loss(y[perm]). Both set =>
+    # a fair per-step coin picks one (timm convention).
+    "mixup_alpha": 0.0,
+    "cutmix_alpha": 0.0,
 }
 
 
@@ -344,13 +350,42 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         out = _apply(variables, x, key)
         return out if isinstance(out, tuple) else (out, {})
 
+    mixup_a = float(hp.get("mixup_alpha") or 0.0)
+    cutmix_a = float(hp.get("cutmix_alpha") or 0.0)
+    mixing = (mixup_a > 0 or cutmix_a > 0) and not self_target
+
     def loss_fn(params, batch_stats, raw_x, y, key):
         x = trainset.batch_transform(raw_x, key=key)
         if dtype is not None:
             x = x.astype(dtype)
+        perm = lam = None
+        if mixing:
+            from deepcv_tpu.data.augmentation import (cutmix_batch,
+                                                      mixup_batch)
+            mkey = jax.random.fold_in(key, 909)
+            if mixup_a > 0 and cutmix_a > 0:
+                pick = jax.random.bernoulli(jax.random.fold_in(mkey, 1))
+                x, perm, lam = jax.lax.cond(
+                    pick,
+                    lambda xx: cutmix_batch(xx, mkey, cutmix_a),
+                    lambda xx: mixup_batch(xx, mkey, mixup_a), x)
+            elif cutmix_a > 0:
+                x, perm, lam = cutmix_batch(x, mkey, cutmix_a)
+            else:
+                x, perm, lam = mixup_batch(x, mkey, mixup_a)
         logits, new_state = _forward(params, batch_stats, x, key)
         y_t = x if self_target else trainset.transform_targets(y)
-        main, terms = losses(logits, y_t)
+        if mixing:
+            # convex loss combination: works with any (logits, labels) loss,
+            # no soft-target plumbing; terms mix with the same weights
+            main_a, terms_a = losses(logits, y_t)
+            main_b, terms_b = losses(logits, jnp.take(y_t, perm, axis=0))
+            main = lam * main_a + (1.0 - lam) * main_b
+            terms = {k: lam * terms_a[k] + (1.0 - lam) * terms_b[k]
+                     for k in terms_a}
+            terms["main_loss"] = main
+        else:
+            main, terms = losses(logits, y_t)
         if jsd_cfg:
             from deepcv_tpu.data.augmentation import augment_and_mix
             from deepcv_tpu.data.transforms import to_tensor

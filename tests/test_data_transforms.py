@@ -257,3 +257,34 @@ def test_recipe_flips():
         x, jax.random.PRNGKey(3))
     frac = float((half == x[:, :, ::-1, :]).all(axis=(1, 2, 3)).mean())
     assert 0.2 <= frac <= 0.8
+
+
+def test_mixup_and_cutmix_batch():
+    """mixup: exact convex blend with the returned lam; CutMix: every output
+    pixel equals one of the two sources and lam is the exact kept-area
+    fraction."""
+    import jax
+    import jax.numpy as jnp
+    from deepcv_tpu.data.augmentation import cutmix_batch, mixup_batch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (8, 16, 16, 3)), jnp.float32)
+
+    xm, perm, lam = mixup_batch(x, jax.random.PRNGKey(1), alpha=0.4)
+    assert xm.shape == x.shape and 0.5 <= float(lam) <= 1.0
+    expect = lam * x + (1 - lam) * jnp.take(x, perm, axis=0)
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(expect), rtol=1e-6)
+    # the permutation is a permutation
+    assert sorted(np.asarray(perm).tolist()) == list(range(8))
+
+    xc, perm_c, lam_c = cutmix_batch(x, jax.random.PRNGKey(2), alpha=1.0)
+    xp = jnp.take(x, perm_c, axis=0)
+    from_a = np.isclose(np.asarray(xc), np.asarray(x)).all(axis=-1)
+    from_b = np.isclose(np.asarray(xc), np.asarray(xp)).all(axis=-1)
+    assert (from_a | from_b).all()
+    # lam == exact kept fraction of ORIGINAL pixels (box may clip at edges)
+    kept = from_a.mean()   # pixels equal to the original (ties overcount by ~0)
+    assert abs(float(lam_c) - kept) < 0.02, (float(lam_c), kept)
+    # both are jittable as-is
+    jax.jit(lambda x, k: mixup_batch(x, k, 0.4))(x, jax.random.PRNGKey(3))
+    jax.jit(lambda x, k: cutmix_batch(x, k, 1.0))(x, jax.random.PRNGKey(3))
