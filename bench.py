@@ -572,7 +572,7 @@ def bench_serving_latency(model: str = "wide"):
                       "data": "synthetic"}))
 
 
-def bench_resnet50(norm: str = "batch_norm"):
+def bench_resnet50(norm: str = "batch_norm", batch: int = 0):
     """Config 9: canonical-architecture benchmark — ResNet-50 built from the
     SPEC LANGUAGE (torchvision-exact 25.557M params modulo the inert
     channel-padded stem rows, spec/zoo.py) training at 224x224, batch 256,
@@ -599,7 +599,7 @@ def bench_resnet50(norm: str = "batch_norm"):
     if norm == "weight_norm":
         hp_m["weight_norm"] = {"eps": 1e-6}
     model = DeepcvModule((hw, hw, 3), hp_m, dtype=jnp.bfloat16)
-    batch = 256 if on_tpu else 64
+    batch = int(batch) or (256 if on_tpu else 64)
     hp = {"epochs": 6 if on_tpu else 1, "batch_size": batch,
           "optimizer": "sgd", "optimizer_opts": {"lr": 0.1, "momentum": 0.9,
                                                  "weight_decay": 1e-4},
@@ -623,7 +623,8 @@ def bench_resnet50(norm: str = "batch_norm"):
         "mfu_pct": round(mfu * 100, 2) if peak else None,
         "norm": norm,
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
-        "params_m": 25.56, "device_kind": kind, "data": "synthetic"}))
+        "params_m": 25.56, "batch": batch,
+        "device_kind": kind, "data": "synthetic"}))
 
 
 if __name__ == "__main__":
@@ -652,7 +653,7 @@ if __name__ == "__main__":
     if args.config == 6:
         bench_mfu(norm=args.norm, batch=args.batch)
     elif args.config == 9:
-        bench_resnet50(norm=args.norm)
+        bench_resnet50(norm=args.norm, batch=args.batch)
     elif args.config == 8:
         bench_serving_int8(model=args.model)
     elif args.config == 10:
