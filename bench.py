@@ -77,7 +77,7 @@ architecture:
     return data, model_hp
 
 
-def main():
+def main(batch: int = 0):
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.train import train, BackendConfig
     from deepcv_tpu.train.losses import cross_entropy_loss
@@ -87,7 +87,7 @@ def main():
     n_chips = backend.n_devices
     model = DeepcvModule((32, 32, 3), model_hp, dtype=jnp.bfloat16)
 
-    batch = 4096 if backend.is_tpu else 256
+    batch = int(batch) or (4096 if backend.is_tpu else 256)
     hp = {
         "epochs": 75 if backend.is_tpu else 3, "batch_size": batch,
         "optimizer": "adamw",
@@ -111,6 +111,7 @@ def main():
         "value": round(per_chip, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+        "batch": batch,
         "data": data["trainset"].dataset.provenance,
     }))
 
@@ -658,6 +659,8 @@ if __name__ == "__main__":
         bench_serving_int8(model=args.model)
     elif args.config == 10:
         bench_serving_latency(model=args.model)
+    elif args.config == 1:
+        main(batch=args.batch)
     else:
         [main, bench_preprocess, bench_one_cycle_cifar100,
          bench_keypoints_matching, bench_hp_search, None,
