@@ -636,7 +636,9 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="wide", choices=["wide", "resnet50"],
                     help="config 8 only: serving model")
     ap.add_argument("--batch", type=int, default=0,
-                    help="config 6 only: global batch override (default 4096)")
+                    help="configs 1/6/9: global batch override (defaults "
+                         "4096/4096/256; the design.md 5.9 sweep found the "
+                         "config-6 peak at 256)")
     ap.add_argument("--norm", default="batch_norm",
                     choices=["batch_norm", "group_norm", "layer_norm", "weight_norm", "none"],
                     help="config 6 only: normalization technique of the wide "

@@ -270,6 +270,14 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     hp_plain = hp.to_dict()
     schedule = build_schedule(hp.get("scheduler"), hp_plain, steps_per_epoch)
     tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"], schedule)
+    clip = hp.get("gradient_clip_norm")
+    if clip:
+        # clip BEFORE the optimizer transform chain (the norm the clip sees
+        # is the raw gradient's, as torch clip_grad_norm_ before step) and
+        # BEFORE the arch-params mask wraps tx: inside the mask the global
+        # norm covers only the trainable (non-arch) leaves, matching
+        # torch's clip-over-trainable-params semantics
+        tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
     if not hp.get("train_arch_params", True):
         # NAS supernets whose architecture distribution is trained OUTSIDE
         # the gradient loop (ENAS RL controller): arch__ logits get zero
@@ -278,11 +286,6 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         tx = optax.chain(
             optax.masked(optax.set_to_zero(), arch_params_mask),
             optax.masked(tx, functools.partial(arch_params_mask, invert=True)))
-    clip = hp.get("gradient_clip_norm")
-    if clip:
-        # clip BEFORE the optimizer transform chain (the norm the clip sees
-        # is the raw gradient's, as torch clip_grad_norm_ before step)
-        tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
     accum = int(hp.get("grad_accumulation_steps", 1) or 1)
     if accum > 1:
         # large effective batches without the HBM for them: gradients average
@@ -353,6 +356,12 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     mixup_a = float(hp.get("mixup_alpha") or 0.0)
     cutmix_a = float(hp.get("cutmix_alpha") or 0.0)
     mixing = (mixup_a > 0 or cutmix_a > 0) and not self_target
+    if mixing and jsd_cfg:
+        # the JSD consistency anchor would be the logits of the MIXED batch
+        # compared against AugMix views of the CLEAN input — two different
+        # label distributions; refuse instead of silently corrupting both
+        raise ValueError("mixup/cutmix cannot combine with augmix_jsd: the "
+                         "JSD anchor must be the clean batch (disable one)")
 
     def loss_fn(params, batch_stats, raw_x, y, key):
         x = trainset.batch_transform(raw_x, key=key)
@@ -436,9 +445,20 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             step_metrics[mname] = mfn(logits, y_t)
         new_ema = state.ema_params
         if ema_decay is not None:
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                state.ema_params, new_params)
+            if accum > 1:
+                # only move the EMA when MultiSteps actually applied an
+                # update (mini_step wrapped to 0) — updating every
+                # micro-step toward unchanged params would compound the
+                # decay to ema_decay^k per real optimizer step
+                did_update = new_opt.mini_step == 0
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: jnp.where(
+                        did_update, ema_decay * e + (1.0 - ema_decay) * p, e),
+                    state.ema_params, new_params)
+            else:
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.ema_params, new_params)
         new_state = state.replace(params=new_params, batch_stats=new_bs,
                                   opt_state=new_opt, step=state.step + 1,
                                   rng=rng, ema_params=new_ema)

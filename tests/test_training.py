@@ -250,6 +250,35 @@ def test_mixup_cutmix_training(tiny_setup, tmp_path):
         assert mixed != [r["main_loss"] for r in h_plain["train"]], mix
 
 
+def test_ema_respects_grad_accumulation(tiny_setup, tmp_path):
+    """Under grad_accumulation_steps=k the EMA moves only on REAL optimizer
+    updates (MultiSteps boundaries), not per micro-step — decay=0 must track
+    the live params exactly whenever the final step completed an update."""
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 17,
+          "ema_decay": 0.0, "grad_accumulation_steps": 2}
+    st, h = train(hp, model, cross_entropy_loss, data,
+                  backend_conf=BackendConfig(n_devices=1))
+    assert h["steps"] % 2 == 0   # final step IS an update boundary
+    jax.tree_util.tree_map(
+        lambda e, p: np.testing.assert_allclose(e, p, rtol=1e-6),
+        st.ema_params, st.params)
+
+
+def test_mixing_refuses_augmix_jsd(tiny_setup, tmp_path):
+    """mixup/cutmix + augmix_jsd is an incoherent objective (mixed-batch JSD
+    anchor vs clean-input views): refused loudly, not silently corrupted."""
+    model, data = tiny_setup
+    hp = {"epochs": 1, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path), "seed": 1,
+          "mixup_alpha": 0.4, "augmix_jsd": {"views": 2}}
+    with pytest.raises(ValueError, match="augmix_jsd"):
+        train(hp, model, cross_entropy_loss, data,
+              backend_conf=BackendConfig(n_devices=1))
+
+
 def test_gradient_clip_norm(tiny_setup, tmp_path):
     """hp['gradient_clip_norm'] caps the global grad L2 norm before the
     optimizer (torch clip_grad_norm_ placement): a tiny cap with SGD freezes
