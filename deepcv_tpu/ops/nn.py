@@ -42,6 +42,8 @@ __all__ = [
 #: name -> activation callable (XAVIER_INIT_SUPPORTED_ACT_FN parity, nn.py:46)
 ACTIVATION_FNS: Dict[str, Callable] = {
     "relu": jax.nn.relu,
+    "relu6": jax.nn.relu6,
+    "hard_swish": jax.nn.hard_swish,
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
     "sigmoid": jax.nn.sigmoid,
     "tanh": jnp.tanh,
@@ -57,6 +59,7 @@ ACTIVATION_FNS: Dict[str, Callable] = {
 #: torch.nn.init.calculate_gain parity — per-activation Xavier gain
 XAVIER_GAINS: Dict[str, float] = {
     "relu": math.sqrt(2.0),
+    "relu6": math.sqrt(2.0),
     "leaky_relu": math.sqrt(2.0 / (1.0 + 0.01 ** 2)),
     "sigmoid": 1.0,
     "tanh": 5.0 / 3.0,

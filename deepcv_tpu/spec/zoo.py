@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
-__all__ = ["resnet_spec", "RESNET_LAYERS"]
+__all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
+           "MOBILENET_V2_SETTINGS"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -113,4 +114,87 @@ def resnet_spec(depth: int = 50, num_classes: int = 1000,
     if norm:
         hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
                     else {"num_groups": 32, "eps": 1e-5})
+    return hp
+
+
+#: MobileNetV2 inverted-residual settings (arXiv:1801.04381 table 2):
+#: (expansion t, out channels c, repeats n, first stride s)
+MOBILENET_V2_SETTINGS = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                         (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),
+                         (6, 320, 1, 1))
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """torchvision's channel rounding (all widths multiples of 8, never
+    rounding below 90% of the target)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def mobilenet_v2_spec(num_classes: int = 1000, width_mult: float = 1.0,
+                      norm: str = "batch_norm", pool_kernel: int = 7,
+                      dropout: float = 0.2) -> Dict[str, Any]:
+    """MobileNetV2 (Sandler et al., arXiv:1801.04381) through the spec
+    language — the depthwise/inverted-residual regime, a different TPU
+    performance profile from ResNet (depthwise 3x3s run on the VPU, not the
+    MXU). Blocks: [1x1 expand t*c_in + relu6] -> 3x3 DEPTHWISE
+    (``groups`` = channels) stride s + relu6 -> 1x1 LINEAR project (no act)
+    with an identity residual iff stride 1 and c_in == c_out; stem 3x3 s2,
+    head 1x1 to 1280, global pool, dropout, classifier. Channel widths use
+    torchvision's multiple-of-8 rounding, so width_mult=1.0 lands on
+    torchvision mobilenet_v2's 3,504,872 params exactly (modulo the inert
+    9*5*32 stem rows from the cin 3->8 lane padding, ops/nn.py).
+
+    Same layer-unit caveat as :func:`resnet_spec` (op -> act -> norm order;
+    identical parameter counts/FLOPs). ``pool_kernel`` = input_size // 32.
+    """
+    bias = not bool(norm)
+    c_in = _make_divisible(32 * width_mult)
+    arch: List[Any] = [_conv("stem", c_in, 3, stride=2, bias=bias)]
+    arch[-1]["conv2d"][1]["act_fn"] = "relu6"
+    in_name = "stem"
+
+    for s, (t, c, n, stride0) in enumerate(MOBILENET_V2_SETTINGS):
+        c_out = _make_divisible(c * width_mult)
+        for b in range(n):
+            stride = stride0 if b == 0 else 1
+            blk = f"ir{s}b{b}"
+            prev = in_name
+            c_exp = c_in * t
+            if t != 1:
+                e = _conv(f"{blk}_exp", c_exp, 1, bias=bias)
+                e["conv2d"][1]["act_fn"] = "relu6"
+                arch.append(e)
+            dw = _conv(f"{blk}_dw", c_exp, 3, stride=stride,
+                       groups=c_exp, bias=bias)
+            dw["conv2d"][1]["act_fn"] = "relu6"
+            arch.append(dw)
+            # linear bottleneck: NO activation after the projection
+            arch.append(_conv(f"{blk}_proj", c_out, 1, act=False, bias=bias))
+            if stride == 1 and c_in == c_out:
+                arch.append({"residual_link": [f"{blk}_sum", {"_from": prev}]})
+                in_name = f"{blk}_sum"
+            else:
+                in_name = f"{blk}_proj"
+            c_in = c_out
+
+    head = _conv("head", _make_divisible(1280 * max(1.0, width_mult)), 1,
+                 bias=bias)
+    head["conv2d"][1]["act_fn"] = "relu6"
+    arch.append(head)
+    arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
+                                     "stride": [pool_kernel, pool_kernel]}})
+    arch.append({"flatten": {}})
+    arch.append({"fully_connected": {"out_features": num_classes,
+                                     "act_fn": None, "batch_norm": None,
+                                     "group_norm": None,
+                                     "dropout_prob": dropout}})
+
+    hp: Dict[str, Any] = {"act_fn": "relu6", "architecture": arch,
+                          "dropout_prob": 0.0}
+    if norm:
+        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
+                    else {"num_groups": 8, "eps": 1e-5})
     return hp

@@ -476,3 +476,45 @@ def test_resnet_zoo_builder_matches_torchvision_params():
     names = [e[list(e)[0]][0] if isinstance(e[list(e)[0]], list) else None
              for e in resnet_spec(18)["architecture"] if isinstance(e, dict)]
     assert "s0b0_proj" not in names and "s1b0_proj" in names
+
+
+def test_mobilenet_v2_zoo_builder_matches_torchvision_params():
+    """spec/zoo.mobilenet_v2_spec: the depthwise/inverted-residual family
+    through the spec language (grouped convs with groups=channels, linear
+    bottlenecks, identity residuals only at stride-1 equal-width blocks).
+    Parameter count equals torchvision mobilenet_v2's published 3,504,872
+    EXACTLY modulo the documented inert stem rows (3->8 lane padding:
+    9*5*32 zero-gradient weights, ops/nn.py cin<8 rationale)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import mobilenet_v2_spec
+
+    PAD = 9 * 5 * 32
+    m = DeepcvModule((64, 64, 3), mobilenet_v2_spec(pool_kernel=2))
+    vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+    n = sum(int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(vs["params"]))
+    assert n == 3_504_872 + PAD, n
+    # depthwise kernels really are depthwise: (3,3,1,c) shapes exist
+    dw = vs["params"]["node_impls_ir1b0_dw"]["op"]["kernel"]
+    assert dw.shape == (3, 3, 1, 96), dw.shape
+    # batch_stats cover every BN channel twice (mean+var)
+    n_bs = sum(int(np.prod(l.shape))
+               for l in jax.tree_util.tree_leaves(vs["batch_stats"]))
+    assert n_bs == 2 * 17_056, n_bs
+    # small build: forward shape, train-mode stats, residual graph intact
+    m = DeepcvModule((32, 32, 3), mobilenet_v2_spec(num_classes=10,
+                                                    pool_kernel=1))
+    v = m.init(jax.random.PRNGKey(0))
+    y, st = m.apply(v, jnp.ones((2, 32, 32, 3)), train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y.shape == (2, 10) and "batch_stats" in st
+    arch = mobilenet_v2_spec()["architecture"]
+    names = [e[list(e)[0]][0] if isinstance(e[list(e)[0]], list) else None
+             for e in arch if isinstance(e, dict)]
+    # t=1 first block has no expand conv; stride-2 blocks have no residual
+    assert "ir0b0_exp" not in names and "ir1b0_exp" in names
+    assert "ir1b0_sum" not in names and "ir1b1_sum" in names

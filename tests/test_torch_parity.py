@@ -949,3 +949,153 @@ def test_hrnet_v2_heads_torch_parity():
         np.testing.assert_allclose(jy2[i + 1],
                                    y.permute(0, 2, 3, 1).numpy(),
                                    atol=1e-5, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# MobileNetV2 (depthwise / inverted-residual regime)
+# --------------------------------------------------------------------------- #
+
+class TorchZooMobileNetV2(tnn.Module):
+    """Torch mirror of spec/zoo.mobilenet_v2_spec semantics (framework layer
+    order op -> act -> norm; linear bottleneck projections; identity
+    residuals at stride-1 equal-width blocks) — torchvision-exact
+    shapes/strides/groups otherwise (Sandler et al., arXiv:1801.04381)."""
+
+    def __init__(self, width_mult: float = 0.25, num_classes: int = 5):
+        super().__init__()
+        from deepcv_tpu.spec.zoo import MOBILENET_V2_SETTINGS, _make_divisible
+
+        def bn(c):
+            # momentum=1.0: running stats become the LAST batch's stats
+            # exactly — the parity protocol below populates them with one
+            # train pass so eval-mode comparison has realistic normalization
+            # (init stats collapse a 52-conv net to ~1e-13 on BOTH sides)
+            return tnn.BatchNorm2d(c, eps=1e-5, momentum=1.0)
+
+        c_in = _make_divisible(32 * width_mult)
+        self.stem = tnn.Conv2d(3, c_in, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = bn(c_in)
+        self.blocks = tnn.ModuleList()
+        self.block_names = []
+        for s, (t, c, n, stride0) in enumerate(MOBILENET_V2_SETTINGS):
+            c_out = _make_divisible(c * width_mult)
+            for b in range(n):
+                stride = stride0 if b == 0 else 1
+                c_exp = c_in * t
+                blk = tnn.ModuleDict()
+                if t != 1:
+                    blk["exp"] = tnn.Conv2d(c_in, c_exp, 1, bias=False)
+                    blk["exp_bn"] = bn(c_exp)
+                blk["dw"] = tnn.Conv2d(c_exp, c_exp, 3, stride=stride,
+                                       padding=1, groups=c_exp, bias=False)
+                blk["dw_bn"] = bn(c_exp)
+                blk["proj"] = tnn.Conv2d(c_exp, c_out, 1, bias=False)
+                blk["proj_bn"] = bn(c_out)
+                blk.has_res = stride == 1 and c_in == c_out
+                self.blocks.append(blk)
+                self.block_names.append(f"ir{s}b{b}")
+                c_in = c_out
+        c_head = _make_divisible(1280 * max(1.0, width_mult))
+        self.head = tnn.Conv2d(c_in, c_head, 1, bias=False)
+        self.head_bn = bn(c_head)
+        self.fc = tnn.Linear(c_head, num_classes)
+
+    def forward(self, x):
+        x = self.stem_bn(tF.relu6(self.stem(x)))
+        for blk in self.blocks:
+            h = blk["exp_bn"](tF.relu6(blk["exp"](x))) if "exp" in blk else x
+            h = blk["dw_bn"](tF.relu6(blk["dw"](h)))
+            h = blk["proj_bn"](blk["proj"](h))            # linear bottleneck
+            x = x + h if blk.has_res else h
+        x = self.head_bn(tF.relu6(self.head(x)))
+        x = x.mean(dim=(2, 3))
+        return self.fc(x)
+
+
+def _mobilenet_pair(width_mult: float = 0.25, num_classes: int = 5,
+                    hw: int = 32):
+    from deepcv_tpu.spec.zoo import mobilenet_v2_spec
+
+    hp = mobilenet_v2_spec(num_classes=num_classes, width_mult=width_mult,
+                           pool_kernel=hw // 32, dropout=0.0)
+    hp["batch_norm"]["momentum"] = 1.0   # see TorchZooMobileNetV2.bn
+    jm = DeepcvModule((hw, hw, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(11))
+    p = jv["params"]
+
+    tm = TorchZooMobileNetV2(width_mult=width_mult, num_classes=num_classes)
+    _copy_conv_nobias(tm.stem, p["node_impls_stem"])
+    copy_affine(tm.stem_bn, p["node_impls_stem"]["norms_0"])
+    for name, blk in zip(tm.block_names, tm.blocks):
+        for part in ("exp", "dw", "proj"):
+            if part in blk:
+                node = p[f"node_impls_{name}_{part}"]
+                _copy_conv_nobias(blk[part], node)
+                copy_affine(blk[f"{part}_bn"], node["norms_0"])
+    _copy_conv_nobias(tm.head, p["node_impls_head"])
+    copy_affine(tm.head_bn, p["node_impls_head"]["norms_0"])
+    fc_key = next(k for k in p if "fully_connected" in k)
+    copy_dense(tm.fc, p[fc_key])
+    return jm, jv, tm
+
+
+def test_mobilenet_v2_zoo_forward_parity():
+    """The spec-built MobileNetV2 (depthwise convs via groups=channels,
+    linear bottlenecks, inverted residuals, relu6) matches the executing
+    torch mirror. Protocol: one TRAIN pass on batch A populates every BN's
+    running stats (momentum=1.0 => running == batch-A stats exactly, both
+    frameworks), running-stat agreement is asserted, then EVAL logits on a
+    fresh batch B must agree with REALISTIC normalization — init running
+    stats would collapse the 52-conv net to ~1e-13 and make the comparison
+    vacuous; train-mode logit comparison would amplify tiny-batch BN noise
+    (round-3 memory lesson)."""
+    jm, jv, tm = _mobilenet_pair()
+    rng = np.random.default_rng(31)
+    xa = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    xb = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+
+    # train pass on batch A: stats populated on both sides
+    _, mut = jm.apply(jv, jnp.asarray(xa), train=True,
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    tm.train()
+    with torch.no_grad():
+        tm(_t(xa).permute(0, 3, 1, 2))
+    # stem tight; deeper BNs see upstream f32 accumulation drift (~1e-4
+    # relative through dozens of convs on BOTH frameworks) — loosen there
+    for node, tbn, rt in (("node_impls_stem", tm.stem_bn, 1e-4),
+                          ("node_impls_ir1b0_dw", tm.blocks[1]["dw_bn"], 5e-3),
+                          ("node_impls_head", tm.head_bn, 5e-3)):
+        bs = mut["batch_stats"][node]["norms_0"]
+        np.testing.assert_allclose(np.asarray(bs["mean"]),
+                                   tbn.running_mean.numpy(),
+                                   rtol=rt, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(bs["var"]),
+                                   tbn.running_var.numpy(),
+                                   rtol=rt, atol=2e-4)
+
+    # eval on batch B under batch-A normalization. The two frameworks'
+    # running stats agree only to the accumulated-drift tolerance above,
+    # and eval DIVIDES by them — so for a sharp op-math comparison copy the
+    # JAX stats into the torch mirror (they are just more weights at eval):
+    # the remaining difference is pure conv/relu6/residual math.
+    def stats_of(node):
+        return mut["batch_stats"][node]["norms_0"]
+
+    def load_stats(tbn, node):
+        tbn.running_mean.data = _t(stats_of(node)["mean"])
+        tbn.running_var.data = _t(stats_of(node)["var"])
+
+    load_stats(tm.stem_bn, "node_impls_stem")
+    load_stats(tm.head_bn, "node_impls_head")
+    for name, blk in zip(tm.block_names, tm.blocks):
+        for part in ("exp", "dw", "proj"):
+            if part in blk:
+                load_stats(blk[f"{part}_bn"], f"node_impls_{name}_{part}")
+
+    jv2 = {"params": jv["params"], "batch_stats": mut["batch_stats"]}
+    je = np.asarray(jm.apply(jv2, jnp.asarray(xb), train=False))
+    tm.eval()
+    with torch.no_grad():
+        te = tm(_t(xb).permute(0, 3, 1, 2)).numpy()
+    assert je.std() > 1e-3, je.std()
+    np.testing.assert_allclose(je, te, atol=1e-3, rtol=1e-3)
