@@ -573,7 +573,8 @@ def bench_serving_latency(model: str = "wide"):
                       "data": "synthetic"}))
 
 
-def bench_resnet50(norm: str = "batch_norm", batch: int = 0):
+def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
+                   arch: str = "resnet50"):
     """Config 9: canonical-architecture benchmark — ResNet-50 built from the
     SPEC LANGUAGE (torchvision-exact 25.557M params modulo the inert
     channel-padded stem rows, spec/zoo.py) training at 224x224, batch 256,
@@ -583,7 +584,7 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0):
     from deepcv_tpu.data.datasets import load_dataset
     from deepcv_tpu.data.preprocess import preprocess
     from deepcv_tpu.spec import DeepcvModule
-    from deepcv_tpu.spec.zoo import resnet_spec
+    from deepcv_tpu.spec.zoo import mobilenet_v2_spec, resnet_spec
     from deepcv_tpu.train import train, BackendConfig
 
     backend = BackendConfig()
@@ -595,8 +596,16 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0):
     data = preprocess({"trainset": raw},
                       {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
                        "transforms": ["to_tensor"]})
-    hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
-                       norm=None if norm in ("none", "weight_norm") else norm)
+    zoo_norm = None if norm in ("none", "weight_norm") else norm
+    if arch == "mobilenet_v2":
+        # the depthwise/inverted-residual regime: ~27x fewer FLOPs/img than
+        # r50, but depthwise 3x3s run on the VPU, not the MXU — model-FLOPs
+        # MFU is structurally low; img/s is the honest comparison axis
+        hp_m = mobilenet_v2_spec(num_classes=1000, pool_kernel=hw // 32,
+                                 norm=zoo_norm)
+    else:
+        hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
+                           norm=zoo_norm)
     if norm == "weight_norm":
         hp_m["weight_norm"] = {"eps": 1e-6}
     model = DeepcvModule((hw, hw, 3), hp_m, dtype=jnp.bfloat16)
@@ -618,13 +627,13 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0):
     peak = PEAK_BF16_FLOPS.get(kind)
     mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else None
     print(json.dumps({
-        "metric": "resnet50_train_throughput_224",
+        "metric": f"{arch}_train_throughput_224",
         "value": round(per_chip, 1), "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
         "mfu_pct": round(mfu * 100, 2) if peak else None,
         "norm": norm,
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
-        "params_m": 25.56, "batch": batch,
+        "params_m": 25.56 if arch == "resnet50" else 3.50, "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
 
 
@@ -635,6 +644,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="wide", choices=["wide", "resnet50"],
                     help="config 8 only: serving model")
+    ap.add_argument("--arch", default="resnet50",
+                    choices=["resnet50", "mobilenet_v2"],
+                    help="config 9 only: canonical architecture to train")
     ap.add_argument("--batch", type=int, default=0,
                     help="configs 1/6/9: global batch override (defaults "
                          "4096/4096/256; the design.md 5.9 sweep found the "
@@ -656,7 +668,7 @@ if __name__ == "__main__":
     if args.config == 6:
         bench_mfu(norm=args.norm, batch=args.batch)
     elif args.config == 9:
-        bench_resnet50(norm=args.norm, batch=args.batch)
+        bench_resnet50(norm=args.norm, batch=args.batch, arch=args.arch)
     elif args.config == 8:
         bench_serving_int8(model=args.model)
     elif args.config == 10:
