@@ -42,13 +42,21 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
         #   resnet50_model: { zoo: resnet, depth: 50 }
         # remaining keys override builder kwargs; input size sets the
         # global-pool window
-        from deepcv_tpu.spec.zoo import resnet_spec
-        if str(zoo) not in ("resnet",):
-            raise ValueError(f"Unknown zoo builder '{zoo}' (known: resnet)")
-        built = resnet_spec(depth=int(hp.pop("depth", 50)),
-                            num_classes=num_classes or 1000,
-                            norm=hp.pop("norm", "batch_norm"),
-                            pool_kernel=max(1, input_shape[0] // 32))
+        from deepcv_tpu.spec.zoo import mobilenet_v2_spec, resnet_spec
+        if str(zoo) == "mobilenet_v2":
+            built = mobilenet_v2_spec(
+                num_classes=num_classes or 1000,
+                width_mult=float(hp.pop("width_mult", 1.0)),
+                norm=hp.pop("norm", "batch_norm"),
+                pool_kernel=max(1, input_shape[0] // 32))
+        elif str(zoo) == "resnet":
+            built = resnet_spec(depth=int(hp.pop("depth", 50)),
+                                num_classes=num_classes or 1000,
+                                norm=hp.pop("norm", "batch_norm"),
+                                pool_kernel=max(1, input_shape[0] // 32))
+        else:
+            raise ValueError(f"Unknown zoo builder '{zoo}' "
+                             "(known: resnet, mobilenet_v2)")
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])
@@ -140,5 +148,8 @@ def get_pipelines() -> Dict[str, Pipeline]:
         # canonical architecture via the programmatic zoo (spec/zoo.py)
         "train_resnet50": train_pipeline(
             "train_resnet50", "resnet50_model", "train_resnet50",
+            ds="imagenet224", pp_key="imagenet224_preprocessing"),
+        "train_mobilenet_v2": train_pipeline(
+            "train_mobilenet_v2", "mobilenet_v2_model", "train_resnet50",
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
     }

@@ -343,6 +343,30 @@ train_image_classifier:
     return conf
 
 
+def test_zoo_builders_reachable_from_model_conf():
+    """`zoo: resnet|mobilenet_v2` in a model conf routes create_model
+    through the programmatic builders with the dataset's class count
+    injected; unknown names fail loudly."""
+    import jax
+
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.pipelines.classification import create_model
+
+    raw = load_dataset("synthetic", n=32, image_shape=(32, 32, 3),
+                       num_classes=7, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    m = create_model(data, {"zoo": "mobilenet_v2", "width_mult": 1.0})
+    v = jax.eval_shape(m.init, jax.random.PRNGKey(0))
+    out = jax.eval_shape(
+        lambda vv: m.apply(vv, jnp.ones((2, 32, 32, 3)), train=False), v)
+    assert out.shape == (2, 7)
+    with pytest.raises(ValueError, match="Unknown zoo builder"):
+        create_model(data, {"zoo": "efficientnet"})
+
+
 def test_cli_run_export_bundle(tmp_path):
     """`run --export DIR` closes the train->serve loop from the CLI: the
     trained pipeline state is saved as a serving bundle, `predict` consumes
