@@ -32,7 +32,7 @@ __all__ = [
     "shear_x", "shear_y", "translate_x", "translate_y",
     "rotate", "color", "contrast", "brightness",
     "AUGMENTATION_OPS", "augment_and_mix", "apply_augmentation_recipe",
-    "mixup_batch", "cutmix_batch",
+    "mixup_batch", "cutmix_batch", "rand_augment_batch",
 ]
 
 
@@ -383,7 +383,9 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
       * ``random_transform_order`` is realized through random gating rather
         than order shuffling (order shuffles would break XLA's static graph;
         gating preserves the augmentation distribution's diversity);
-      * an ``augmix`` entry appends :func:`augment_and_mix`.
+      * an ``augmix`` entry appends :func:`augment_and_mix`;
+      * a ``rand_augment: {n, magnitude, [ops]}`` entry appends
+        :func:`rand_augment_batch` (true per-image op selection).
     """
     hp, _ = to_hyperparameters(dict(recipe), RECIPE_DEFAULTS)
     steps: List[Tuple[str, Callable, Any]] = []
@@ -413,8 +415,16 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
             merged.update(d)
         augmix_spec = merged
 
+    ra = hp.get("rand_augment")
+    if isinstance(ra, (list, tuple)):           # YAML list-of-dicts form
+        merged = {}
+        for d in ra:
+            merged.update(d)
+        ra = merged
+
     return AugmentationRecipe(steps=[(n, s) for n, _fn, s in steps],
-                              gate_p=gate_p, augmix_spec=augmix_spec)
+                              gate_p=gate_p, augmix_spec=augmix_spec,
+                              rand_augment=ra)
 
 
 class AugmentationRecipe:
@@ -423,10 +433,12 @@ class AugmentationRecipe:
     preprocessed datasets can persist as pipeline intermediates and reload
     in another process."""
 
-    def __init__(self, steps, gate_p: float, augmix_spec=None):
+    def __init__(self, steps, gate_p: float, augmix_spec=None,
+                 rand_augment=None):
         self._steps = list(steps)              # [(name, severity)]
         self.gate_p = float(gate_p)
         self.augmix_spec = augmix_spec
+        self.rand_augment = dict(rand_augment) if rand_augment else None
 
     @property
     def steps(self):                           # introspection for tests
@@ -440,12 +452,42 @@ class AugmentationRecipe:
             gate = jax.random.bernoulli(keys[2 * i], self.gate_p, (n,))
             augd = fn(x, keys[2 * i + 1], sev)
             x = jnp.where(gate[:, None, None, None], augd, x)
+        if self.rand_augment is not None:
+            x = rand_augment_batch(
+                x, jax.random.fold_in(keys[-1], 17),
+                n=int(self.rand_augment.get("n", 2)),
+                magnitude=float(self.rand_augment.get("magnitude", 5.0)),
+                ops=self.rand_augment.get("ops"))
         if self.augmix_spec:
             chains = self.augmix_spec.get("augmentation_chains_count", [1, 3])
             width = int(chains[1]) if isinstance(chains, (list, tuple)) else int(chains)
             alpha = float(self.augmix_spec.get("transform_chains_dirichlet", 1.0))
             x = augment_and_mix(x, keys[-1], width=width, alpha=alpha)
         return x
+
+
+def rand_augment_batch(x: jnp.ndarray, key, n: int = 2,
+                       magnitude: float = 5.0,
+                       ops: Optional[Sequence[str]] = None) -> jnp.ndarray:
+    """RandAugment (Cubuk et al., arXiv:1909.13719): ``n`` rounds, each
+    picking ONE op per image uniformly from the pool at shared
+    ``magnitude`` (our AugMix severity scale 0-10; the paper's 0-30 maps
+    linearly as m/3). Real per-image selection, not gating: every pool op
+    runs batched and a where-chain keeps the chosen branch per image —
+    static shapes, fully jittable; compute cost is pool-size x per round,
+    which on-device augmentation absorbs (the ops are elementwise/affine).
+    """
+    names = list(ops or AUGMENTATION_OPS)
+    fns = [AUGMENTATION_OPS[nm] for nm in names]
+    for _r in range(int(n)):
+        kr, ks, key = jax.random.split(key, 3)
+        choice = jax.random.randint(ks, (x.shape[0],), 0, len(fns))
+        out = x
+        for i, fn in enumerate(fns):
+            yi = fn(x, jax.random.fold_in(kr, i), magnitude)
+            out = jnp.where((choice == i)[:, None, None, None], yi, out)
+        x = out
+    return x
 
 
 # --------------------------------------------------------------------------- #

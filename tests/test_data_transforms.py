@@ -288,3 +288,40 @@ def test_mixup_and_cutmix_batch():
     # both are jittable as-is
     jax.jit(lambda x, k: mixup_batch(x, k, 0.4))(x, jax.random.PRNGKey(3))
     jax.jit(lambda x, k: cutmix_batch(x, k, 1.0))(x, jax.random.PRNGKey(3))
+
+
+def test_rand_augment_batch_per_image_selection():
+    """RandAugment picks ONE op per image per round: with n=1 every output
+    image must equal exactly one pool op applied to the input (true
+    selection, not blending); a full recipe with rand_augment composes,
+    jits, and pickles."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from deepcv_tpu.data.augmentation import (AUGMENTATION_OPS,
+                                              apply_augmentation_recipe,
+                                              rand_augment_batch)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 255, (6, 16, 16, 3)), jnp.float32) / 255.0
+    key = jax.random.PRNGKey(3)
+    names = list(AUGMENTATION_OPS)
+    y = rand_augment_batch(x, key, n=1, magnitude=5.0)
+    # reproduce the candidates with the SAME internal key schedule
+    kr, ks, _ = jax.random.split(key, 3)
+    cands = [np.asarray(AUGMENTATION_OPS[nm](x, jax.random.fold_in(kr, i), 5.0))
+             for i, nm in enumerate(names)]
+    y = np.asarray(y)
+    for b in range(x.shape[0]):
+        matches = [np.allclose(y[b], c[b], atol=1e-6) for c in cands]
+        assert any(matches), f"image {b} matches no pool op"
+    # composes through the recipe path + jit + pickle roundtrip
+    rec = apply_augmentation_recipe(
+        {"transforms": [{"brightness": 0.1}],
+         "rand_augment": {"n": 2, "magnitude": 4}})
+    out = jax.jit(rec)(x, jax.random.PRNGKey(9))
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+    rec2 = pickle.loads(pickle.dumps(rec))
+    out2 = rec2(x, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
