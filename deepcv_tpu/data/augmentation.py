@@ -474,8 +474,19 @@ def rand_augment_batch(x: jnp.ndarray, key, n: int = 2,
     ``magnitude`` (our AugMix severity scale 0-10; the paper's 0-30 maps
     linearly as m/3). Real per-image selection, not gating: every pool op
     runs batched and a where-chain keeps the chosen branch per image —
-    static shapes, fully jittable; compute cost is pool-size x per round,
-    which on-device augmentation absorbs (the ops are elementwise/affine).
+    static shapes, fully jittable; compute cost is pool-size x per round.
+
+    Measured per-op cost on v5e (batch 4096 CIFAR, round 3): photometric
+    ops are 9-20 ms/batch, but the PIL-parity GEOMETRIC ops (rotate,
+    shear_*, translate_*) cost ~185 ms each and the histogram ops
+    (autocontrast, equalize) 240-280 ms — their bilinear/sort gathers hit
+    XLA's minor-dim tiling (design.md finding 7; no layout of a 32x32x3
+    image reaches the 128-lane efficient-gather slice size). The full
+    default pool therefore costs ~2.3 s/batch at n=2 — fine for CPU-scale
+    loaders, a bottleneck next to a 46 ms TPU train step. Pass
+    ``ops=['color','contrast','brightness','sharpness','posterize',
+    'solarize']`` (~0.1 s/batch) when augmentation shares the chip with
+    training.
     """
     names = list(ops or AUGMENTATION_OPS)
     fns = [AUGMENTATION_OPS[nm] for nm in names]
