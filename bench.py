@@ -597,7 +597,11 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                       {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
                        "transforms": ["to_tensor"]})
     zoo_norm = None if norm in ("none", "weight_norm") else norm
-    if arch == "mobilenet_v2":
+    if arch == "efficientnet_b0":
+        from deepcv_tpu.spec.zoo import efficientnet_b0_spec
+        hp_m = efficientnet_b0_spec(num_classes=1000, pool_kernel=hw // 32,
+                                    norm=zoo_norm)
+    elif arch == "mobilenet_v2":
         # the depthwise/inverted-residual regime: ~27x fewer FLOPs/img than
         # r50, but depthwise 3x3s run on the VPU, not the MXU — model-FLOPs
         # MFU is structurally low; img/s is the honest comparison axis
@@ -633,7 +637,8 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "mfu_pct": round(mfu * 100, 2) if peak else None,
         "norm": norm,
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
-        "params_m": 25.56 if arch == "resnet50" else 3.50, "batch": batch,
+        "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
+                     "efficientnet_b0": 5.29}[arch], "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
 
 
@@ -645,7 +650,7 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="wide", choices=["wide", "resnet50"],
                     help="config 8 only: serving model")
     ap.add_argument("--arch", default="resnet50",
-                    choices=["resnet50", "mobilenet_v2"],
+                    choices=["resnet50", "mobilenet_v2", "efficientnet_b0"],
                     help="config 9 only: canonical architecture to train")
     ap.add_argument("--batch", type=int, default=0,
                     help="configs 1/6/9: global batch override (defaults "

@@ -799,16 +799,19 @@ def multi_head_forward(x, heads: Sequence[Callable], axis: int = -1,
 
 class SqueezeExcitation(fnn.Module):
     """Squeeze-and-Excitation cell (arXiv:1709.01507) — working implementation
-    of the reference's ``squeeze_cell`` stub (nn.py:557-582)."""
+    of the reference's ``squeeze_cell`` stub (nn.py:557-582). ``act_fn`` is
+    the internal activation (relu in the SE paper; silu in EfficientNet)."""
     reduction_ratio: int = 4
+    act_fn: Any = None
     dtype: Any = None
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
         c = x.shape[-1]
+        act = self.act_fn or jax.nn.relu
         squeezed = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (N, C)
         hidden = max(1, c // int(self.reduction_ratio))
-        z = jax.nn.relu(fnn.Dense(hidden, dtype=self.dtype, name="reduce")(squeezed))
+        z = act(fnn.Dense(hidden, dtype=self.dtype, name="reduce")(squeezed))
         scale = jax.nn.sigmoid(fnn.Dense(c, dtype=self.dtype, name="expand")(z))
         return x * scale.reshape(scale.shape[0], *([1] * (x.ndim - 2)), c)
 

@@ -49,6 +49,12 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
+        elif str(zoo) == "efficientnet_b0":
+            from deepcv_tpu.spec.zoo import efficientnet_b0_spec
+            built = efficientnet_b0_spec(
+                num_classes=num_classes or 1000,
+                norm=hp.pop("norm", "batch_norm"),
+                pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "resnet":
             built = resnet_spec(depth=int(hp.pop("depth", 50)),
                                 num_classes=num_classes or 1000,
@@ -56,7 +62,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                                 pool_kernel=max(1, input_shape[0] // 32))
         else:
             raise ValueError(f"Unknown zoo builder '{zoo}' "
-                             "(known: resnet, mobilenet_v2)")
+                             "(known: resnet, mobilenet_v2, efficientnet_b0)")
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])

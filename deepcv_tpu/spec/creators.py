@@ -641,6 +641,7 @@ def _squeeze_cell(params, ctx: CreatorContext, name: str) -> fnn.Module:
     nn.py:557-582)."""
     return dnn.SqueezeExcitation(
         reduction_ratio=int(params.get("reduction_ratio", 4)),
+        act_fn=dnn.get_activation(params.get("act_fn")),
         dtype=ctx.dtype, name=name)
 
 

@@ -20,7 +20,8 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 __all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
-           "MOBILENET_V2_SETTINGS"]
+           "MOBILENET_V2_SETTINGS", "efficientnet_b0_spec",
+           "EFFICIENTNET_B0_SETTINGS"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -193,6 +194,74 @@ def mobilenet_v2_spec(num_classes: int = 1000, width_mult: float = 1.0,
                                      "dropout_prob": dropout}})
 
     hp: Dict[str, Any] = {"act_fn": "relu6", "architecture": arch,
+                          "dropout_prob": 0.0}
+    if norm:
+        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
+                    else {"num_groups": 8, "eps": 1e-5})
+    return hp
+
+
+#: EfficientNet-B0 MBConv settings (Tan & Le, arXiv:1905.11946 table 1):
+#: (expansion t, out channels c, repeats n, first stride s, kernel k)
+EFFICIENTNET_B0_SETTINGS = ((1, 16, 1, 1, 3), (6, 24, 2, 2, 3),
+                            (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
+                            (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+                            (6, 320, 1, 1, 3))
+
+
+def efficientnet_b0_spec(num_classes: int = 1000, norm: str = "batch_norm",
+                         pool_kernel: int = 7,
+                         dropout: float = 0.2) -> Dict[str, Any]:
+    """EfficientNet-B0 (Tan & Le, arXiv:1905.11946) through the spec
+    language: MBConv = the MobileNetV2 inverted residual + a
+    squeeze-excitation cell between the depthwise conv and the linear
+    projection (SE hidden width = block INPUT channels // 4, silu inside),
+    silu activations, 3x3/5x5 depthwise kernels per stage. width_mult is
+    fixed at B0's 1.0; ``pool_kernel`` = input_size // 32.
+
+    Parameter count equals torchvision efficientnet_b0's 5,288,548 exactly
+    modulo the inert stem lane-pad rows (cin 3->8, ops/nn.py). Same layer
+    order caveat as :func:`resnet_spec` (op -> act -> norm; identical
+    params/FLOPs). Stochastic depth (drop-path) is not emitted — it is
+    parameter-free and a training-quality knob, not an architecture one.
+    """
+    bias = not bool(norm)
+    c_in = _make_divisible(32)
+    arch: List[Any] = [_conv("stem", c_in, 3, stride=2, bias=bias)]
+    in_name = "stem"
+
+    for s, (t, c, n, stride0, k) in enumerate(EFFICIENTNET_B0_SETTINGS):
+        c_out = _make_divisible(c)
+        for b in range(n):
+            stride = stride0 if b == 0 else 1
+            blk = f"mb{s}b{b}"
+            prev = in_name
+            c_exp = c_in * t
+            if t != 1:
+                arch.append(_conv(f"{blk}_exp", c_exp, 1, bias=bias))
+            arch.append(_conv(f"{blk}_dw", c_exp, k, stride=stride,
+                              groups=c_exp, bias=bias))
+            # SE hidden = block INPUT channels // 4 = c_exp // (4*t)
+            arch.append({"squeeze_cell": [f"{blk}_se",
+                                          {"reduction_ratio": 4 * t}]})
+            arch.append(_conv(f"{blk}_proj", c_out, 1, act=False, bias=bias))
+            if stride == 1 and c_in == c_out:
+                arch.append({"residual_link": [f"{blk}_sum", {"_from": prev}]})
+                in_name = f"{blk}_sum"
+            else:
+                in_name = f"{blk}_proj"
+            c_in = c_out
+
+    arch.append(_conv("head", _make_divisible(1280), 1, bias=bias))
+    arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
+                                     "stride": [pool_kernel, pool_kernel]}})
+    arch.append({"flatten": {}})
+    arch.append({"fully_connected": {"out_features": num_classes,
+                                     "act_fn": None, "batch_norm": None,
+                                     "group_norm": None,
+                                     "dropout_prob": dropout}})
+
+    hp: Dict[str, Any] = {"act_fn": "silu", "architecture": arch,
                           "dropout_prob": 0.0}
     if norm:
         hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"

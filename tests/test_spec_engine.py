@@ -518,3 +518,38 @@ def test_mobilenet_v2_zoo_builder_matches_torchvision_params():
     # t=1 first block has no expand conv; stride-2 blocks have no residual
     assert "ir0b0_exp" not in names and "ir1b0_exp" in names
     assert "ir1b0_sum" not in names and "ir1b1_sum" in names
+
+
+def test_efficientnet_b0_zoo_builder_matches_torchvision_params():
+    """spec/zoo.efficientnet_b0_spec: MBConv (inverted residual + SE between
+    depthwise and projection, SE hidden = block input // 4, silu) through
+    the spec language — parameter count equals torchvision
+    efficientnet_b0's 5,288,548 EXACTLY modulo the documented inert stem
+    rows (9*5*32 lane padding)."""
+    import jax
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import efficientnet_b0_spec
+
+    PAD = 9 * 5 * 32
+    m = DeepcvModule((64, 64, 3), efficientnet_b0_spec(pool_kernel=2))
+    vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+    n = sum(int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(vs["params"]))
+    assert n == 5_288_548 + PAD, n
+    # SE widths follow the block INPUT (c_in // 4), not the expanded width:
+    # stage-1 block 0 has c_in=16, c_exp=96 -> reduce kernel (96, 4)
+    se = vs["params"]["node_impls_mb1b0_se"]
+    assert se["reduce"]["kernel"].shape == (96, 4), se["reduce"]["kernel"].shape
+    assert se["expand"]["kernel"].shape == (4, 96)
+    # 5x5 depthwise stages exist (kernel per-stage, unlike MobileNetV2)
+    dw5 = vs["params"]["node_impls_mb2b0_dw"]["op"]["kernel"]
+    assert dw5.shape == (5, 5, 1, 144), dw5.shape
+    # small build forwards with train-mode stats
+    m = DeepcvModule((32, 32, 3), efficientnet_b0_spec(num_classes=10,
+                                                       pool_kernel=1))
+    v = m.init(jax.random.PRNGKey(0))
+    y, st = m.apply(v, jnp.ones((2, 32, 32, 3)), train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y.shape == (2, 10) and "batch_stats" in st

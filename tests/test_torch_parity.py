@@ -1099,3 +1099,36 @@ def test_mobilenet_v2_zoo_forward_parity():
         te = tm(_t(xb).permute(0, 3, 1, 2)).numpy()
     assert je.std() > 1e-3, je.std()
     np.testing.assert_allclose(je, te, atol=1e-3, rtol=1e-3)
+
+
+def test_squeeze_excitation_torch_semantics():
+    """SqueezeExcitation (the one op EfficientNet adds over MobileNetV2)
+    matches a torch mirror: global-mean squeeze -> act(Dense) ->
+    sigmoid(Dense) channel gate, with silu inside (EfficientNet's SE)."""
+    from deepcv_tpu.ops.nn import SqueezeExcitation
+
+    c, hid = 24, 4   # EfficientNet-style: hidden from block input, ratio 6
+    se = SqueezeExcitation(reduction_ratio=c // hid, act_fn=jax.nn.silu)
+    x = np.random.default_rng(2).normal(size=(3, 8, 8, c)).astype(np.float32)
+    v = se.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    jy = np.asarray(se.apply(v, jnp.asarray(x)))
+
+    class TorchSE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(c, hid)
+            self.fc2 = tnn.Linear(hid, c)
+
+        def forward(self, x):            # NCHW
+            s = x.mean(dim=(2, 3))
+            z = tF.silu(self.fc1(s))
+            g = torch.sigmoid(self.fc2(z))
+            return x * g[:, :, None, None]
+
+    tm = TorchSE()
+    copy_dense(tm.fc1, {"op": v["params"]["reduce"]})
+    copy_dense(tm.fc2, {"op": v["params"]["expand"]})
+    with torch.no_grad():
+        ty = tm(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(jy, ty, atol=1e-6, rtol=1e-5)
+    assert jy.std() > 1e-3
