@@ -509,8 +509,9 @@ def test_mobilenet_v2_zoo_builder_matches_torchvision_params():
     m = DeepcvModule((32, 32, 3), mobilenet_v2_spec(num_classes=10,
                                                     pool_kernel=1))
     v = m.init(jax.random.PRNGKey(0))
-    y, st = m.apply(v, jnp.ones((2, 32, 32, 3)), train=True,
-                    rngs={"dropout": jax.random.PRNGKey(1)})
+    y, st = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
+        v, jnp.ones((2, 32, 32, 3)))
     assert y.shape == (2, 10) and "batch_stats" in st
     arch = mobilenet_v2_spec()["architecture"]
     names = [e[list(e)[0]][0] if isinstance(e[list(e)[0]], list) else None
@@ -550,6 +551,7 @@ def test_efficientnet_b0_zoo_builder_matches_torchvision_params():
     m = DeepcvModule((32, 32, 3), efficientnet_b0_spec(num_classes=10,
                                                        pool_kernel=1))
     v = m.init(jax.random.PRNGKey(0))
-    y, st = m.apply(v, jnp.ones((2, 32, 32, 3)), train=True,
-                    rngs={"dropout": jax.random.PRNGKey(1)})
+    y, st = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
+        v, jnp.ones((2, 32, 32, 3)))
     assert y.shape == (2, 10) and "batch_stats" in st

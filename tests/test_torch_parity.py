@@ -1055,8 +1055,9 @@ def test_mobilenet_v2_zoo_forward_parity():
     xb = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
 
     # train pass on batch A: stats populated on both sides
-    _, mut = jm.apply(jv, jnp.asarray(xa), train=True,
-                      rngs={"dropout": jax.random.PRNGKey(0)})
+    _, mut = jax.jit(lambda v, x: jm.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"]))(jv, jnp.asarray(xa))
     tm.train()
     with torch.no_grad():
         tm(_t(xa).permute(0, 3, 1, 2))
@@ -1093,7 +1094,8 @@ def test_mobilenet_v2_zoo_forward_parity():
                 load_stats(blk[f"{part}_bn"], f"node_impls_{name}_{part}")
 
     jv2 = {"params": jv["params"], "batch_stats": mut["batch_stats"]}
-    je = np.asarray(jm.apply(jv2, jnp.asarray(xb), train=False))
+    je = np.asarray(jax.jit(lambda v, x: jm.apply(v, x, train=False))(
+        jv2, jnp.asarray(xb)))
     tm.eval()
     with torch.no_grad():
         te = tm(_t(xb).permute(0, 3, 1, 2)).numpy()
