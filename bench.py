@@ -638,7 +638,7 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "norm": norm,
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
         "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
-                     "efficientnet_b0": 5.29}[arch], "batch": batch,
+                     "efficientnet_b0": 5.29}.get(arch), "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
 
 

@@ -421,6 +421,17 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
         for d in ra:
             merged.update(d)
         ra = merged
+    if ra is not None:
+        # compile-time validation, like the transforms list: typos must fail
+        # at the YAML, not as a KeyError inside the first jitted batch
+        unknown_keys = set(ra) - {"n", "magnitude", "ops"}
+        if unknown_keys:
+            raise ValueError(f"rand_augment: unknown keys {sorted(unknown_keys)} "
+                             "(known: n, magnitude, ops)")
+        bad_ops = [o for o in (ra.get("ops") or []) if o not in AUGMENTATION_OPS]
+        if bad_ops:
+            raise ValueError(f"rand_augment: unknown ops {bad_ops}; "
+                             f"known: {sorted(AUGMENTATION_OPS)}")
 
     return AugmentationRecipe(steps=[(n, s) for n, _fn, s in steps],
                               gate_p=gate_p, augmix_spec=augmix_spec,
@@ -438,7 +449,9 @@ class AugmentationRecipe:
         self._steps = list(steps)              # [(name, severity)]
         self.gate_p = float(gate_p)
         self.augmix_spec = augmix_spec
-        self.rand_augment = dict(rand_augment) if rand_augment else None
+        # is-not-None: 'rand_augment: {}' means "defaults", not "disabled"
+        self.rand_augment = dict(rand_augment) if rand_augment is not None \
+            else None
 
     @property
     def steps(self):                           # introspection for tests

@@ -60,6 +60,7 @@ ACTIVATION_FNS: Dict[str, Callable] = {
 XAVIER_GAINS: Dict[str, float] = {
     "relu": math.sqrt(2.0),
     "relu6": math.sqrt(2.0),
+    "hard_swish": math.sqrt(2.0),   # relu-family (torch defines no gain)
     "leaky_relu": math.sqrt(2.0 / (1.0 + 0.01 ** 2)),
     "sigmoid": 1.0,
     "tanh": 5.0 / 3.0,

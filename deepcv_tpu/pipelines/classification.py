@@ -43,19 +43,28 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
         # remaining keys override builder kwargs; input size sets the
         # global-pool window
         from deepcv_tpu.spec.zoo import mobilenet_v2_spec, resnet_spec
+        # kwargs belonging to OTHER builders must fail loudly, not ride
+        # silently into the spec dict as inert keys
+        def _reject(*keys):
+            bad = [k for k in keys if k in hp]
+            if bad:
+                raise ValueError(f"zoo '{zoo}' does not accept {bad}")
         if str(zoo) == "mobilenet_v2":
+            _reject("depth")
             built = mobilenet_v2_spec(
                 num_classes=num_classes or 1000,
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "efficientnet_b0":
+            _reject("depth", "width_mult")
             from deepcv_tpu.spec.zoo import efficientnet_b0_spec
             built = efficientnet_b0_spec(
                 num_classes=num_classes or 1000,
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "resnet":
+            _reject("width_mult")
             built = resnet_spec(depth=int(hp.pop("depth", 50)),
                                 num_classes=num_classes or 1000,
                                 norm=hp.pop("norm", "batch_norm"),

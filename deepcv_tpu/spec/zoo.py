@@ -154,7 +154,6 @@ def mobilenet_v2_spec(num_classes: int = 1000, width_mult: float = 1.0,
     bias = not bool(norm)
     c_in = _make_divisible(32 * width_mult)
     arch: List[Any] = [_conv("stem", c_in, 3, stride=2, bias=bias)]
-    arch[-1]["conv2d"][1]["act_fn"] = "relu6"
     in_name = "stem"
 
     for s, (t, c, n, stride0) in enumerate(MOBILENET_V2_SETTINGS):
@@ -165,13 +164,9 @@ def mobilenet_v2_spec(num_classes: int = 1000, width_mult: float = 1.0,
             prev = in_name
             c_exp = c_in * t
             if t != 1:
-                e = _conv(f"{blk}_exp", c_exp, 1, bias=bias)
-                e["conv2d"][1]["act_fn"] = "relu6"
-                arch.append(e)
-            dw = _conv(f"{blk}_dw", c_exp, 3, stride=stride,
-                       groups=c_exp, bias=bias)
-            dw["conv2d"][1]["act_fn"] = "relu6"
-            arch.append(dw)
+                arch.append(_conv(f"{blk}_exp", c_exp, 1, bias=bias))
+            arch.append(_conv(f"{blk}_dw", c_exp, 3, stride=stride,
+                              groups=c_exp, bias=bias))
             # linear bottleneck: NO activation after the projection
             arch.append(_conv(f"{blk}_proj", c_out, 1, act=False, bias=bias))
             if stride == 1 and c_in == c_out:
@@ -181,10 +176,8 @@ def mobilenet_v2_spec(num_classes: int = 1000, width_mult: float = 1.0,
                 in_name = f"{blk}_proj"
             c_in = c_out
 
-    head = _conv("head", _make_divisible(1280 * max(1.0, width_mult)), 1,
-                 bias=bias)
-    head["conv2d"][1]["act_fn"] = "relu6"
-    arch.append(head)
+    arch.append(_conv("head", _make_divisible(1280 * max(1.0, width_mult)),
+                      1, bias=bias))
     arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
                                      "stride": [pool_kernel, pool_kernel]}})
     arch.append({"flatten": {}})
