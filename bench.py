@@ -607,6 +607,11 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         # MFU is structurally low; img/s is the honest comparison axis
         hp_m = mobilenet_v2_spec(num_classes=1000, pool_kernel=hw // 32,
                                  norm=zoo_norm)
+    elif arch in ("mobilenet_v3_large", "mobilenet_v3_small"):
+        from deepcv_tpu.spec.zoo import mobilenet_v3_spec
+        hp_m = mobilenet_v3_spec(variant=arch.rsplit("_", 1)[1],
+                                 num_classes=1000, pool_kernel=hw // 32,
+                                 norm=zoo_norm)
     else:
         hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
                            norm=zoo_norm)
@@ -638,7 +643,8 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "norm": norm,
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
         "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
-                     "efficientnet_b0": 5.29}.get(arch), "batch": batch,
+                     "efficientnet_b0": 5.29, "mobilenet_v3_large": 5.48,
+                     "mobilenet_v3_small": 2.54}.get(arch), "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
 
 
@@ -650,7 +656,8 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="wide", choices=["wide", "resnet50"],
                     help="config 8 only: serving model")
     ap.add_argument("--arch", default="resnet50",
-                    choices=["resnet50", "mobilenet_v2", "efficientnet_b0"],
+                    choices=["resnet50", "mobilenet_v2", "efficientnet_b0",
+                             "mobilenet_v3_large", "mobilenet_v3_small"],
                     help="config 9 only: canonical architecture to train")
     ap.add_argument("--batch", type=int, default=0,
                     help="configs 1/6/9: global batch override (defaults "

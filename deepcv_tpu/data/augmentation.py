@@ -33,6 +33,7 @@ __all__ = [
     "rotate", "color", "contrast", "brightness",
     "AUGMENTATION_OPS", "augment_and_mix", "apply_augmentation_recipe",
     "mixup_batch", "cutmix_batch", "rand_augment_batch",
+    "trivial_augment_batch",
 ]
 
 
@@ -385,7 +386,9 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
         gating preserves the augmentation distribution's diversity);
       * an ``augmix`` entry appends :func:`augment_and_mix`;
       * a ``rand_augment: {n, magnitude, [ops]}`` entry appends
-        :func:`rand_augment_batch` (true per-image op selection).
+        :func:`rand_augment_batch` (true per-image op selection);
+      * a ``trivial_augment: {[ops]}`` entry appends the tuning-free
+        :func:`trivial_augment_batch` (exclusive with ``rand_augment``).
     """
     hp, _ = to_hyperparameters(dict(recipe), RECIPE_DEFAULTS)
     steps: List[Tuple[str, Callable, Any]] = []
@@ -432,6 +435,29 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
         if bad_ops:
             raise ValueError(f"rand_augment: unknown ops {bad_ops}; "
                              f"known: {sorted(AUGMENTATION_OPS)}")
+
+    ta = hp.get("trivial_augment")
+    if isinstance(ta, (list, tuple)):           # YAML list-of-dicts form
+        merged = {}
+        for d in ta:
+            merged.update(d)
+        ta = merged
+    if ta is not None:
+        if ra is not None:
+            raise ValueError("rand_augment and trivial_augment are exclusive "
+                             "(TrivialAugment IS one RandAugment round at "
+                             "full magnitude)")
+        unknown_keys = set(ta) - {"ops"}
+        if unknown_keys:
+            raise ValueError(f"trivial_augment: unknown keys "
+                             f"{sorted(unknown_keys)} (known: ops — TA is "
+                             "tuning-free by construction)")
+        bad_ops = [o for o in (ta.get("ops") or []) if o not in AUGMENTATION_OPS]
+        if bad_ops:
+            raise ValueError(f"trivial_augment: unknown ops {bad_ops}; "
+                             f"known: {sorted(AUGMENTATION_OPS)}")
+        # reuse the rand_augment machinery: n=1 at the magnitude ceiling
+        ra = {"n": 1, "magnitude": 10.0, "ops": ta.get("ops")}
 
     return AugmentationRecipe(steps=[(n, s) for n, _fn, s in steps],
                               gate_p=gate_p, augmix_spec=augmix_spec,
@@ -512,6 +538,23 @@ def rand_augment_batch(x: jnp.ndarray, key, n: int = 2,
             out = jnp.where((choice == i)[:, None, None, None], yi, out)
         x = out
     return x
+
+
+def trivial_augment_batch(x: jnp.ndarray, key,
+                          ops: Optional[Sequence[str]] = None) -> jnp.ndarray:
+    """TrivialAugment (Mueller & Hutter, arXiv:2103.10158): ONE uniformly
+    chosen op per image at a magnitude drawn uniformly from the full range
+    per image — the tuning-free baseline that matches or beats RandAugment.
+
+    This module's AugMix-lineage ops already draw their per-image parameter
+    uniformly in (0.1, level] (``_sample_level``), so TA is exactly one
+    RandAugment round at the magnitude CEILING — same jitted where-chain
+    machinery, no new sampling path (the paper's discrete {0..30} bins map
+    onto this continuous draw). Same per-op cost table as
+    :func:`rand_augment_batch` (geometric/histogram ops are the expensive
+    ones on TPU); pass ``ops=`` the cheap-pool subset when augmenting on
+    the training chip."""
+    return rand_augment_batch(x, key, n=1, magnitude=10.0, ops=ops)
 
 
 # --------------------------------------------------------------------------- #

@@ -44,6 +44,7 @@ ACTIVATION_FNS: Dict[str, Callable] = {
     "relu": jax.nn.relu,
     "relu6": jax.nn.relu6,
     "hard_swish": jax.nn.hard_swish,
+    "hard_sigmoid": jax.nn.hard_sigmoid,   # relu6(x+3)/6, torch Hardsigmoid
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
     "sigmoid": jax.nn.sigmoid,
     "tanh": jnp.tanh,
@@ -63,6 +64,7 @@ XAVIER_GAINS: Dict[str, float] = {
     "hard_swish": math.sqrt(2.0),   # relu-family (torch defines no gain)
     "leaky_relu": math.sqrt(2.0 / (1.0 + 0.01 ** 2)),
     "sigmoid": 1.0,
+    "hard_sigmoid": 1.0,
     "tanh": 5.0 / 3.0,
     "gelu": math.sqrt(2.0),
     "silu": math.sqrt(2.0),
@@ -801,19 +803,26 @@ def multi_head_forward(x, heads: Sequence[Callable], axis: int = -1,
 class SqueezeExcitation(fnn.Module):
     """Squeeze-and-Excitation cell (arXiv:1709.01507) — working implementation
     of the reference's ``squeeze_cell`` stub (nn.py:557-582). ``act_fn`` is
-    the internal activation (relu in the SE paper; silu in EfficientNet)."""
+    the internal activation (relu in the SE paper; silu in EfficientNet).
+    ``hidden_channels`` overrides the ratio-derived squeeze width
+    (MobileNetV3 rounds it to a multiple of 8); ``gate_fn`` overrides the
+    sigmoid gate (MobileNetV3 uses hard_sigmoid)."""
     reduction_ratio: int = 4
     act_fn: Any = None
+    hidden_channels: int = 0          # 0 -> c // reduction_ratio
+    gate_fn: Any = None               # None -> sigmoid
     dtype: Any = None
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
         c = x.shape[-1]
         act = self.act_fn or jax.nn.relu
+        gate = self.gate_fn or jax.nn.sigmoid
         squeezed = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (N, C)
-        hidden = max(1, c // int(self.reduction_ratio))
+        hidden = int(self.hidden_channels) or max(
+            1, c // int(self.reduction_ratio))
         z = act(fnn.Dense(hidden, dtype=self.dtype, name="reduce")(squeezed))
-        scale = jax.nn.sigmoid(fnn.Dense(c, dtype=self.dtype, name="expand")(z))
+        scale = gate(fnn.Dense(c, dtype=self.dtype, name="expand")(z))
         return x * scale.reshape(scale.shape[0], *([1] * (x.ndim - 2)), c)
 
 

@@ -50,28 +50,38 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
             if bad:
                 raise ValueError(f"zoo '{zoo}' does not accept {bad}")
         if str(zoo) == "mobilenet_v2":
-            _reject("depth")
+            _reject("depth", "variant")
             built = mobilenet_v2_spec(
                 num_classes=num_classes or 1000,
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "efficientnet_b0":
-            _reject("depth", "width_mult")
+            _reject("depth", "width_mult", "variant")
             from deepcv_tpu.spec.zoo import efficientnet_b0_spec
             built = efficientnet_b0_spec(
                 num_classes=num_classes or 1000,
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
+        elif str(zoo) == "mobilenet_v3":
+            _reject("depth")
+            from deepcv_tpu.spec.zoo import mobilenet_v3_spec
+            built = mobilenet_v3_spec(
+                variant=str(hp.pop("variant", "large")),
+                num_classes=num_classes or 1000,
+                width_mult=float(hp.pop("width_mult", 1.0)),
+                norm=hp.pop("norm", "batch_norm"),
+                pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "resnet":
-            _reject("width_mult")
+            _reject("width_mult", "variant")
             built = resnet_spec(depth=int(hp.pop("depth", 50)),
                                 num_classes=num_classes or 1000,
                                 norm=hp.pop("norm", "batch_norm"),
                                 pool_kernel=max(1, input_shape[0] // 32))
         else:
-            raise ValueError(f"Unknown zoo builder '{zoo}' "
-                             "(known: resnet, mobilenet_v2, efficientnet_b0)")
+            raise ValueError(
+                f"Unknown zoo builder '{zoo}' (known: resnet, "
+                "mobilenet_v2, mobilenet_v3, efficientnet_b0)")
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])
@@ -166,5 +176,8 @@ def get_pipelines() -> Dict[str, Pipeline]:
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
         "train_mobilenet_v2": train_pipeline(
             "train_mobilenet_v2", "mobilenet_v2_model", "train_resnet50",
+            ds="imagenet224", pp_key="imagenet224_preprocessing"),
+        "train_mobilenet_v3": train_pipeline(
+            "train_mobilenet_v3", "mobilenet_v3_model", "train_resnet50",
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
     }

@@ -33,7 +33,7 @@ from deepcv_tpu.train import train as train_fn
 from deepcv_tpu.train.backend import BackendConfig
 
 __all__ = ["get_pipelines", "DenseDetectionHead", "detection_loss",
-           "decode_detections", "create_detector", "train_detector",
+           "decode_detections", "map50", "create_detector", "train_detector",
            "generate_shapes_dataset"]
 
 _logger = logging.getLogger(__name__)
@@ -165,9 +165,14 @@ def mean_iou_on_objects(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(iou * obj) / jnp.maximum(jnp.sum(obj), 1)
 
 
-def decode_detections(pred: jnp.ndarray, top_k: int = 16):
+def decode_detections(pred: jnp.ndarray, top_k: int = 16,
+                      nms_iou: Optional[float] = None,
+                      class_aware_nms: bool = True):
     """Dense grid -> top-k boxes: (boxes_xyxy (N,k,4), scores (N,k),
-    classes (N,k)). jit-safe (static k)."""
+    classes (N,k)). jit-safe (static k). With ``nms_iou`` set, greedy NMS
+    (ops/boxes.py, class-aware by default) runs per image INSIDE the same
+    program — suppressed candidates keep their box but get score 0, so
+    shapes stay static; filter on score > 0 downstream."""
     n, s, _, _ = pred.shape
     conf = jax.nn.sigmoid(pred[..., 0]).reshape(n, s * s)
     scores, idx = jax.lax.top_k(conf, top_k)
@@ -181,7 +186,46 @@ def decode_detections(pred: jnp.ndarray, top_k: int = 16):
     h = jax.nn.sigmoid(sel[..., 4])
     boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
     classes = jnp.argmax(sel[..., 5:], axis=-1)
+    if nms_iou is not None:
+        from deepcv_tpu.ops.boxes import batched_nms, nms as plain_nms
+        if class_aware_nms:
+            keep = jax.vmap(lambda b, sc, cl: batched_nms(b, sc, cl, nms_iou))(
+                boxes, scores, classes)
+        else:
+            keep = jax.vmap(lambda b, sc: plain_nms(b, sc, nms_iou))(
+                boxes, scores)
+        scores = jnp.where(keep, scores, 0.0)
     return boxes, scores, classes
+
+
+def map50(pred: jnp.ndarray, target: jnp.ndarray,
+          score_threshold: float = 0.5, top_k: int = 16) -> jnp.ndarray:
+    """mAP@0.5 over the evaluated batch: decode + class-aware NMS on the
+    predictions, ground truth read back off the dense grid, then
+    VOC-style all-point AP per class averaged over classes present
+    (ops/boxes.mean_average_precision). Fully jit-safe — runs inside the
+    standard eval step like any other metric."""
+    from deepcv_tpu.ops.boxes import mean_average_precision
+
+    n, s, _, ch = target.shape
+    num_classes = ch - 5
+    boxes, scores, classes = decode_detections(pred, top_k=top_k, nms_iou=0.5)
+    pred_valid = scores > score_threshold
+
+    flat = target.reshape(n, s * s, ch)
+    gt_valid = flat[..., 0] > 0.5
+    gy = (jnp.arange(s * s) // s).astype(jnp.float32)
+    gx = (jnp.arange(s * s) % s).astype(jnp.float32)
+    cx = (gx[None] + flat[..., 1]) / s
+    cy = (gy[None] + flat[..., 2]) / s
+    w, h = flat[..., 3], flat[..., 4]
+    gt_boxes = jnp.stack([cx - w / 2, cy - h / 2,
+                          cx + w / 2, cy + h / 2], axis=-1)
+    gt_classes = jnp.argmax(flat[..., 5:], axis=-1)
+    mAP, _ = mean_average_precision(boxes, scores, classes, pred_valid,
+                                    gt_boxes, gt_classes, gt_valid,
+                                    num_classes=num_classes)
+    return mAP
 
 
 # --------------------------------------------------------------------------- #
@@ -210,7 +254,8 @@ def train_detector(datasets, model: DeepcvModule, hp: Mapping[str, Any],
     state, history = train_fn(hp, model, detection_loss, datasets,
                               backend_conf=backend,
                               metrics={"objectness_accuracy": objectness_accuracy,
-                                       "mean_iou": mean_iou_on_objects},
+                                       "mean_iou": mean_iou_on_objects,
+                                       "map50": map50},
                               loggers=list(trackers))
     return {"state": state, "history": history, "model": model}
 

@@ -635,13 +635,18 @@ submodule_creator("hrnet_repr_head_v2p", global_keys=GLOBAL_LAYER_KEYS,
 
 
 @submodule_creator("squeeze_cell", aliases=("squeeze_excitation", "se_cell"),
-                   global_keys=("act_fn",), allowed=("reduction_ratio",))
+                   global_keys=("act_fn",),
+                   allowed=("reduction_ratio", "hidden_channels", "gate_fn"))
 def _squeeze_cell(params, ctx: CreatorContext, name: str) -> fnn.Module:
     """SE attention cell (working version of the reference squeeze_cell stub,
-    nn.py:557-582)."""
+    nn.py:557-582). ``hidden_channels`` pins the squeeze width exactly
+    (MobileNetV3's multiple-of-8 rounding); ``gate_fn`` swaps the sigmoid
+    gate (e.g. 'hard_sigmoid')."""
     return dnn.SqueezeExcitation(
         reduction_ratio=int(params.get("reduction_ratio", 4)),
         act_fn=dnn.get_activation(params.get("act_fn")),
+        hidden_channels=int(params.get("hidden_channels", 0)),
+        gate_fn=dnn.get_activation(params.get("gate_fn")),
         dtype=ctx.dtype, name=name)
 
 

@@ -21,7 +21,8 @@ from typing import Any, Dict, List
 
 __all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
            "MOBILENET_V2_SETTINGS", "efficientnet_b0_spec",
-           "EFFICIENTNET_B0_SETTINGS"]
+           "EFFICIENTNET_B0_SETTINGS", "mobilenet_v3_spec",
+           "MOBILENET_V3_SETTINGS"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -255,6 +256,119 @@ def efficientnet_b0_spec(num_classes: int = 1000, norm: str = "batch_norm",
                                      "dropout_prob": dropout}})
 
     hp: Dict[str, Any] = {"act_fn": "silu", "architecture": arch,
+                          "dropout_prob": 0.0}
+    if norm:
+        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
+                    else {"num_groups": 8, "eps": 1e-5})
+    return hp
+
+
+#: MobileNetV3 per-block settings (Howard et al., arXiv:1905.02244 tables
+#: 1-2, torchvision _mobilenet_v3_conf ordering): each row is
+#: (kernel k, expanded channels, out channels, use_se, act name, stride).
+#: The classifier hidden width (1280 large / 1024 small) follows the rows.
+MOBILENET_V3_SETTINGS = {
+    "large": (((3, 16, 16, False, "relu", 1),
+               (3, 64, 24, False, "relu", 2),
+               (3, 72, 24, False, "relu", 1),
+               (5, 72, 40, True, "relu", 2),
+               (5, 120, 40, True, "relu", 1),
+               (5, 120, 40, True, "relu", 1),
+               (3, 240, 80, False, "hard_swish", 2),
+               (3, 200, 80, False, "hard_swish", 1),
+               (3, 184, 80, False, "hard_swish", 1),
+               (3, 184, 80, False, "hard_swish", 1),
+               (3, 480, 112, True, "hard_swish", 1),
+               (3, 672, 112, True, "hard_swish", 1),
+               (5, 672, 160, True, "hard_swish", 2),
+               (5, 960, 160, True, "hard_swish", 1),
+               (5, 960, 160, True, "hard_swish", 1)), 1280),
+    "small": (((3, 16, 16, True, "relu", 2),
+               (3, 72, 24, False, "relu", 2),
+               (3, 88, 24, False, "relu", 1),
+               (5, 96, 40, True, "hard_swish", 2),
+               (5, 240, 40, True, "hard_swish", 1),
+               (5, 240, 40, True, "hard_swish", 1),
+               (5, 120, 48, True, "hard_swish", 1),
+               (5, 144, 48, True, "hard_swish", 1),
+               (5, 288, 96, True, "hard_swish", 2),
+               (5, 576, 96, True, "hard_swish", 1),
+               (5, 576, 96, True, "hard_swish", 1)), 1024),
+}
+
+
+def mobilenet_v3_spec(variant: str = "large", num_classes: int = 1000,
+                      width_mult: float = 1.0, norm: str = "batch_norm",
+                      pool_kernel: int = 7,
+                      dropout: float = 0.2) -> Dict[str, Any]:
+    """MobileNetV3 (Howard et al., arXiv:1905.02244) through the spec
+    language. Over MobileNetV2's inverted residual it adds: hard_swish
+    activations on the later stages (relu on the early 'RE' rows), 5x5
+    depthwise kernels, and SE cells between the depthwise conv and the
+    linear projection — MobileNetV3's SE flavor: squeeze width
+    ``_make_divisible(c_exp // 4, 8)`` (pinned via ``hidden_channels``),
+    relu inside, HARD-sigmoid gate. Head: 1x1 conv to 6x the last block
+    width (+ norm + hard_swish), global pool, then a NORM-FREE classifier
+    pair FC(-> 1280 large / 1024 small) + hard_swish + dropout +
+    FC(-> classes) — torchvision puts no BN on these, so neither do we.
+
+    Parameter counts at width_mult=1.0 equal torchvision's
+    mobilenet_v3_large 5,483,032 / mobilenet_v3_small 2,542,856 exactly
+    modulo the inert 9*5*16 stem rows from cin 3->8 lane padding
+    (ops/nn.py). Same layer-unit caveat as :func:`resnet_spec`
+    (op -> act -> norm order; identical params/FLOPs). ``pool_kernel`` =
+    input_size // 32.
+    """
+    if variant not in MOBILENET_V3_SETTINGS:
+        raise ValueError(f"variant must be one of "
+                         f"{sorted(MOBILENET_V3_SETTINGS)}, got {variant!r}")
+    settings, last_channel = MOBILENET_V3_SETTINGS[variant]
+
+    def adj(v):                    # torchvision adjust_channels
+        return _make_divisible(v * width_mult)
+
+    bias = not bool(norm)
+    c_in = adj(16)
+    arch: List[Any] = [_conv("stem", c_in, 3, stride=2, bias=bias)]
+    in_name = "stem"
+
+    for i, (k, exp, c, use_se, act, stride) in enumerate(settings):
+        c_exp, c_out = adj(exp), adj(c)
+        blk = f"ir{i}"
+        prev = in_name
+        for nm, spec in (
+                [(f"{blk}_exp", _conv(f"{blk}_exp", c_exp, 1, bias=bias))]
+                if c_exp != c_in else []) + [
+                (f"{blk}_dw", _conv(f"{blk}_dw", c_exp, k, stride=stride,
+                                    groups=c_exp, bias=bias))]:
+            if act != "hard_swish":      # global act is hard_swish
+                spec["conv2d"][1]["act_fn"] = act
+            arch.append(spec)
+        if use_se:
+            arch.append({"squeeze_cell": [
+                f"{blk}_se", {"hidden_channels": _make_divisible(c_exp // 4),
+                              "act_fn": "relu", "gate_fn": "hard_sigmoid"}]})
+        arch.append(_conv(f"{blk}_proj", c_out, 1, act=False, bias=bias))
+        if stride == 1 and c_in == c_out:
+            arch.append({"residual_link": [f"{blk}_sum", {"_from": prev}]})
+            in_name = f"{blk}_sum"
+        else:
+            in_name = f"{blk}_proj"
+        c_in = c_out
+
+    arch.append(_conv("head", 6 * c_in, 1, bias=bias))
+    arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
+                                     "stride": [pool_kernel, pool_kernel]}})
+    arch.append({"flatten": {}})
+    arch.append({"fully_connected": [
+        "pre_classifier", {"out_features": adj(last_channel),
+                           "batch_norm": None, "group_norm": None}]})
+    arch.append({"fully_connected": {"out_features": num_classes,
+                                     "act_fn": None, "batch_norm": None,
+                                     "group_norm": None,
+                                     "dropout_prob": dropout}})
+
+    hp: Dict[str, Any] = {"act_fn": "hard_swish", "architecture": arch,
                           "dropout_prob": 0.0}
     if norm:
         hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"

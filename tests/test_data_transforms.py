@@ -325,3 +325,39 @@ def test_rand_augment_batch_per_image_selection():
     rec2 = pickle.loads(pickle.dumps(rec))
     out2 = rec2(x, jax.random.PRNGKey(9))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_trivial_augment_is_one_full_magnitude_rand_augment_round():
+    """TrivialAugment == rand_augment_batch(n=1, magnitude=10) exactly (same
+    key schedule); the recipe key validates, composes, and is exclusive
+    with rand_augment."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from deepcv_tpu.data.augmentation import (apply_augmentation_recipe,
+                                              rand_augment_batch,
+                                              trivial_augment_batch)
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.integers(0, 255, (4, 16, 16, 3)), jnp.float32) / 255.0
+    key = jax.random.PRNGKey(11)
+    np.testing.assert_array_equal(
+        np.asarray(trivial_augment_batch(x, key, ops=["color", "solarize"])),
+        np.asarray(rand_augment_batch(x, key, n=1, magnitude=10.0,
+                                      ops=["color", "solarize"])))
+
+    rec = apply_augmentation_recipe(
+        {"transforms": [], "trivial_augment": {"ops": ["brightness", "color"]}})
+    out = jax.jit(rec)(x, jax.random.PRNGKey(1))
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+    with _pytest.raises(ValueError, match="exclusive"):
+        apply_augmentation_recipe(
+            {"transforms": [], "trivial_augment": {},
+             "rand_augment": {"n": 1}})
+    with _pytest.raises(ValueError, match="tuning-free"):
+        apply_augmentation_recipe(
+            {"transforms": [], "trivial_augment": {"magnitude": 5}})
+    with _pytest.raises(ValueError, match="unknown ops"):
+        apply_augmentation_recipe(
+            {"transforms": [], "trivial_augment": {"ops": ["nope"]}})

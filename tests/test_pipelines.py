@@ -363,8 +363,18 @@ def test_zoo_builders_reachable_from_model_conf():
     out = jax.eval_shape(
         lambda vv: m.apply(vv, jnp.ones((2, 32, 32, 3)), train=False), v)
     assert out.shape == (2, 7)
+    m3 = create_model(data, {"zoo": "mobilenet_v3", "variant": "small"})
+    v3 = jax.eval_shape(m3.init, jax.random.PRNGKey(0))
+    out3 = jax.eval_shape(
+        lambda vv: m3.apply(vv, jnp.ones((2, 32, 32, 3)), train=False), v3)
+    assert out3.shape == (2, 7)
     with pytest.raises(ValueError, match="Unknown zoo builder"):
         create_model(data, {"zoo": "efficientnet"})
+    # cross-builder kwargs fail loudly instead of riding into the spec
+    with pytest.raises(ValueError, match="does not accept"):
+        create_model(data, {"zoo": "mobilenet_v3", "depth": 50})
+    with pytest.raises(ValueError, match="variant must be one of"):
+        create_model(data, {"zoo": "mobilenet_v3", "variant": "medium"})
 
 
 def test_cli_run_export_bundle(tmp_path):

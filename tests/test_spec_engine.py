@@ -555,3 +555,56 @@ def test_efficientnet_b0_zoo_builder_matches_torchvision_params():
         v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
         v, jnp.ones((2, 32, 32, 3)))
     assert y.shape == (2, 10) and "batch_stats" in st
+
+
+def test_mobilenet_v3_zoo_builder_matches_torchvision_params():
+    """spec/zoo.mobilenet_v3_spec: over V2's inverted residual adds
+    hard_swish stages, per-row 3x3/5x5 depthwise kernels, MobileNetV3's SE
+    flavor (squeeze width = _make_divisible(c_exp // 4, 8), relu inside,
+    HARD-sigmoid gate) and the norm-free classifier pair. Parameter counts
+    equal torchvision's mobilenet_v3_large 5,483,032 / small 2,542,856
+    EXACTLY modulo the documented inert stem rows (3->8 lane padding:
+    9*5*16 zero-gradient weights — the MNV3 stem is 16ch, not 32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import mobilenet_v3_spec
+
+    PAD = 9 * 5 * 16
+    counts = {}
+    for variant, expect in (("large", 5_483_032), ("small", 2_542_856)):
+        m = DeepcvModule((64, 64, 3), mobilenet_v3_spec(variant=variant,
+                                                        pool_kernel=2))
+        vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(vs["params"]))
+        assert n == expect + PAD, (variant, n)
+        counts[variant] = vs
+
+    vs = counts["large"]
+    # MNV3 SE width is divisor-8-rounded from the EXPANDED channels:
+    # large block ir3 has c_exp=72 -> squeeze 72//4=18 -> rounded 24
+    se = vs["params"]["node_impls_ir3_se"]
+    assert se["reduce"]["kernel"].shape == (72, 24), se["reduce"]["kernel"].shape
+    assert se["expand"]["kernel"].shape == (24, 72)
+    # early 'RE' rows have no SE; 5x5 depthwise rows exist
+    assert "node_impls_ir1_se" not in vs["params"]
+    assert vs["params"]["node_impls_ir3_dw"]["op"]["kernel"].shape == (5, 5, 1, 72)
+    # classifier pair is norm-free: FC 960 -> 1280 -> classes, no norms scope
+    pre = vs["params"]["node_impls_pre_classifier"]
+    assert pre["op"]["kernel"].shape == (960, 1280)
+    assert "norms_0" not in pre
+    # first row (exp 16 == in 16) emits no expand conv
+    assert "node_impls_ir0_exp" not in vs["params"]
+
+    # small build forwards with train-mode stats (small variant: SE on row 0)
+    m = DeepcvModule((32, 32, 3), mobilenet_v3_spec(variant="small",
+                                                    num_classes=10,
+                                                    pool_kernel=1))
+    v = m.init(jax.random.PRNGKey(0))
+    y, st = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
+        v, jnp.ones((2, 32, 32, 3)))
+    assert y.shape == (2, 10) and "batch_stats" in st

@@ -1134,3 +1134,147 @@ def test_squeeze_excitation_torch_semantics():
         ty = tm(_t(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(jy, ty, atol=1e-6, rtol=1e-5)
     assert jy.std() > 1e-3
+
+
+class TorchZooMobileNetV3(tnn.Module):
+    """Torch mirror of spec/zoo.mobilenet_v3_spec semantics (framework layer
+    order op -> act -> norm; per-row relu/hardswish; MNV3 SE: rounded
+    squeeze width, relu inside, HARD-sigmoid gate; norm-free classifier
+    pair) — torchvision-exact shapes/strides/kernels otherwise (Howard et
+    al., arXiv:1905.02244)."""
+
+    def __init__(self, variant: str = "small", width_mult: float = 0.5,
+                 num_classes: int = 5):
+        super().__init__()
+        from deepcv_tpu.spec.zoo import MOBILENET_V3_SETTINGS, _make_divisible
+
+        def bn(c):  # momentum=1.0: running stats == last batch's (protocol)
+            return tnn.BatchNorm2d(c, eps=1e-5, momentum=1.0)
+
+        def adj(v):
+            return _make_divisible(v * width_mult)
+
+        settings, last_channel = MOBILENET_V3_SETTINGS[variant]
+        c_in = adj(16)
+        self.stem = tnn.Conv2d(3, c_in, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = bn(c_in)
+        self.blocks = tnn.ModuleList()
+        self.block_meta = []                   # (name, act, has_res)
+        for i, (k, exp, c, use_se, act, stride) in enumerate(settings):
+            c_exp, c_out = adj(exp), adj(c)
+            blk = tnn.ModuleDict()
+            if c_exp != c_in:
+                blk["exp"] = tnn.Conv2d(c_in, c_exp, 1, bias=False)
+                blk["exp_bn"] = bn(c_exp)
+            blk["dw"] = tnn.Conv2d(c_exp, c_exp, k, stride=stride,
+                                   padding=k // 2, groups=c_exp, bias=False)
+            blk["dw_bn"] = bn(c_exp)
+            if use_se:
+                hid = _make_divisible(c_exp // 4)
+                blk["se_fc1"] = tnn.Linear(c_exp, hid)
+                blk["se_fc2"] = tnn.Linear(hid, c_exp)
+            blk["proj"] = tnn.Conv2d(c_exp, c_out, 1, bias=False)
+            blk["proj_bn"] = bn(c_out)
+            self.blocks.append(blk)
+            self.block_meta.append(
+                (f"ir{i}", act, stride == 1 and c_in == c_out))
+            c_in = c_out
+        self.head = tnn.Conv2d(c_in, 6 * c_in, 1, bias=False)
+        self.head_bn = bn(6 * c_in)
+        self.fc1 = tnn.Linear(6 * c_in, adj(last_channel))
+        self.fc2 = tnn.Linear(adj(last_channel), num_classes)
+
+    def forward(self, x):
+        x = self.stem_bn(tF.hardswish(self.stem(x)))
+        for blk, (_, act, has_res) in zip(self.blocks, self.block_meta):
+            a = tF.relu if act == "relu" else tF.hardswish
+            h = blk["exp_bn"](a(blk["exp"](x))) if "exp" in blk else x
+            h = blk["dw_bn"](a(blk["dw"](h)))
+            if "se_fc1" in blk:
+                s = h.mean(dim=(2, 3))
+                g = tF.hardsigmoid(blk["se_fc2"](tF.relu(blk["se_fc1"](s))))
+                h = h * g[:, :, None, None]
+            h = blk["proj_bn"](blk["proj"](h))             # linear bottleneck
+            x = x + h if has_res else h
+        x = self.head_bn(tF.hardswish(self.head(x)))
+        x = x.mean(dim=(2, 3))
+        return self.fc2(tF.hardswish(self.fc1(x)))
+
+
+def test_mobilenet_v3_zoo_forward_parity():
+    """The spec-built MobileNetV3-Small (hard_swish/relu rows, 5x5 depthwise
+    kernels, SE with hard_sigmoid gates and rounded squeeze widths,
+    norm-free FC pair) matches the executing torch mirror. Same protocol as
+    the V2 test: one train pass at momentum=1.0 populates running stats on
+    both sides, JAX stats are copied into the mirror (stat agreement to
+    accumulated-drift tolerance is asserted on a probe), then EVAL logits on
+    a fresh batch must agree — the remaining difference is pure
+    conv/hardswish/SE/residual math."""
+    from deepcv_tpu.spec.zoo import mobilenet_v3_spec
+
+    hp = mobilenet_v3_spec(variant="small", num_classes=5, width_mult=0.5,
+                           pool_kernel=1, dropout=0.0)
+    hp["batch_norm"]["momentum"] = 1.0
+    jm = DeepcvModule((32, 32, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(13))
+    p = jv["params"]
+
+    tm = TorchZooMobileNetV3(variant="small", width_mult=0.5, num_classes=5)
+    _copy_conv_nobias(tm.stem, p["node_impls_stem"])
+    copy_affine(tm.stem_bn, p["node_impls_stem"]["norms_0"])
+    for blk, (name, _, _) in zip(tm.blocks, tm.block_meta):
+        for part in ("exp", "dw", "proj"):
+            if part in blk:
+                node = p[f"node_impls_{name}_{part}"]
+                _copy_conv_nobias(blk[part], node)
+                copy_affine(blk[f"{part}_bn"], node["norms_0"])
+        if "se_fc1" in blk:
+            se = p[f"node_impls_{name}_se"]
+            copy_dense(blk["se_fc1"], {"op": se["reduce"]})
+            copy_dense(blk["se_fc2"], {"op": se["expand"]})
+    _copy_conv_nobias(tm.head, p["node_impls_head"])
+    copy_affine(tm.head_bn, p["node_impls_head"]["norms_0"])
+    copy_dense(tm.fc1, p["node_impls_pre_classifier"])
+    fc_key = next(k for k in p if "fully_connected" in k)
+    copy_dense(tm.fc2, p[fc_key])
+
+    rng = np.random.default_rng(37)
+    xa = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    xb = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+
+    _, mut = jax.jit(lambda v, x: jm.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"]))(jv, jnp.asarray(xa))
+    tm.train()
+    with torch.no_grad():
+        tm(_t(xa).permute(0, 3, 1, 2))
+    # probe: running stats agree through the stack (drift tolerance deepens)
+    for node, tbn, rt in (("node_impls_stem", tm.stem_bn, 1e-4),
+                          ("node_impls_ir1_dw", tm.blocks[1]["dw_bn"], 5e-3)):
+        bs = mut["batch_stats"][node]["norms_0"]
+        np.testing.assert_allclose(np.asarray(bs["mean"]),
+                                   tbn.running_mean.numpy(),
+                                   rtol=rt, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(bs["var"]),
+                                   tbn.running_var.numpy(),
+                                   rtol=rt, atol=2e-4)
+
+    def load_stats(tbn, node):
+        tbn.running_mean.data = _t(mut["batch_stats"][node]["norms_0"]["mean"])
+        tbn.running_var.data = _t(mut["batch_stats"][node]["norms_0"]["var"])
+
+    load_stats(tm.stem_bn, "node_impls_stem")
+    load_stats(tm.head_bn, "node_impls_head")
+    for blk, (name, _, _) in zip(tm.blocks, tm.block_meta):
+        for part in ("exp", "dw", "proj"):
+            if part in blk:
+                load_stats(blk[f"{part}_bn"], f"node_impls_{name}_{part}")
+
+    jv2 = {"params": jv["params"], "batch_stats": mut["batch_stats"]}
+    je = np.asarray(jax.jit(lambda v, x: jm.apply(v, x, train=False))(
+        jv2, jnp.asarray(xb)))
+    tm.eval()
+    with torch.no_grad():
+        te = tm(_t(xb).permute(0, 3, 1, 2)).numpy()
+    assert je.std() > 1e-3, je.std()
+    np.testing.assert_allclose(je, te, atol=1e-3, rtol=1e-3)
