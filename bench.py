@@ -612,6 +612,10 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         hp_m = mobilenet_v3_spec(variant=arch.rsplit("_", 1)[1],
                                  num_classes=1000, pool_kernel=hw // 32,
                                  norm=zoo_norm)
+    elif arch.startswith("vit_"):
+        from deepcv_tpu.spec.zoo import vit_spec
+        # pure-matmul regime (no BN anywhere): --norm does not apply
+        hp_m = vit_spec(variant=arch[len("vit_"):], num_classes=1000)
     else:
         hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
                            norm=zoo_norm)
@@ -644,8 +648,73 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
         "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
                      "efficientnet_b0": 5.29, "mobilenet_v3_large": 5.48,
-                     "mobilenet_v3_small": 2.54}.get(arch), "batch": batch,
+                     "mobilenet_v3_small": 2.54, "vit_b_16": 86.57,
+                     "vit_b_32": 88.22}.get(arch), "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
+
+
+def bench_attention(batch: int = 0):
+    """Config 11: Pallas flash attention vs the XLA einsum+softmax path.
+
+    ViT-B head geometry (12 heads x 64), bf16 on TPU, sequence lengths from
+    ViT-B/16 @224 (T=197) up into the long-sequence regime where the
+    (T, T) score matrix stops fitting caches. Median of 5 warm draws per
+    point (the round-3 warm-draw protocol), forward and grad step timed
+    separately; `device_get` of a reduction closes each draw (tunnel-safe).
+    Headline value = fwd speedup at the longest sequence."""
+    import time
+    from deepcv_tpu.ops.attention import attention_xla, flash_attention
+    from deepcv_tpu.train.backend import BackendConfig
+
+    on_tpu = BackendConfig().is_tpu
+    h, dh = 12, 64
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    # CPU = interpreter-mode smoke only (pallas compiles for TPU); tiny sizes
+    seqs = (197, 1024, 4096, 8192) if on_tpu else (64, 128)
+    budget = int(batch) or (4096 * 8 if on_tpu else 128)
+    per_seq = {}
+    for t in seqs:
+        n = max(1, budget // t)                     # ~constant token budget
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (jax.random.normal(kk, (n, h, t, dh), dtype) for kk in ks)
+
+        def timed(fn, reps=5 if on_tpu else 1):
+            out = fn()                      # compile + warm
+            jax.device_get(jnp.sum(out))
+            draws = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn()
+                jax.device_get(jnp.sum(out))
+                draws.append(time.perf_counter() - t0)
+            return sorted(draws)[len(draws) // 2]
+
+        fx = jax.jit(attention_xla)
+        ff = jax.jit(flash_attention)
+        gx = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+            attention_xla(q, k, v).astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
+        gf = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v).astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
+        t_fx = timed(lambda: fx(q, k, v))
+        t_ff = timed(lambda: ff(q, k, v))
+        t_gx = timed(lambda: gx(q, k, v)[0])
+        t_gf = timed(lambda: gf(q, k, v)[0])
+        per_seq[str(t)] = {
+            "batch": n,
+            "fwd_xla_ms": round(t_fx * 1e3, 3),
+            "fwd_flash_ms": round(t_ff * 1e3, 3),
+            "fwd_speedup": round(t_fx / t_ff, 3),
+            "grad_xla_ms": round(t_gx * 1e3, 3),
+            "grad_flash_ms": round(t_gf * 1e3, 3),
+            "grad_speedup": round(t_gx / t_gf, 3)}
+    longest = per_seq[str(seqs[-1])]
+    print(json.dumps({
+        "metric": "flash_attention_fwd_speedup",
+        "value": longest["fwd_speedup"], "unit": f"x vs XLA @T={seqs[-1]}",
+        "vs_baseline": None, "heads": h, "head_dim": dh,
+        "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+        "per_seq": per_seq, "device_kind": jax.devices()[0].device_kind,
+        "data": "synthetic"}))
 
 
 if __name__ == "__main__":
@@ -657,7 +726,8 @@ if __name__ == "__main__":
                     help="config 8 only: serving model")
     ap.add_argument("--arch", default="resnet50",
                     choices=["resnet50", "mobilenet_v2", "efficientnet_b0",
-                             "mobilenet_v3_large", "mobilenet_v3_small"],
+                             "mobilenet_v3_large", "mobilenet_v3_small",
+                             "vit_b_16", "vit_b_32"],
                     help="config 9 only: canonical architecture to train")
     ap.add_argument("--batch", type=int, default=0,
                     help="configs 1/6/9: global batch override (defaults "
@@ -668,16 +738,19 @@ if __name__ == "__main__":
                     help="config 6 only: normalization technique of the wide "
                          "classifier (BN backward is the measured MFU wall)")
     ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
                          "7=streaming memmap (larger-than-RAM path), "
                          "8=int8 static serving vs bf16, "
                          "9=ResNet-50 @224 (spec-built, --norm applies), "
-                         "10=online serving latency p50/p99 (--model applies)")
+                         "10=online serving latency p50/p99 (--model applies), "
+                         "11=flash attention vs XLA (--batch = token budget)")
     args = ap.parse_args()
-    if args.config == 6:
+    if args.config == 11:
+        bench_attention(batch=args.batch)
+    elif args.config == 6:
         bench_mfu(norm=args.norm, batch=args.batch)
     elif args.config == 9:
         bench_resnet50(norm=args.norm, batch=args.batch, arch=args.arch)

@@ -72,6 +72,14 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
+        elif str(zoo) == "vit":
+            _reject("depth", "width_mult", "norm")
+            from deepcv_tpu.spec.zoo import vit_spec
+            built = vit_spec(variant=str(hp.pop("variant", "b_16")),
+                             num_classes=num_classes or 1000,
+                             dropout=float(hp.pop("dropout", 0.0)),
+                             attn_dropout=float(hp.pop("attn_dropout", 0.0)),
+                             attn_impl=str(hp.pop("attn_impl", "xla")))
         elif str(zoo) == "resnet":
             _reject("width_mult", "variant")
             built = resnet_spec(depth=int(hp.pop("depth", 50)),
@@ -81,7 +89,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
         else:
             raise ValueError(
                 f"Unknown zoo builder '{zoo}' (known: resnet, "
-                "mobilenet_v2, mobilenet_v3, efficientnet_b0)")
+                "mobilenet_v2, mobilenet_v3, efficientnet_b0, vit)")
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])
@@ -179,5 +187,8 @@ def get_pipelines() -> Dict[str, Pipeline]:
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
         "train_mobilenet_v3": train_pipeline(
             "train_mobilenet_v3", "mobilenet_v3_model", "train_resnet50",
+            ds="imagenet224", pp_key="imagenet224_preprocessing"),
+        "train_vit": train_pipeline(
+            "train_vit", "vit_model", "train_resnet50",
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
     }

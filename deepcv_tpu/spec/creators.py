@@ -680,6 +680,68 @@ def _conv_with_meta_layer(params, ctx: CreatorContext, name: str) -> fnn.Module:
                                  kernel_size=tuple(int(v) for v in ks),
                                  meta_hidden=int(params.get("meta_hidden", 32)),
                                  act_fn=act, dtype=ctx.dtype, name=name)
+# --------------------------------------------------------------------------- #
+# Transformer creators (beyond the CNN-only reference — SURVEY §5.7 records
+# "no attention anywhere in repo"; these expose ops/attention.py through the
+# same YAML spec language so the ViT zoo family is plain spec dicts too)
+# --------------------------------------------------------------------------- #
+
+@submodule_creator("patch_embed",
+                   allowed=("patch_size", "embed_dim", "use_cls_token",
+                            "dropout_prob"),
+                   required=("patch_size", "embed_dim"))
+def _patch_embed(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Patchify + linear embed + [cls] + position table (ops/attention.py:
+    PatchEmbed — reshape + one Dense on the MXU, not a stride-p conv)."""
+    from deepcv_tpu.ops.attention import PatchEmbed
+    return PatchEmbed(patch_size=int(params["patch_size"]),
+                      embed_dim=int(params["embed_dim"]),
+                      use_cls_token=bool(params.get("use_cls_token", True)),
+                      dropout_prob=float(params.get("dropout_prob") or 0.0),
+                      dtype=ctx.dtype, param_dtype=ctx.param_dtype, name=name)
+
+
+@submodule_creator("transformer_block", aliases=("encoder_block",),
+                   allowed=("num_heads", "mlp_dim", "dropout_prob",
+                            "attn_dropout_prob", "attn_impl", "ln_eps"),
+                   required=("num_heads", "mlp_dim"))
+def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Pre-LN transformer encoder block (torchvision EncoderBlock wiring;
+    ``attn_impl: flash`` switches to the Pallas online-softmax kernel)."""
+    from deepcv_tpu.ops.attention import TransformerEncoderBlock
+    return TransformerEncoderBlock(
+        num_heads=int(params["num_heads"]), mlp_dim=int(params["mlp_dim"]),
+        dropout_prob=float(params.get("dropout_prob") or 0.0),
+        attn_dropout_prob=float(params.get("attn_dropout_prob") or 0.0),
+        attn_impl=str(params.get("attn_impl", "xla")),
+        ln_eps=float(params.get("ln_eps", 1e-6)),
+        dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("take_token", allowed=("index",))
+def _take_token(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """(N, T, D) -> (N, D): pick one token ([cls] by default)."""
+    from deepcv_tpu.ops.attention import TakeToken
+    return TakeToken(index=int(params.get("index", 0)), name=name)
+
+
+@submodule_creator("norm", aliases=("normalization",),
+                   allowed=dnn.NormTechnique.ALL)
+def _norm_node(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Bare normalization node — e.g. the final encoder LayerNorm of a ViT
+    (params are norm-technique specs, same shape as the layer-unit ones:
+    ``{layer_norm: {eps: 1e-6}}``)."""
+    norms = tuple(dnn.normalization_techniques(
+        _norm_specs_from_params(params), dtype=ctx.dtype,
+        axis_name=ctx.axis_name))
+    if not norms:
+        raise ValueError(f"Submodule '{name}' (norm): no normalization "
+                         f"technique given; expected one of "
+                         f"{list(dnn.NormTechnique.ALL)}")
+    return dnn.Layer(op=dnn.Identity(name=f"{name}_op"), norms=norms,
+                     name=name)
+
+
 if __name__ == "__main__":  # per-module self-test CLI (reference parity)
     import sys
     from pathlib import Path

@@ -22,7 +22,7 @@ from typing import Any, Dict, List
 __all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
            "MOBILENET_V2_SETTINGS", "efficientnet_b0_spec",
            "EFFICIENTNET_B0_SETTINGS", "mobilenet_v3_spec",
-           "MOBILENET_V3_SETTINGS"]
+           "MOBILENET_V3_SETTINGS", "vit_spec", "VIT_SETTINGS"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -374,3 +374,58 @@ def mobilenet_v3_spec(variant: str = "large", num_classes: int = 1000,
         hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
                     else {"num_groups": 8, "eps": 1e-5})
     return hp
+
+
+#: ViT variants (Dosovitskiy et al., arXiv:2010.11929; torchvision naming):
+#: (patch, layers, heads, hidden dim, mlp dim)
+VIT_SETTINGS = {
+    "b_16": (16, 12, 12, 768, 3072),
+    "b_32": (32, 12, 12, 768, 3072),
+    "l_16": (16, 24, 16, 1024, 4096),
+    "l_32": (32, 24, 16, 1024, 4096),
+}
+
+
+def vit_spec(variant: str = "b_16", num_classes: int = 1000,
+             dropout: float = 0.0, attn_dropout: float = 0.0,
+             attn_impl: str = "xla") -> Dict[str, Any]:
+    """Vision Transformer through the spec language — the attention-family
+    counterpart to the CNN zoo (the reference is CNN-only, SURVEY §5.7).
+
+    Wiring is torchvision's ``VisionTransformer``: patch embed (+[cls] +
+    learned position table), ``layers`` pre-LN encoder blocks (exact-GELU
+    MLP), final LayerNorm (eps 1e-6), [cls] token -> Linear head. At
+    224x224 input the parameter counts equal torchvision exactly —
+    vit_b_16 86,567,656 / vit_b_32 88,224,232 / vit_l_16 304,326,632 /
+    vit_l_32 306,535,400 — with NO inert pad rows: patch embedding is a
+    reshape + Dense (ops/attention.py:PatchEmbed), so the conv-stem lane
+    padding the CNN families document does not arise. The position table
+    is sized from the actual input (token count is static at build), so
+    other input sizes simply shift the count by (T - 197) * hidden.
+
+    ``attn_impl='flash'`` routes every block through the Pallas
+    online-softmax kernel (ops/attention.py:flash_attention) — measured
+    against the XLA path in ``bench.py --config 11``.
+    """
+    if variant not in VIT_SETTINGS:
+        raise ValueError(f"variant must be one of {sorted(VIT_SETTINGS)}, "
+                         f"got {variant!r}")
+    patch, layers, heads, hidden, mlp = VIT_SETTINGS[variant]
+    arch: List[Any] = [
+        {"patch_embed": ["embed", {"patch_size": patch, "embed_dim": hidden,
+                                   "dropout_prob": dropout}]},
+    ]
+    for i in range(layers):
+        arch.append({"transformer_block": [
+            f"enc{i}", {"num_heads": heads, "mlp_dim": mlp,
+                        "dropout_prob": dropout,
+                        "attn_dropout_prob": attn_dropout,
+                        "attn_impl": attn_impl}]})
+    arch.append({"norm": ["final_ln", {"layer_norm": {"eps": 1e-6}}]})
+    arch.append({"take_token": {"index": 0}})
+    arch.append({"fully_connected": {"out_features": num_classes,
+                                     "act_fn": None, "batch_norm": None,
+                                     "group_norm": None}})
+    # global act_fn is unused by the transformer nodes (the MLP's exact
+    # GELU is internal) but required by the engine; dropout rides per-node.
+    return {"act_fn": "gelu", "architecture": arch, "dropout_prob": 0.0}

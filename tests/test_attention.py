@@ -1,0 +1,86 @@
+"""Attention ops: flash kernel correctness vs the XLA reference path.
+
+The torch-mirror axis lives in test_torch_parity.py (ViT family); here we
+pin the kernel itself: padding/masking at non-block-multiple T, bf16 io
+with f32 accumulation, custom-VJP gradients, and jit composition.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.ops.attention import (MultiHeadSelfAttention, attention_xla,
+                                      flash_attention,
+                                      scaled_dot_product_attention)
+
+
+def _qkv(t, dh=16, n=2, h=3, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, (n, h, t, dh), dtype) for k in ks)
+
+
+@pytest.mark.parametrize("t", [8, 128, 197, 300])
+def test_flash_matches_xla_forward(t):
+    """Online-softmax kernel == einsum+softmax at any static T, including
+    the non-block-multiple sizes that exercise the -inf padding mask
+    (197 is ViT-B/16 @224's token count)."""
+    q, k, v = _qkv(t)
+    a = attention_xla(q, k, v)
+    f = jax.jit(flash_attention)(q, k, v)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(f),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_flash_gradients_match_xla():
+    """custom-VJP backward (XLA rematerialization) == autodiff through the
+    reference path, all three operands."""
+    q, k, v = _qkv(37)
+
+    def lx(q, k, v):
+        return jnp.sum(jnp.sin(attention_xla(q, k, v)))
+
+    def lf(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v)))
+
+    gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.jit(jax.grad(lf, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gx, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_flash_bf16_io_f32_accumulation():
+    """bf16 in/out stays close to the f32 reference — the accumulators are
+    f32 inside the kernel, so the only loss is io rounding."""
+    q, k, v = _qkv(64)
+    ref = attention_xla(q, k, v)
+    f = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                        v.astype(jnp.bfloat16))
+    assert f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(f, np.float32), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+
+def test_dispatch_and_errors():
+    q, k, v = _qkv(8)
+    np.testing.assert_allclose(
+        np.asarray(scaled_dot_product_attention(q, k, v, impl="xla")),
+        np.asarray(scaled_dot_product_attention(q, k, v, impl="flash")),
+        atol=2e-6, rtol=1e-5)
+    with pytest.raises(ValueError, match="unknown attention impl"):
+        scaled_dot_product_attention(q, k, v, impl="sdpa")
+
+
+def test_mhsa_module_head_split_invariants():
+    """Head count must divide the embed dim; per-head outputs are permutation
+    -consistent (swapping two input tokens swaps the two output tokens)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 24))
+    m = MultiHeadSelfAttention(num_heads=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        MultiHeadSelfAttention(num_heads=5).init(jax.random.PRNGKey(0), x)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    perm = jnp.array([1, 0, 2, 3, 4, 5])
+    y_perm = m.apply(v, x[:, perm])
+    np.testing.assert_allclose(np.asarray(y[:, perm]), np.asarray(y_perm),
+                               atol=1e-5, rtol=1e-5)

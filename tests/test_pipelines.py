@@ -363,6 +363,11 @@ def test_zoo_builders_reachable_from_model_conf():
     out = jax.eval_shape(
         lambda vv: m.apply(vv, jnp.ones((2, 32, 32, 3)), train=False), v)
     assert out.shape == (2, 7)
+    mv = create_model(data, {"zoo": "vit", "variant": "b_32"})
+    vv = jax.eval_shape(mv.init, jax.random.PRNGKey(0))
+    outv = jax.eval_shape(
+        lambda w: mv.apply(w, jnp.ones((2, 32, 32, 3)), train=False), vv)
+    assert outv.shape == (2, 7)
     m3 = create_model(data, {"zoo": "mobilenet_v3", "variant": "small"})
     v3 = jax.eval_shape(m3.init, jax.random.PRNGKey(0))
     out3 = jax.eval_shape(

@@ -608,3 +608,44 @@ def test_mobilenet_v3_zoo_builder_matches_torchvision_params():
         v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
         v, jnp.ones((2, 32, 32, 3)))
     assert y.shape == (2, 10) and "batch_stats" in st
+
+
+def test_vit_zoo_builder_matches_torchvision_params():
+    """spec/zoo.vit_spec: all four torchvision variants land EXACTLY on the
+    published parameter counts at 224x224 — with NO inert pad rows, because
+    the patch embedding is a reshape + Dense (ops/attention.py:PatchEmbed)
+    rather than a lane-padded stride-p conv. Also: the final-LN 'norm' node
+    and take_token creators appear, and a 2-block shrink forwards in both
+    modes with dropout rngs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import vit_spec
+
+    for variant, expect in (("b_16", 86_567_656), ("b_32", 88_224_232),
+                            ("l_16", 304_326_632), ("l_32", 306_535_400)):
+        m = DeepcvModule((224, 224, 3), vit_spec(variant=variant))
+        vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(vs["params"]))
+        assert n == expect, (variant, n, expect)
+
+    with pytest.raises(ValueError, match="variant must be one of"):
+        vit_spec(variant="h_14")
+
+    hp = vit_spec(variant="b_16", num_classes=7, dropout=0.1)
+    hp["architecture"] = hp["architecture"][:3] + hp["architecture"][-3:]
+    m = DeepcvModule((32, 32, 3), hp)
+    v = m.init(jax.random.PRNGKey(0))
+    assert "pos_embedding" in v["params"]["node_impls_embed"]
+    assert "norms_0" in v["params"]["node_impls_final_ln"]
+    y = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
+        v, jnp.ones((2, 32, 32, 3)))
+    assert y.shape == (2, 7) and bool(jnp.isfinite(y).all())
+    # patch size must divide the input
+    bad = vit_spec(variant="b_16")
+    with pytest.raises(ValueError, match="not divisible"):
+        DeepcvModule((30, 30, 3), bad).init(jax.random.PRNGKey(0))

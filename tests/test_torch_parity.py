@@ -1278,3 +1278,151 @@ def test_mobilenet_v3_zoo_forward_parity():
         te = tm(_t(xb).permute(0, 3, 1, 2)).numpy()
     assert je.std() > 1e-3, je.std()
     np.testing.assert_allclose(je, te, atol=1e-3, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# ViT zoo family mirror (ops/attention.py + spec/zoo.vit_spec)
+# --------------------------------------------------------------------------- #
+
+class TorchViT(tnn.Module):
+    """Hand-built executing-torch mirror of vit_spec's wiring (torchvision
+    VisionTransformer semantics: pre-LN blocks, nn.MultiheadAttention
+    packing, exact GELU, final LN, [cls] head). Patch embedding is the same
+    reshape + Linear the JAX side uses — mathematically identical to
+    torchvision's stride-p conv_proj."""
+
+    def __init__(self, patch, layers, heads, hidden, mlp, num_classes, img):
+        super().__init__()
+        self.patch, self.hidden = patch, hidden
+        self.proj = tnn.Linear(patch * patch * 3, hidden)
+        t = (img // patch) ** 2 + 1
+        self.cls = tnn.Parameter(torch.zeros(1, 1, hidden))
+        self.pos = tnn.Parameter(torch.zeros(1, t, hidden))
+        self.blocks = tnn.ModuleList(
+            tnn.ModuleDict(dict(
+                ln1=tnn.LayerNorm(hidden, eps=1e-6),
+                attn=tnn.MultiheadAttention(hidden, heads, batch_first=True),
+                ln2=tnn.LayerNorm(hidden, eps=1e-6),
+                fc1=tnn.Linear(hidden, mlp),
+                fc2=tnn.Linear(mlp, hidden))) for _ in range(layers))
+        self.ln = tnn.LayerNorm(hidden, eps=1e-6)
+        self.head = tnn.Linear(hidden, num_classes)
+
+    def forward(self, x):            # x: (N, H, W, C) channel-last
+        n, hgt, wid, c = x.shape
+        p = self.patch
+        x = x.reshape(n, hgt // p, p, wid // p, p, c)
+        x = x.permute(0, 1, 3, 2, 4, 5).reshape(n, -1, p * p * c)
+        x = self.proj(x)
+        x = torch.cat([self.cls.expand(n, -1, -1), x], dim=1) + self.pos
+        for blk in self.blocks:
+            y = blk["ln1"](x)
+            y, _ = blk["attn"](y, y, y, need_weights=False)
+            x = x + y
+            z = blk["ln2"](x)
+            z = blk["fc2"](tF.gelu(blk["fc1"](z)))   # exact GELU both sides
+            x = x + z
+        return self.head(self.ln(x[:, 0]))
+
+
+def _vit_pair(attn_impl="xla", layers=2, heads=4, hidden=32, mlp=64,
+              patch=8, img=16, num_classes=5):
+    from deepcv_tpu.spec.zoo import vit_spec
+
+    hp = vit_spec(variant="b_16", num_classes=num_classes,
+                  attn_impl=attn_impl)
+    # shrink b_16's wiring to a test-size transformer with the same topology
+    arch = [hp["architecture"][0]] \
+        + hp["architecture"][1:1 + layers] + hp["architecture"][-3:]
+    arch[0]["patch_embed"][1].update(patch_size=patch, embed_dim=hidden)
+    for row in arch[1:1 + layers]:
+        row["transformer_block"][1].update(num_heads=heads, mlp_dim=mlp)
+    hp["architecture"] = arch
+    jm = DeepcvModule((img, img, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(7))
+    p = jv["params"]
+
+    tm = TorchViT(patch, layers, heads, hidden, mlp, num_classes, img)
+    emb = p["node_impls_embed"]
+    copy_dense(tm.proj, {"op": emb["proj"]})
+    tm.cls.data = _t(emb["cls_token"])
+    tm.pos.data = _t(emb["pos_embedding"])
+    for i, blk in enumerate(tm.blocks):
+        node = p[f"node_impls_enc{i}"]
+        copy_affine(blk["ln1"], node["ln_1"])
+        copy_affine(blk["ln2"], node["ln_2"])
+        # torch packs q;k;v as in_proj rows == our qkv kernel columns
+        blk["attn"].in_proj_weight.data = _t(
+            np.asarray(node["attn"]["qkv"]["kernel"]).T)
+        blk["attn"].in_proj_bias.data = _t(node["attn"]["qkv"]["bias"])
+        copy_dense(blk["attn"].out_proj, {"op": node["attn"]["out"]})
+        copy_dense(blk["fc1"], {"op": node["mlp"]["fc1"]})
+        copy_dense(blk["fc2"], {"op": node["mlp"]["fc2"]})
+    copy_affine(tm.ln, p["node_impls_final_ln"]["norms_0"])
+    fc_key = next(k for k in p if "fully_connected" in k)
+    copy_dense(tm.head, p[fc_key])
+    return jm, jv, tm
+
+
+def test_vit_zoo_forward_parity():
+    """Weight-copied executing-torch ViT mirror: eval logits agree — covers
+    patch embed (+[cls]+pos), nn.MultiheadAttention packing, pre-LN
+    residual wiring, exact-GELU MLP, final LN and the [cls] head."""
+    jm, jv, tm = _vit_pair()
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+    je = np.asarray(jax.jit(lambda v, x: jm.apply(v, x, train=False))(
+        jv, jnp.asarray(x)))
+    tm.eval()
+    with torch.no_grad():
+        te = tm(_t(x)).numpy()
+    np.testing.assert_allclose(je, te, atol=2e-5, rtol=1e-4)
+
+
+def test_vit_first_step_gradient_parity():
+    """First-step gradients through the attention stack match torch: same
+    MSE-to-zero loss both sides, compare qkv / out-proj / patch-proj / pos
+    grads (the axes a wrong softmax scale, head split or residual wiring
+    would corrupt)."""
+    jm, jv, tm = _vit_pair()
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+
+    def loss(params):
+        y = jm.apply({"params": params}, jnp.asarray(x), train=False)
+        return jnp.mean(y ** 2)
+
+    g = jax.jit(jax.grad(loss))(jv["params"])
+    tm.train()
+    ty = tm(_t(x))
+    (ty ** 2).mean().backward()
+
+    blk = tm.blocks[0]
+    node = g["node_impls_enc0"]
+    np.testing.assert_allclose(
+        np.asarray(node["attn"]["qkv"]["kernel"]).T,
+        grad_of(blk["attn"].in_proj_weight), atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(node["attn"]["out"]["kernel"]).T,
+        grad_of(blk["attn"].out_proj.weight), atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g["node_impls_embed"]["proj"]["kernel"]).T,
+        grad_of(tm.proj.weight), atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g["node_impls_embed"]["pos_embedding"]),
+        grad_of(tm.pos), atol=1e-6, rtol=1e-4)
+
+
+def test_vit_flash_impl_matches_torch_and_xla():
+    """The Pallas flash-attention path produces the same model: eval logits
+    of attn_impl='flash' match the torch mirror AND the xla-impl build
+    (same params by construction — seeds fixed)."""
+    jm_f, jv_f, tm = _vit_pair(attn_impl="flash")
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)
+    jf = np.asarray(jax.jit(lambda v, x: jm_f.apply(v, x, train=False))(
+        jv_f, jnp.asarray(x)))
+    tm.eval()
+    with torch.no_grad():
+        te = tm(_t(x)).numpy()
+    np.testing.assert_allclose(jf, te, atol=5e-5, rtol=1e-3)
