@@ -599,6 +599,25 @@ class Identity(fnn.Module):
         return x
 
 
+class Interpolate(fnn.Module):
+    """Spatial resize node: to an explicit ``size`` or by a ``scale``
+    factor (channel-last, any spatial rank — :func:`interpolate`
+    semantics, torch ``F.interpolate(antialias=False)`` parity)."""
+    size: Optional[Tuple[int, ...]] = None
+    scale: float = 0.0
+    method: str = "linear"
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.size is not None:
+            target = tuple(int(s) for s in self.size)
+        elif self.scale:
+            target = tuple(int(round(s * self.scale)) for s in x.shape[1:-1])
+        else:
+            raise ValueError("Interpolate needs 'size' or 'scale'")
+        return interpolate(x, target, method=self.method)
+
+
 class Flatten(fnn.Module):
     """Flatten all non-batch dims (torch.nn.Flatten parity)."""
     @fnn.compact

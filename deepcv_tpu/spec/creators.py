@@ -444,6 +444,19 @@ def _activation(params, ctx: CreatorContext, name: str) -> fnn.Module:
                      name=name)
 
 
+@submodule_creator("interpolate", aliases=("upsample", "resize"),
+                   allowed=("size", "scale", "method"))
+def _interpolate(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Spatial resize node (decoder/segmentation upsampling): explicit
+    ``size: [h, w]`` or ``scale: k`` (reference interpolate semantics,
+    nn.py:665-676, as a standalone spec node)."""
+    size = params.get("size")
+    return dnn.Interpolate(size=tuple(int(s) for s in size) if size else None,
+                           scale=float(params.get("scale") or 0.0),
+                           method=str(params.get("method", "linear")),
+                           name=name)
+
+
 @submodule_creator("concat_coords", allowed=())
 def _concat_coords(params, ctx: CreatorContext, name: str) -> fnn.Module:
     return dnn.ConcatCoords(name=name)

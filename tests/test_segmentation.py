@@ -1,0 +1,83 @@
+"""Semantic-segmentation pipeline tests (the reference has no segmentation
+pipeline at all; this is the HRNet-headed dense-prediction loop)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.data.preprocess import preprocess
+from deepcv_tpu.pipelines.segmentation import (
+    SEG_CLASSES, create_segmenter, generate_segmentation_dataset, mean_iou,
+    pixel_accuracy, segmentation_loss, train_segmenter,
+)
+
+
+@pytest.fixture(scope="module")
+def seg_data():
+    return generate_segmentation_dataset(n=96, image_size=16, seed=0)
+
+
+def test_generator_masks_consistent(seg_data):
+    assert seg_data.images.shape == (96, 16, 16, 3)
+    assert seg_data.targets.shape == (96, 16, 16)
+    m = seg_data.targets
+    assert m.min() == 0 and 0 < m.max() < len(SEG_CLASSES)
+    # mask class c+1 <=> the rendered rectangle's bright channel is c
+    # (later rectangles overwrite earlier ones in both images and masks)
+    fg = m > 0
+    assert fg.mean() > 0.05
+    bright = seg_data.images.argmax(-1)
+    agree = (bright[fg] == (m[fg] - 1)).mean()
+    assert agree > 0.99
+
+
+def test_loss_and_metrics_semantics(seg_data):
+    t = jnp.asarray(seg_data.targets[:8])
+    c = len(SEG_CLASSES)
+    perfect = jax.nn.one_hot(t, c) * 20.0 - 10.0   # confident correct logits
+    assert float(segmentation_loss(perfect, t)) < 1e-3
+    assert float(pixel_accuracy(perfect, t)) == 1.0
+    assert float(mean_iou(perfect, t)) == 1.0
+    # uniform logits: loss == log C exactly
+    np.testing.assert_allclose(
+        float(segmentation_loss(jnp.zeros((8, 16, 16, c)), t)), np.log(c),
+        rtol=1e-5)
+    # all-background prediction: IoU averages over PRESENT classes only
+    bg = jax.nn.one_hot(jnp.zeros_like(t), c) * 20.0 - 10.0
+    miou_bg = float(mean_iou(bg, t))
+    assert 0.0 < miou_bg < 0.5
+    # metrics are jit-safe
+    assert np.isfinite(float(jax.jit(mean_iou)(perfect, t)))
+
+
+def test_segmenter_training_improves_miou(tmp_path):
+    raw = generate_segmentation_dataset(n=256, image_size=16, seed=1)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.2},
+                       "transforms": ["to_tensor"]})
+    # small conv backbone with one 2x downsample; create_segmenter appends
+    # the class conv + the interpolate node back to 16x16
+    model = create_segmenter(data, {
+        "act_fn": "relu",
+        "architecture": [
+            {"conv2d": {"kernel_size": [3, 3], "out_channels": 16, "padding": 1}},
+            {"avg_pooling": {"kernel_size": [2, 2], "stride": [2, 2]}},
+            {"conv2d": {"kernel_size": [3, 3], "out_channels": 16, "padding": 1}},
+        ]})
+    assert model.eval_output_shape() == (1, 16, 16, len(SEG_CLASSES))
+    hp = {"epochs": 8, "batch_size": 32, "optimizer_opts": {"lr": 5e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
+          "log_progress_every_iters": 1, "backend_conf": {"n_devices": 1}}
+    out = train_segmenter(data, model, hp)
+    h = out["history"]
+    assert h["train"][-1]["main_loss"] < h["train"][0]["main_loss"]
+    assert h["valid"][-1]["valid_mean_iou"] > 0.3
+    assert h["valid"][-1]["valid_pixel_accuracy"] > 0.8
+
+
+def test_pipeline_registered():
+    from deepcv_tpu.pipelines.registry import create_pipelines
+    ps = create_pipelines()
+    assert "train_semantic_segmentation" in ps
+    names = [n.name for n in ps["train_semantic_segmentation"].nodes]
+    assert names == ["preprocess", "create_segmenter", "train"]
