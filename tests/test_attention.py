@@ -84,3 +84,56 @@ def test_mhsa_module_head_split_invariants():
     y_perm = m.apply(v, x[:, perm])
     np.testing.assert_allclose(np.asarray(y[:, perm]), np.asarray(y_perm),
                                atol=1e-5, rtol=1e-5)
+
+
+def _tiny_vit_hp(num_classes=5, attn_impl="xla"):
+    from deepcv_tpu.spec.zoo import vit_spec
+    hp = vit_spec(variant="b_16", num_classes=num_classes,
+                  attn_impl=attn_impl)
+    arch = hp["architecture"][:3] + hp["architecture"][-3:]
+    arch[0]["patch_embed"][1].update(patch_size=8, embed_dim=32)
+    for row in arch[1:3]:
+        row["transformer_block"][1].update(num_heads=4, mlp_dim=64)
+    hp["architecture"] = arch
+    return hp
+
+
+def test_vit_tensor_parallel_training_exactness(tmp_path):
+    """Transformer blocks under dp x tp GSPMD: kernel out-features sharded
+    over the 'model' axis (qkv/out/mlp Denses included) must leave the
+    training math unchanged vs the single-device run — sharding is layout,
+    not math, even through the attention head split/merge reshapes."""
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train import train
+    from deepcv_tpu.train.backend import BackendConfig
+
+    raw = load_dataset("synthetic", n=256, image_shape=(16, 16, 3),
+                       num_classes=5, seed=3)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+
+    def run(backend):
+        model = DeepcvModule((16, 16, 3), _tiny_vit_hp())
+        state, hist = train(dict(hp), model, "cross_entropy", data,
+                            backend_conf=backend)
+        return state, hist
+
+    be = BackendConfig(tensor_parallel=2)
+    assert dict(be.mesh.shape) == {"data": 4, "model": 2}
+    state_tp, hist_tp = run(be)
+    # qkv kernel (32, 96) is model-sharded on out-features
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, l: str(getattr(l, "sharding", "")), state_tp.params)
+    flat = {jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(specs)[0]}
+    assert any("model" in v for k, v in flat.items() if "qkv" in k), flat
+    _, hist_dp = run(BackendConfig(n_devices=1))
+    np.testing.assert_allclose(hist_tp["train"][-1]["main_loss"],
+                               hist_dp["train"][-1]["main_loss"],
+                               rtol=1e-4, atol=1e-5)
