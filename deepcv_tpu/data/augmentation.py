@@ -418,12 +418,23 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
             merged.update(d)
         augmix_spec = merged
 
-    ra = hp.get("rand_augment")
-    if isinstance(ra, (list, tuple)):           # YAML list-of-dicts form
-        merged = {}
-        for d in ra:
-            merged.update(d)
-        ra = merged
+    def _as_spec_mapping(value, key):
+        """Normalize a recipe entry: list-of-dicts (YAML block form) is
+        merged, bare ``true`` means all-defaults, anything else non-mapping
+        fails with the expected form named (not an opaque TypeError)."""
+        if isinstance(value, (list, tuple)):
+            merged = {}
+            for d in value:
+                merged.update(d)
+            return merged
+        if value is True:                       # 'key: true' = all defaults
+            return {}
+        if value is not None and not isinstance(value, Mapping):
+            raise ValueError(f"{key}: expected a mapping of options (or "
+                             f"'true' for defaults), got {value!r}")
+        return dict(value) if value is not None else None
+
+    ra = _as_spec_mapping(hp.get("rand_augment"), "rand_augment")
     if ra is not None:
         # compile-time validation, like the transforms list: typos must fail
         # at the YAML, not as a KeyError inside the first jitted batch
@@ -436,12 +447,7 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
             raise ValueError(f"rand_augment: unknown ops {bad_ops}; "
                              f"known: {sorted(AUGMENTATION_OPS)}")
 
-    ta = hp.get("trivial_augment")
-    if isinstance(ta, (list, tuple)):           # YAML list-of-dicts form
-        merged = {}
-        for d in ta:
-            merged.update(d)
-        ta = merged
+    ta = _as_spec_mapping(hp.get("trivial_augment"), "trivial_augment")
     if ta is not None:
         if ra is not None:
             raise ValueError("rand_augment and trivial_augment are exclusive "

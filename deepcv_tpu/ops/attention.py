@@ -88,9 +88,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_actual: int,
         vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (BQ, BK)
-        # mask out zero-padded kv rows (t_actual is static)
+        # mask zero-padded kv rows (t_actual is static) with a large FINITE
+        # negative: with -inf, a fully-padded k-block would leave m at -inf
+        # and alpha = exp(-inf - -inf) = NaN (possible when block_q >
+        # block_k forces padding past a k-block boundary)
         col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        s = jnp.where(col < t_actual, s, -jnp.inf)
+        s = jnp.where(col < t_actual, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
@@ -112,7 +115,9 @@ def _flash_fwd_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n, h, t, dh = q.shape
     scale = 1.0 / math.sqrt(dh)
     b = n * h
-    t_pad = max(block_q, block_k) * -(-t // max(block_q, block_k))
+    # pad to a common multiple so BOTH the q-grid and the k-loop divide T
+    lcm = math.lcm(block_q, block_k)
+    t_pad = lcm * -(-t // lcm)
 
     def flat_pad(x):
         x = x.reshape(b, t, dh)
@@ -210,7 +215,14 @@ def scaled_dot_product_attention(q, k, v, impl: str = "xla") -> jnp.ndarray:
 class MultiHeadSelfAttention(fnn.Module):
     """Self-attention with torch ``nn.MultiheadAttention`` packing: one
     Dense to 3*D whose output columns are [q | k | v] (= in_proj_weight
-    rows), heads as contiguous Dh chunks, Dense out projection."""
+    rows), heads as contiguous Dh chunks, Dense out projection.
+
+    ``dropout_prob`` drops entries of the softmaxed ATTENTION-PROBABILITY
+    matrix (torch ``nn.MultiheadAttention(dropout=...)`` semantics) — the
+    encoder block's own dropout handles the output path. Probability
+    dropout requires materialized probabilities, so it is incompatible
+    with ``attn_impl='flash'`` (raises when both are set and training
+    would drop)."""
     num_heads: int
     dropout_prob: float = 0.0
     attn_impl: str = "xla"
@@ -231,16 +243,25 @@ class MultiHeadSelfAttention(fnn.Module):
         def heads(z):
             return z.reshape(n, t, h, dh).transpose(0, 2, 1, 3)
 
-        o = scaled_dot_product_attention(heads(q), heads(k), heads(v),
-                                         impl=self.attn_impl)
+        q, k, v = heads(q), heads(k), heads(v)
+        drop = float(self.dropout_prob or 0.0)
+        if drop > 0.0:
+            if self.attn_impl == "flash":
+                raise ValueError(
+                    "attention-probability dropout needs materialized "
+                    "probabilities; use attn_impl='xla' when "
+                    "attn_dropout > 0 (flash never forms the (T, T) matrix)")
+            s = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                           preferred_element_type=jnp.float32) / math.sqrt(dh)
+            p = jax.nn.softmax(s, axis=-1)
+            p = fnn.Dropout(rate=drop, deterministic=not train)(p)
+            o = jnp.einsum("nhqk,nhkd->nhqd", p.astype(v.dtype), v)
+        else:
+            o = scaled_dot_product_attention(q, k, v, impl=self.attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
-        o = fnn.Dense(d, dtype=self.dtype,
-                      kernel_init=xavier_uniform_with_gain(1.0),
-                      name="out")(o)
-        if self.dropout_prob and self.dropout_prob > 0.0:
-            o = fnn.Dropout(rate=float(self.dropout_prob),
-                            deterministic=not train)(o)
-        return o
+        return fnn.Dense(d, dtype=self.dtype,
+                         kernel_init=xavier_uniform_with_gain(1.0),
+                         name="out")(o)
 
 
 class MlpBlock(fnn.Module):

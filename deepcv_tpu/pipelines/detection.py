@@ -140,26 +140,36 @@ def objectness_accuracy(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (acc_obj + acc_no)
 
 
+def _cell_boxes(fields: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+                s: int, raw: bool) -> jnp.ndarray:
+    """Shared cell-offset -> normalized-xyxy decode for grid rows whose
+    channels 1:5 are [cx_in_cell, cy_in_cell, w, h]. ``raw`` applies the
+    prediction head's sigmoid; targets are stored post-sigmoid. The ONE
+    copy of this math — predictions (decode_detections), prediction-vs-
+    target IoU (mean_iou_on_objects) and ground truth (map50) all call it,
+    so a target-encoding change cannot desynchronize the metrics."""
+    cxy = jax.nn.sigmoid(fields[..., 1:3]) if raw else fields[..., 1:3]
+    wh = jax.nn.sigmoid(fields[..., 3:5]) if raw else fields[..., 3:5]
+    cx = (gx + cxy[..., 0]) / s
+    cy = (gy + cxy[..., 1]) / s
+    return jnp.stack([cx - wh[..., 0] / 2, cy - wh[..., 1] / 2,
+                      cx + wh[..., 0] / 2, cy + wh[..., 1] / 2], axis=-1)
+
+
 def mean_iou_on_objects(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean IoU between predicted and target boxes on object cells."""
     s = pred.shape[1]
     gx = jax.lax.broadcasted_iota(jnp.float32, pred.shape[:3], 2)
     gy = jax.lax.broadcasted_iota(jnp.float32, pred.shape[:3], 1)
-
-    def boxes(t, raw):
-        cxy = jax.nn.sigmoid(t[..., 1:3]) if raw else t[..., 1:3]
-        wh = jax.nn.sigmoid(t[..., 3:5]) if raw else t[..., 3:5]
-        cx = (gx + cxy[..., 0]) / s
-        cy = (gy + cxy[..., 1]) / s
-        return (cx - wh[..., 0] / 2, cy - wh[..., 1] / 2,
-                cx + wh[..., 0] / 2, cy + wh[..., 1] / 2)
-
-    ax0, ay0, ax1, ay1 = boxes(pred, raw=True)
-    bx0, by0, bx1, by1 = boxes(target, raw=False)
-    iw = jnp.maximum(jnp.minimum(ax1, bx1) - jnp.maximum(ax0, bx0), 0)
-    ih = jnp.maximum(jnp.minimum(ay1, by1) - jnp.maximum(ay0, by0), 0)
+    a = _cell_boxes(pred, gx, gy, s, raw=True)
+    b = _cell_boxes(target, gx, gy, s, raw=False)
+    iw = jnp.maximum(jnp.minimum(a[..., 2], b[..., 2])
+                     - jnp.maximum(a[..., 0], b[..., 0]), 0)
+    ih = jnp.maximum(jnp.minimum(a[..., 3], b[..., 3])
+                     - jnp.maximum(a[..., 1], b[..., 1]), 0)
     inter = iw * ih
-    union = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+    union = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1]) \
+        + (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1]) - inter
     iou = inter / jnp.maximum(union, 1e-9)
     obj = target[..., 0]
     return jnp.sum(iou * obj) / jnp.maximum(jnp.sum(obj), 1)
@@ -180,11 +190,7 @@ def decode_detections(pred: jnp.ndarray, top_k: int = 16,
     sel = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (N, k, 5+C)
     gy = (idx // s).astype(jnp.float32)
     gx = (idx % s).astype(jnp.float32)
-    cx = (gx + jax.nn.sigmoid(sel[..., 1])) / s
-    cy = (gy + jax.nn.sigmoid(sel[..., 2])) / s
-    w = jax.nn.sigmoid(sel[..., 3])
-    h = jax.nn.sigmoid(sel[..., 4])
-    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    boxes = _cell_boxes(sel, gx, gy, s, raw=True)
     classes = jnp.argmax(sel[..., 5:], axis=-1)
     if nms_iou is not None:
         from deepcv_tpu.ops.boxes import batched_nms, nms as plain_nms
@@ -199,12 +205,19 @@ def decode_detections(pred: jnp.ndarray, top_k: int = 16,
 
 
 def map50(pred: jnp.ndarray, target: jnp.ndarray,
-          score_threshold: float = 0.5, top_k: int = 16) -> jnp.ndarray:
+          score_threshold: float = 0.0, top_k: int = 16) -> jnp.ndarray:
     """mAP@0.5 over the evaluated batch: decode + class-aware NMS on the
     predictions, ground truth read back off the dense grid, then
     VOC-style all-point AP per class averaged over classes present
-    (ops/boxes.mean_average_precision). Fully jit-safe — runs inside the
-    standard eval step like any other metric."""
+    (ops/boxes.mean_average_precision). Fully jit-safe.
+
+    The default ``score_threshold=0.0`` ranks ALL unsuppressed top-k
+    detections (NMS zeroes suppressed scores exactly), matching the VOC
+    protocol — thresholding the PR curve would understate AP and make it
+    jump with calibration shifts. This metric is a sequential ranked scan
+    (O(batch * top_k) steps) — register it through ``train()``'s
+    ``eval_metrics`` so it runs per VALIDATION pass, not inside the jitted
+    gradient step (train_detector wires it that way)."""
     from deepcv_tpu.ops.boxes import mean_average_precision
 
     n, s, _, ch = target.shape
@@ -214,13 +227,9 @@ def map50(pred: jnp.ndarray, target: jnp.ndarray,
 
     flat = target.reshape(n, s * s, ch)
     gt_valid = flat[..., 0] > 0.5
-    gy = (jnp.arange(s * s) // s).astype(jnp.float32)
-    gx = (jnp.arange(s * s) % s).astype(jnp.float32)
-    cx = (gx[None] + flat[..., 1]) / s
-    cy = (gy[None] + flat[..., 2]) / s
-    w, h = flat[..., 3], flat[..., 4]
-    gt_boxes = jnp.stack([cx - w / 2, cy - h / 2,
-                          cx + w / 2, cy + h / 2], axis=-1)
+    gy = (jnp.arange(s * s) // s).astype(jnp.float32)[None]
+    gx = (jnp.arange(s * s) % s).astype(jnp.float32)[None]
+    gt_boxes = _cell_boxes(flat, gx, gy, s, raw=False)
     gt_classes = jnp.argmax(flat[..., 5:], axis=-1)
     mAP, _ = mean_average_precision(boxes, scores, classes, pred_valid,
                                     gt_boxes, gt_classes, gt_valid,
@@ -254,8 +263,9 @@ def train_detector(datasets, model: DeepcvModule, hp: Mapping[str, Any],
     state, history = train_fn(hp, model, detection_loss, datasets,
                               backend_conf=backend,
                               metrics={"objectness_accuracy": objectness_accuracy,
-                                       "mean_iou": mean_iou_on_objects,
-                                       "map50": map50},
+                                       "mean_iou": mean_iou_on_objects},
+                              # ranked sequential scan: validation pass only
+                              eval_metrics={"map50": map50},
                               loggers=list(trackers))
     return {"state": state, "history": history, "model": model}
 

@@ -195,6 +195,7 @@ def _as_preprocessed(ds) -> PreprocessedDataset:
 def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
           backend_conf: Optional[BackendConfig] = None,
           metrics: Optional[Mapping[str, Callable]] = None,
+          eval_metrics: Optional[Mapping[str, Callable]] = None,
           events: Optional[TrainingEvents] = None,
           loggers: Sequence[Any] = (),
           param_regularizer: Optional[Callable] = None,
@@ -209,6 +210,9 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         called as ``loss(logits, targets)``;
       * ``datasets``: {'trainset': ..., 'validset': ..., ['testset': ...]};
       * ``backend_conf``: mesh/topology (defaults to all local devices);
+      * ``eval_metrics``: metrics computed ONLY in the validation pass (on
+        top of ``metrics``) — for expensive ranked/sequential metrics like
+        detection mAP that must not ride inside the jitted gradient step;
       * ``param_regularizer``: optional ``fn(params) -> scalar`` added to the
         training loss (weight penalties, NAS expected-latency terms — the
         validation loss stays the pure task loss).
@@ -222,6 +226,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     if not isinstance(losses, WeightedLosses):
         losses = WeightedLosses(losses, weights=hp.get("losses_weights"))
     metrics = dict(metrics or {"accuracy": accuracy})
+    eval_metrics = {**metrics, **dict(eval_metrics or {})}
 
     rank0 = backend.rank == 0
     # ONE base seed for everything replicated: under multi-controller GSPMD
@@ -569,7 +574,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         logits, y_t = logits[real], y_t[real]
         _, terms = losses(logits, y_t)
         out = dict(terms)
-        for mname, mfn in metrics.items():
+        for mname, mfn in eval_metrics.items():
             out[mname] = mfn(logits, y_t)
         return out
 

@@ -137,3 +137,35 @@ def test_vit_tensor_parallel_training_exactness(tmp_path):
     np.testing.assert_allclose(hist_tp["train"][-1]["main_loss"],
                                hist_dp["train"][-1]["main_loss"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_flash_block_q_gt_block_k_no_nan():
+    """A fully-padded k-block (block_q > block_k forces padding past a
+    k-block boundary) must not poison the output with NaN — the mask is a
+    large finite negative, not -inf."""
+    from deepcv_tpu.ops.attention import _flash_fwd_impl
+    q, k, v = _qkv(100)
+    out = _flash_fwd_impl(q, k, v, block_q=256, block_k=128)
+    ref = attention_xla(q, k, v)
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_attention_probability_dropout_torch_semantics():
+    """dropout_prob drops ATTENTION PROBABILITIES (torch MultiheadAttention
+    semantics): train draws differ by rng, eval is deterministic and equals
+    the no-dropout module exactly; flash + dropout raises."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 24))
+    m = MultiHeadSelfAttention(num_heads=4, dropout_prob=0.5)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y1 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert float(jnp.max(jnp.abs(y1 - y2))) > 1e-3
+    m0 = MultiHeadSelfAttention(num_heads=4, dropout_prob=0.0)
+    np.testing.assert_allclose(np.asarray(m.apply(v, x, train=False)),
+                               np.asarray(m0.apply(v, x)), atol=1e-6)
+    mf = MultiHeadSelfAttention(num_heads=4, dropout_prob=0.5,
+                                attn_impl="flash")
+    with pytest.raises(ValueError, match="flash"):
+        mf.init(jax.random.PRNGKey(0), x)

@@ -361,3 +361,24 @@ def test_trivial_augment_is_one_full_magnitude_rand_augment_round():
     with _pytest.raises(ValueError, match="unknown ops"):
         apply_augmentation_recipe(
             {"transforms": [], "trivial_augment": {"ops": ["nope"]}})
+
+
+def test_recipe_scalar_forms():
+    """'trivial_augment: true' (the natural spelling for a tuning-free
+    method) means all-defaults; a non-mapping scalar fails with the
+    expected form named, not an opaque TypeError."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from deepcv_tpu.data.augmentation import apply_augmentation_recipe
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 255, (2, 16, 16, 3)), jnp.float32) / 255.0
+    rec = apply_augmentation_recipe({"transforms": [], "trivial_augment": True})
+    out = jax.jit(rec)(x, jax.random.PRNGKey(0))
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+    rec2 = apply_augmentation_recipe({"transforms": [], "rand_augment": True})
+    out2 = jax.jit(rec2)(x, jax.random.PRNGKey(0))
+    assert out2.shape == x.shape
+    with _pytest.raises(ValueError, match="expected a mapping"):
+        apply_augmentation_recipe({"transforms": [], "trivial_augment": 3})
