@@ -618,6 +618,51 @@ class Interpolate(fnn.Module):
         return interpolate(x, target, method=self.method)
 
 
+class FeaturePyramid(fnn.Module):
+    """Feature Pyramid Network (Lin et al., arXiv:1612.03144).
+
+    Input: a LIST of feature maps ordered fine -> coarse (C3, C4, C5...).
+    Lateral 1x1 convs bring every level to ``channels``; the top-down
+    pathway nearest-upsamples the coarser level and adds; a 3x3 conv
+    smooths each merged map. Output: the list of P-levels (same order).
+
+    With ``head_outputs > 0`` a SHARED 3x3 head conv (RetinaNet-style
+    weight sharing across levels) is applied to every P-level and the
+    results are flattened per level and concatenated to one
+    (N, sum_l S_l*H_l, head_outputs) tensor — the flat dense-prediction
+    layout the FPN detection pipeline trains against. All shapes static;
+    everything is conv + resize, so XLA fuses the adds into the conv
+    epilogues."""
+    channels: int = 64
+    head_outputs: int = 0
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, xs, *, train: bool = False):
+        if not isinstance(xs, (list, tuple)) or len(xs) < 2:
+            raise ValueError("FeaturePyramid expects a list of >=2 feature "
+                             "maps (fine -> coarse); wire it after a "
+                             "_new_branch_from_tensor gather of named nodes")
+        c = int(self.channels)
+        lat = [fnn.Conv(c, (1, 1), dtype=self.dtype, name=f"lateral{i}")(x)
+               for i, x in enumerate(xs)]
+        merged = [None] * len(lat)
+        merged[-1] = lat[-1]
+        for i in range(len(lat) - 2, -1, -1):
+            up = interpolate(merged[i + 1], lat[i].shape[1:-1],
+                             method="nearest")
+            merged[i] = lat[i] + up
+        outs = [fnn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                         name=f"smooth{i}")(m) for i, m in enumerate(merged)]
+        if self.head_outputs:
+            head = fnn.Conv(int(self.head_outputs), (3, 3), padding=1,
+                            dtype=self.dtype, name="shared_head")
+            flat = [head(o).reshape(o.shape[0], -1, int(self.head_outputs))
+                    for o in outs]
+            return jnp.concatenate(flat, axis=1)
+        return outs
+
+
 class Flatten(fnn.Module):
     """Flatten all non-batch dims (torch.nn.Flatten parity)."""
     @fnn.compact

@@ -34,7 +34,10 @@ from deepcv_tpu.train.backend import BackendConfig
 
 __all__ = ["get_pipelines", "DenseDetectionHead", "detection_loss",
            "decode_detections", "map50", "create_detector", "train_detector",
-           "generate_shapes_dataset"]
+           "generate_shapes_dataset", "detection_loss_focal",
+           "decode_detections_flat", "map50_flat", "flat_grid_layout",
+           "generate_shapes_dataset_fpn", "create_fpn_detector",
+           "train_fpn_detector"]
 
 _logger = logging.getLogger(__name__)
 
@@ -238,6 +241,189 @@ def map50(pred: jnp.ndarray, target: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------- #
+# Multi-scale (FPN) variant: flat dense-prediction layout over a pyramid
+# --------------------------------------------------------------------------- #
+
+def flat_grid_layout(grids: Tuple[int, ...]):
+    """Static per-cell (gx, gy, grid_size) arrays for the flattened
+    concatenation of several SxS levels (fine -> coarse) — the layout the
+    FPN head emits and the FPN targets are stored in."""
+    gx, gy, gs = [], [], []
+    for s in grids:
+        j = np.arange(s * s)
+        gx.append(j % s)
+        gy.append(j // s)
+        gs.append(np.full(s * s, s))
+    cat = lambda a: jnp.asarray(np.concatenate(a), jnp.float32)
+    return cat(gx), cat(gy), cat(gs)
+
+
+def generate_shapes_dataset_fpn(n: int = 512, image_size: int = 32,
+                                grids: Tuple[int, ...] = (8, 4),
+                                size_bounds: Tuple[float, ...] = (0.3,),
+                                max_objects: int = 3, seed: int = 0,
+                                train: bool = True) -> ArrayDataset:
+    """Colored-rectangle images with MULTI-LEVEL flat targets
+    (N, sum_l S_l^2, 5+C): each object is assigned to a pyramid level by
+    size (max(w, h) <= size_bounds[l] -> level l, else the next coarser),
+    then cell-matched within that level's grid — the FPN counterpart of
+    :func:`generate_shapes_dataset`'s single-grid assignment."""
+    if len(size_bounds) != len(grids) - 1:
+        raise ValueError("need one size bound per level boundary "
+                         f"({len(grids) - 1}), got {len(size_bounds)}")
+    rng = np.random.default_rng(seed + (0 if train else 1))
+    c = len(SHAPE_CLASSES)
+    t_total = sum(s * s for s in grids)
+    offsets = np.cumsum([0] + [s * s for s in grids])[:-1]
+    imgs = np.zeros((n, image_size, image_size, 3), np.uint8)
+    tgts = np.zeros((n, t_total, 5 + c), np.float32)
+    for i in range(n):
+        imgs[i] = rng.integers(0, 40, (image_size, image_size, 3))
+        for _ in range(int(rng.integers(1, max_objects + 1))):
+            w = rng.uniform(0.15, 0.6)
+            h = rng.uniform(0.15, 0.6)
+            cx = rng.uniform(w / 2, 1 - w / 2)
+            cy = rng.uniform(h / 2, 1 - h / 2)
+            cls = int(rng.integers(c))
+            x0, x1 = int((cx - w / 2) * image_size), int((cx + w / 2) * image_size)
+            y0, y1 = int((cy - h / 2) * image_size), int((cy + h / 2) * image_size)
+            color = np.zeros(3, np.uint8)
+            color[cls] = rng.integers(180, 256)
+            imgs[i, y0:y1, x0:x1] = color
+            lvl = int(np.searchsorted(np.asarray(size_bounds), max(w, h)))
+            s = grids[lvl]
+            gx, gy = min(s - 1, int(cx * s)), min(s - 1, int(cy * s))
+            j = offsets[lvl] + gy * s + gx
+            tgts[i, j, 0] = 1.0
+            tgts[i, j, 1] = cx * s - gx
+            tgts[i, j, 2] = cy * s - gy
+            tgts[i, j, 3] = w
+            tgts[i, j, 4] = h
+            tgts[i, j, 5:] = 0.0
+            tgts[i, j, 5 + cls] = 1.0
+    return ArrayDataset(imgs, tgts, classes=list(SHAPE_CLASSES),
+                        name=f"shapes_fpn_{'train' if train else 'test'}")
+
+
+_dataset_loader("synthetic_shapes_fpn")(
+    lambda root=None, train=True, n=512, image_size=32, grids=(8, 4),
+    seed=0, **kw:
+    generate_shapes_dataset_fpn(n=int(n), image_size=int(image_size),
+                                grids=tuple(int(g) for g in grids),
+                                seed=int(seed), train=train))
+
+
+def detection_loss_focal(pred: jnp.ndarray, target: jnp.ndarray,
+                         gamma: float = 2.0, alpha: float = 0.25,
+                         box_weight: float = 5.0) -> jnp.ndarray:
+    """Focal-loss variant (Lin et al., arXiv:1708.02002) over the FLAT
+    multi-level layout (N, T, 5+C): sigmoid focal BCE on objectness
+    (handles the extreme cell imbalance an FPN's fine levels create —
+    replacing the single-grid loss's fixed no-object down-weight), plus
+    the same object-cell box MSE and class CE as :func:`detection_loss`.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    obj = target[..., 0]
+    logit = pred[..., 0]
+    bce = jnp.maximum(logit, 0) - logit * obj + jnp.log1p(
+        jnp.exp(-jnp.abs(logit)))
+    p_t = jnp.exp(-bce)                       # prob of the true label
+    alpha_t = jnp.where(obj > 0, alpha, 1.0 - alpha)
+    focal = alpha_t * (1.0 - p_t) ** gamma * bce
+    n_obj = jnp.maximum(jnp.sum(obj), 1.0)
+    obj_loss = jnp.sum(focal) / n_obj         # RetinaNet normalization
+
+    box_pred = jax.nn.sigmoid(pred[..., 1:5])
+    box_err = jnp.sum((box_pred - target[..., 1:5]) ** 2, axis=-1)
+    box_loss = jnp.sum(obj * box_err) / n_obj
+    logp = jax.nn.log_softmax(pred[..., 5:], axis=-1)
+    cls_loss = -jnp.sum(obj * jnp.sum(target[..., 5:] * logp, axis=-1)) / n_obj
+    return obj_loss + box_weight * box_loss + cls_loss
+
+
+def decode_detections_flat(pred: jnp.ndarray, grids: Tuple[int, ...],
+                           top_k: int = 16,
+                           nms_iou: Optional[float] = None,
+                           class_aware_nms: bool = True):
+    """Flat multi-level grid (N, T, 5+C) -> top-k boxes across ALL levels
+    (then optional class-aware NMS, which also merges duplicate detections
+    of one object across pyramid levels — the multi-scale failure mode the
+    single-grid decode never sees)."""
+    n, t, _ = pred.shape
+    gx, gy, gs = flat_grid_layout(grids)
+    conf = jax.nn.sigmoid(pred[..., 0])
+    scores, idx = jax.lax.top_k(conf, top_k)
+    sel = jnp.take_along_axis(pred, idx[..., None], axis=1)
+    boxes = _cell_boxes(sel, jnp.take(gx, idx), jnp.take(gy, idx),
+                        jnp.take(gs, idx), raw=True)
+    classes = jnp.argmax(sel[..., 5:], axis=-1)
+    if nms_iou is not None:
+        from deepcv_tpu.ops.boxes import batched_nms, nms as plain_nms
+        if class_aware_nms:
+            keep = jax.vmap(lambda b, sc, cl: batched_nms(b, sc, cl, nms_iou))(
+                boxes, scores, classes)
+        else:
+            keep = jax.vmap(lambda b, sc: plain_nms(b, sc, nms_iou))(
+                boxes, scores)
+        scores = jnp.where(keep, scores, 0.0)
+    return boxes, scores, classes
+
+
+def map50_flat(pred: jnp.ndarray, target: jnp.ndarray,
+               grids: Tuple[int, ...], score_threshold: float = 0.0,
+               top_k: int = 16) -> jnp.ndarray:
+    """mAP@0.5 for the flat multi-level layout (same protocol as
+    :func:`map50`; cross-level duplicates are collapsed by the class-aware
+    NMS inside the decode). Register via ``functools.partial(map50_flat,
+    grids=...)`` in ``train()``'s eval_metrics."""
+    from deepcv_tpu.ops.boxes import mean_average_precision
+
+    num_classes = target.shape[-1] - 5
+    boxes, scores, classes = decode_detections_flat(pred, grids, top_k=top_k,
+                                                    nms_iou=0.5)
+    pred_valid = scores > score_threshold
+    gx, gy, gs = flat_grid_layout(grids)
+    gt_boxes = _cell_boxes(target, gx[None], gy[None], gs[None], raw=False)
+    gt_valid = target[..., 0] > 0.5
+    gt_classes = jnp.argmax(target[..., 5:], axis=-1)
+    mAP, _ = mean_average_precision(boxes, scores, classes, pred_valid,
+                                    gt_boxes, gt_classes, gt_valid,
+                                    num_classes=num_classes)
+    return mAP
+
+
+def create_fpn_detector(datasets, model_params: Mapping[str, Any]
+                        ) -> DeepcvModule:
+    """Multi-scale detector: backbone-from-YAML whose spec gathers named
+    feature levels (``_new_branch_from_tensor {_from: [c3, c4]}``); this
+    node appends the FPN + RetinaNet-style shared head sized from the
+    dataset (``fpn_channels`` model param, default 64). The model output
+    is the flat (N, T_total, 5+C) tensor matching the FPN targets."""
+    import copy
+    trainset = datasets["trainset"]
+    num_classes = trainset.dataset.targets.shape[-1] - 5
+    hp = copy.deepcopy(dict(model_params))
+    channels = int(hp.pop("fpn_channels", 64))
+    hp["architecture"].append(
+        {"fpn": {"channels": channels, "head_outputs": 5 + num_classes}})
+    return DeepcvModule(trainset.image_shape, hp)
+
+
+def train_fpn_detector(datasets, model: DeepcvModule, hp: Mapping[str, Any],
+                       trackers=()):
+    import functools
+    backend = BackendConfig(**dict(hp.get("backend_conf") or {}))
+    grids = tuple(int(g) for g in hp.get("fpn_grids", (8, 4)))
+    state, history = train_fn(
+        hp, model, detection_loss_focal, datasets, backend_conf=backend,
+        metrics={"objectness_accuracy": objectness_accuracy},
+        eval_metrics={"map50": functools.partial(map50_flat, grids=grids)},
+        loggers=list(trackers))
+    return {"state": state, "history": history, "model": model}
+
+
+# --------------------------------------------------------------------------- #
 # Pipeline
 # --------------------------------------------------------------------------- #
 
@@ -281,4 +467,16 @@ def get_pipelines() -> Dict[str, Pipeline]:
                               "params:train_object_detector", "trackers"],
              "train_results", name="train"),
     ], name="train_object_detector", tags={"train", "detection"})
-    return {"train_object_detector": train_pipeline}
+    fpn_pipeline = Pipeline([
+        Node(preprocess, ["shapes_fpn_train", "shapes_fpn_test",
+                          "params:shapes_preprocessing"],
+             "datasets", name="preprocess"),
+        Node(create_fpn_detector, ["datasets",
+                                   "params:fpn_detector_model"],
+             "model", name="create_fpn_detector"),
+        Node(train_fpn_detector, ["datasets", "model",
+                                  "params:train_fpn_detector", "trackers"],
+             "train_results", name="train"),
+    ], name="train_fpn_detector", tags={"train", "detection"})
+    return {"train_object_detector": train_pipeline,
+            "train_fpn_detector": fpn_pipeline}

@@ -444,6 +444,18 @@ def _activation(params, ctx: CreatorContext, name: str) -> fnn.Module:
                      name=name)
 
 
+@submodule_creator("fpn", aliases=("feature_pyramid",),
+                   allowed=("channels", "head_outputs"))
+def _fpn(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Feature Pyramid Network over a gathered list of backbone levels
+    (ops/nn.FeaturePyramid). ``head_outputs`` adds the RetinaNet-style
+    shared head conv and emits the flat (N, T_total, head_outputs) dense
+    prediction tensor."""
+    return dnn.FeaturePyramid(channels=int(params.get("channels", 64)),
+                              head_outputs=int(params.get("head_outputs", 0)),
+                              dtype=ctx.dtype, name=name)
+
+
 @submodule_creator("interpolate", aliases=("upsample", "resize"),
                    allowed=("size", "scale", "method"))
 def _interpolate(params, ctx: CreatorContext, name: str) -> fnn.Module:

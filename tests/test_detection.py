@@ -79,3 +79,98 @@ def test_detector_training_improves_iou(tmp_path):
     h = out["history"]
     assert h["train"][-1]["main_loss"] < h["train"][0]["main_loss"]
     assert h["valid"][-1]["valid_mean_iou"] > h["valid"][0]["valid_mean_iou"] - 0.05
+
+
+# --------------------------------------------------------------------------- #
+# Multi-scale FPN variant
+# --------------------------------------------------------------------------- #
+
+def test_fpn_generator_level_assignment():
+    from deepcv_tpu.pipelines.detection import (flat_grid_layout,
+                                                generate_shapes_dataset_fpn)
+    ds = generate_shapes_dataset_fpn(n=64, image_size=32, grids=(8, 4),
+                                     size_bounds=(0.3,), seed=0)
+    t = ds.targets
+    assert t.shape == (64, 8 * 8 + 4 * 4, 5 + len(SHAPE_CLASSES))
+    obj = t[..., 0] > 0
+    assert obj.sum() >= 64
+    # small objects (max wh <= 0.3) land on the fine level, large on coarse
+    fine, coarse = t[:, :64], t[:, 64:]
+    fo, co = fine[..., 0] > 0, coarse[..., 0] > 0
+    assert fo.sum() > 0 and co.sum() > 0
+    assert np.all(np.maximum(fine[..., 3][fo], fine[..., 4][fo]) <= 0.3 + 1e-6)
+    assert np.all(np.maximum(coarse[..., 3][co], coarse[..., 4][co]) > 0.3 - 1e-6)
+    gx, gy, gs = flat_grid_layout((8, 4))
+    assert gx.shape == (80,) and float(gs[0]) == 8 and float(gs[-1]) == 4
+
+
+def test_focal_loss_semantics():
+    """Focal loss: perfect confident prediction ~ 0; focal term down-weights
+    easy negatives vs plain BCE (gamma=0 == alpha-weighted BCE)."""
+    from deepcv_tpu.pipelines.detection import (detection_loss_focal,
+                                                generate_shapes_dataset_fpn)
+    ds = generate_shapes_dataset_fpn(n=8, image_size=32, grids=(8, 4), seed=1)
+    t = jnp.asarray(ds.targets)
+    eps = 1e-4
+    inv = lambda p: jnp.log(jnp.clip(p, eps, 1 - eps) / (1 - jnp.clip(p, eps, 1 - eps)))
+    perfect = jnp.concatenate([jnp.where(t[..., :1] > 0, 12.0, -12.0),
+                               inv(t[..., 1:5]),
+                               jnp.where(t[..., 5:] > 0, 12.0, -12.0)], -1)
+    assert float(detection_loss_focal(perfect, t)) < 0.05
+    # mildly-confident easy negatives: focusing (gamma=2) shrinks their
+    # contribution vs gamma=0
+    mild = jnp.concatenate([jnp.where(t[..., :1] > 0, 2.0, -2.0),
+                            inv(t[..., 1:5]),
+                            jnp.where(t[..., 5:] > 0, 2.0, -2.0)], -1)
+    assert float(detection_loss_focal(mild, t, gamma=2.0)) \
+        < float(detection_loss_focal(mild, t, gamma=0.0))
+
+
+def test_decode_flat_and_map50_flat_perfect():
+    from deepcv_tpu.pipelines.detection import (decode_detections_flat,
+                                                generate_shapes_dataset_fpn,
+                                                map50_flat)
+    ds = generate_shapes_dataset_fpn(n=8, image_size=32, grids=(8, 4), seed=2)
+    t = jnp.asarray(ds.targets)
+    eps = 1e-4
+    inv = lambda p: jnp.log(jnp.clip(p, eps, 1 - eps) / (1 - jnp.clip(p, eps, 1 - eps)))
+    pred = jnp.concatenate([jnp.where(t[..., :1] > 0, 10.0, -10.0),
+                            inv(t[..., 1:5]),
+                            jnp.where(t[..., 5:] > 0, 10.0, -10.0)], -1)
+    boxes, scores, classes = decode_detections_flat(pred, (8, 4), top_k=8)
+    assert boxes.shape == (8, 8, 4) and float(scores[0, 0]) > 0.99
+    m = float(jax.jit(lambda p, t: map50_flat(p, t, grids=(8, 4)))(pred, t))
+    assert m > 0.99  # perfect detections -> mAP 1.0
+
+
+def test_fpn_detector_training_improves_map50(tmp_path):
+    from deepcv_tpu.pipelines.detection import (create_fpn_detector,
+                                                generate_shapes_dataset_fpn,
+                                                train_fpn_detector)
+    raw = generate_shapes_dataset_fpn(n=256, image_size=16, grids=(4, 2),
+                                      seed=3)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.2},
+                       "transforms": ["to_tensor"]})
+    model = create_fpn_detector(data, {
+        "act_fn": "relu", "fpn_channels": 32,
+        "architecture": [
+            {"conv2d": {"kernel_size": [3, 3], "out_channels": 16, "padding": 1}},
+            {"avg_pooling": {"kernel_size": [2, 2], "stride": [2, 2]}},
+            {"conv2d": {"kernel_size": [2, 2], "out_channels": 16, "padding": 0,
+                        "stride": 2, "_name": "c3"}},
+            {"avg_pooling": {"kernel_size": [2, 2], "stride": [2, 2]}},
+            {"conv2d": ["c4", {"kernel_size": [3, 3], "out_channels": 32,
+                               "padding": 1}]},
+            {"_new_branch_from_tensor": {"_from": ["c3", "c4"]}},
+        ]})
+    assert model.eval_output_shape() == (1, 4 * 4 + 2 * 2, 5 + len(SHAPE_CLASSES))
+    hp = {"epochs": 6, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
+          "fpn_grids": (4, 2), "validate_every_epochs": 2,
+          "log_progress_every_iters": 1, "backend_conf": {"n_devices": 1}}
+    out = train_fpn_detector(data, model, hp)
+    h = out["history"]
+    assert h["train"][-1]["main_loss"] < h["train"][0]["main_loss"]
+    assert h["valid"][-1]["valid_map50"] > h["valid"][0]["valid_map50"] - 0.05
+    assert "valid_map50" in h["valid"][0]   # eval-only metric present
