@@ -41,7 +41,7 @@ from deepcv_tpu.ops.nn import xavier_uniform_with_gain
 __all__ = [
     "attention_xla", "flash_attention", "scaled_dot_product_attention",
     "MultiHeadSelfAttention", "MlpBlock", "TransformerEncoderBlock",
-    "PatchEmbed", "TakeToken",
+    "PatchEmbed", "TakeToken", "resize_pos_embedding",
 ]
 
 #: exact (erf) GELU — torch.nn.GELU parity; jax.nn.gelu defaults to tanh approx
@@ -369,6 +369,42 @@ class PatchEmbed(fnn.Module):
             x = fnn.Dropout(rate=float(self.dropout_prob),
                             deterministic=not train)(x)
         return x
+
+
+def resize_pos_embedding(variables, new_hw: int, patch_size: int,
+                         embed_node: str = "node_impls_embed",
+                         method: str = "cubic"):
+    """Fine-tune a trained ViT at a new resolution: bicubic-resample the
+    learned position table's GRID part to the new token count (torchvision
+    ``interpolate_embeddings`` semantics — the [cls] slot is preserved
+    untouched). Returns a new variables pytree; everything else is shared
+    by reference (patch/attention weights are resolution-agnostic).
+
+    ``new_hw`` is the new square input size; the new grid is
+    (new_hw // patch_size)².
+    """
+    params = dict(variables["params"])
+    node = dict(params[embed_node])
+    pos = node["pos_embedding"]                     # (1, T, D)
+    has_cls = "cls_token" in node
+    grid_part = pos[:, 1:] if has_cls else pos
+    t_old = grid_part.shape[1]
+    side_old = int(round(math.sqrt(t_old)))
+    if side_old * side_old != t_old:
+        raise ValueError(f"position table's grid part has {t_old} tokens — "
+                         "not square; cannot infer the old grid")
+    side_new = int(new_hw) // int(patch_size)
+    if int(new_hw) % int(patch_size):
+        raise ValueError(f"new_hw={new_hw} not divisible by "
+                         f"patch_size={patch_size}")
+    d = pos.shape[-1]
+    grid = grid_part.reshape(1, side_old, side_old, d)
+    grid = jax.image.resize(grid, (1, side_new, side_new, d), method=method)
+    grid = grid.reshape(1, side_new * side_new, d)
+    node["pos_embedding"] = jnp.concatenate([pos[:, :1], grid], axis=1) \
+        if has_cls else grid
+    params[embed_node] = node
+    return {**variables, "params": params}
 
 
 class TakeToken(fnn.Module):

@@ -169,3 +169,45 @@ def test_attention_probability_dropout_torch_semantics():
                                 attn_impl="flash")
     with pytest.raises(ValueError, match="flash"):
         mf.init(jax.random.PRNGKey(0), x)
+
+
+def test_resize_pos_embedding_resolution_transfer(tmp_path):
+    """A ViT trained at one resolution transfers to another: the position
+    table's grid part is bicubic-resampled (torchvision
+    interpolate_embeddings semantics, [cls] slot untouched) and the new
+    model forwards; at the SAME resolution the resample is an exact no-op.
+    The resized model also round-trips through the StableHLO deployment
+    artifact (serving story for the attention family)."""
+    from deepcv_tpu.ops.attention import resize_pos_embedding
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.serve import export_stablehlo, load_stablehlo
+
+    hp = _tiny_vit_hp()
+    m16 = DeepcvModule((16, 16, 3), hp)
+    v16 = m16.init(jax.random.PRNGKey(0))
+    pos = v16["params"]["node_impls_embed"]["pos_embedding"]
+    assert pos.shape == (1, 5, 32)            # [cls] + 2x2 grid
+
+    # identity at the same resolution
+    same = resize_pos_embedding(v16, new_hw=16, patch_size=8)
+    np.testing.assert_allclose(
+        np.asarray(same["params"]["node_impls_embed"]["pos_embedding"]),
+        np.asarray(pos), atol=1e-6)
+
+    # transfer 16 -> 32 (2x2 -> 4x4 grid); all other params shared
+    v32 = resize_pos_embedding(v16, new_hw=32, patch_size=8)
+    new_pos = v32["params"]["node_impls_embed"]["pos_embedding"]
+    assert new_pos.shape == (1, 17, 32)
+    np.testing.assert_allclose(np.asarray(new_pos[:, 0]),
+                               np.asarray(pos[:, 0]), atol=1e-6)  # cls kept
+    m32 = DeepcvModule((32, 32, 3), hp)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    y = jax.jit(lambda v, x: m32.apply(v, x, train=False))(v32, x)
+    assert y.shape == (2, 5) and bool(jnp.isfinite(y).all())
+
+    # deployment artifact round-trip at the new resolution
+    path = tmp_path / "vit32.stablehlo"
+    export_stablehlo(path, m32, v32, batch_size=2)
+    fn = load_stablehlo(path)
+    np.testing.assert_allclose(np.asarray(fn(np.asarray(x, np.float32))),
+                               np.asarray(y), atol=1e-5, rtol=1e-5)
