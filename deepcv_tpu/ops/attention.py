@@ -293,14 +293,28 @@ class MlpBlock(fnn.Module):
 
 class TransformerEncoderBlock(fnn.Module):
     """Pre-LN encoder block, torchvision ``EncoderBlock`` wiring:
-    x + drop(attn(ln_1(x))); then x + mlp(ln_2(x))."""
+    x + drop(attn(ln_1(x))); then x + mlp(ln_2(x)).
+
+    ``drop_path_prob`` adds stochastic depth (Huang et al.,
+    arXiv:1603.09382; standard for ViT training): each residual BRANCH is
+    dropped per sample with that probability during training (surviving
+    branches rescaled by 1/(1-p)) — implemented as a batch-broadcast
+    Dropout so one Bernoulli draw gates the whole branch of a sample."""
     num_heads: int
     mlp_dim: int
     dropout_prob: float = 0.0
     attn_dropout_prob: float = 0.0
+    drop_path_prob: float = 0.0
     attn_impl: str = "xla"
     ln_eps: float = 1e-6
     dtype: Any = None
+
+    def _drop_path(self, v, train: bool):
+        if self.drop_path_prob and self.drop_path_prob > 0.0:
+            return fnn.Dropout(rate=float(self.drop_path_prob),
+                               broadcast_dims=tuple(range(1, v.ndim)),
+                               deterministic=not train)(v)
+        return v
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
@@ -314,12 +328,12 @@ class TransformerEncoderBlock(fnn.Module):
         if self.dropout_prob and self.dropout_prob > 0.0:
             y = fnn.Dropout(rate=float(self.dropout_prob),
                             deterministic=not train)(y)
-        x = x + y
+        x = x + self._drop_path(y, train)
         z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_2")(x)
         z = MlpBlock(mlp_dim=self.mlp_dim, dropout_prob=self.dropout_prob,
                      dtype=self.dtype, name="mlp")(z, train=train)
-        return x + z
+        return x + self._drop_path(z, train)
 
 
 class PatchEmbed(fnn.Module):

@@ -728,16 +728,19 @@ def _patch_embed(params, ctx: CreatorContext, name: str) -> fnn.Module:
 
 @submodule_creator("transformer_block", aliases=("encoder_block",),
                    allowed=("num_heads", "mlp_dim", "dropout_prob",
-                            "attn_dropout_prob", "attn_impl", "ln_eps"),
+                            "attn_dropout_prob", "drop_path_prob",
+                            "attn_impl", "ln_eps"),
                    required=("num_heads", "mlp_dim"))
 def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
     """Pre-LN transformer encoder block (torchvision EncoderBlock wiring;
-    ``attn_impl: flash`` switches to the Pallas online-softmax kernel)."""
+    ``attn_impl: flash`` switches to the Pallas online-softmax kernel;
+    ``drop_path_prob`` = stochastic depth on both residual branches)."""
     from deepcv_tpu.ops.attention import TransformerEncoderBlock
     return TransformerEncoderBlock(
         num_heads=int(params["num_heads"]), mlp_dim=int(params["mlp_dim"]),
         dropout_prob=float(params.get("dropout_prob") or 0.0),
         attn_dropout_prob=float(params.get("attn_dropout_prob") or 0.0),
+        drop_path_prob=float(params.get("drop_path_prob") or 0.0),
         attn_impl=str(params.get("attn_impl", "xla")),
         ln_eps=float(params.get("ln_eps", 1e-6)),
         dtype=ctx.dtype, name=name)

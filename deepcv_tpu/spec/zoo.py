@@ -388,6 +388,7 @@ VIT_SETTINGS = {
 
 def vit_spec(variant: str = "b_16", num_classes: int = 1000,
              dropout: float = 0.0, attn_dropout: float = 0.0,
+             stochastic_depth: float = 0.0,
              attn_impl: str = "xla") -> Dict[str, Any]:
     """Vision Transformer through the spec language — the attention-family
     counterpart to the CNN zoo (the reference is CNN-only, SURVEY §5.7).
@@ -416,10 +417,14 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
                                    "dropout_prob": dropout}]},
     ]
     for i in range(layers):
+        # stochastic depth with the standard linear ramp: block i drops its
+        # residual branches with prob p * i / (L - 1) (timm convention)
+        dp = stochastic_depth * i / max(1, layers - 1)
         arch.append({"transformer_block": [
             f"enc{i}", {"num_heads": heads, "mlp_dim": mlp,
                         "dropout_prob": dropout,
                         "attn_dropout_prob": attn_dropout,
+                        "drop_path_prob": round(dp, 6),
                         "attn_impl": attn_impl}]})
     arch.append({"norm": ["final_ln", {"layer_norm": {"eps": 1e-6}}]})
     arch.append({"take_token": {"index": 0}})

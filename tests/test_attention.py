@@ -211,3 +211,29 @@ def test_resize_pos_embedding_resolution_transfer(tmp_path):
     fn = load_stablehlo(path)
     np.testing.assert_allclose(np.asarray(fn(np.asarray(x, np.float32))),
                                np.asarray(y), atol=1e-5, rtol=1e-5)
+
+
+def test_stochastic_depth_drop_path():
+    """drop_path gates whole residual BRANCHES per sample: at rate->1-eps
+    in train mode the block degenerates toward identity on dropped
+    samples; eval is deterministic and identical to drop_path 0; vit_spec
+    ramps the rate linearly across blocks (0 on the first block)."""
+    from deepcv_tpu.ops.attention import TransformerEncoderBlock
+    from deepcv_tpu.spec.zoo import vit_spec
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 5, 16))
+    blk = TransformerEncoderBlock(num_heads=4, mlp_dim=32,
+                                  drop_path_prob=0.999)
+    v = blk.init(jax.random.PRNGKey(1), x)
+    y = blk.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    # with p ~ 1 virtually every branch is dropped -> output == input
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-2)
+    blk0 = TransformerEncoderBlock(num_heads=4, mlp_dim=32)
+    np.testing.assert_allclose(np.asarray(blk.apply(v, x, train=False)),
+                               np.asarray(blk0.apply(v, x)), atol=1e-6)
+
+    hp = vit_spec(variant="b_16", stochastic_depth=0.1)
+    rows = [r["transformer_block"][1]["drop_path_prob"]
+            for r in hp["architecture"] if "transformer_block" in r]
+    assert rows[0] == 0.0 and abs(rows[-1] - 0.1) < 1e-9
+    assert all(b >= a for a, b in zip(rows, rows[1:]))
