@@ -616,6 +616,11 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         from deepcv_tpu.spec.zoo import vit_spec
         # pure-matmul regime (no BN anywhere): --norm does not apply
         hp_m = vit_spec(variant=arch[len("vit_"):], num_classes=1000)
+    elif arch.startswith("convnext_"):
+        from deepcv_tpu.spec.zoo import convnext_spec
+        # LN-normalized family: --norm does not apply
+        hp_m = convnext_spec(variant=arch[len("convnext_"):],
+                             num_classes=1000, pool_kernel=hw // 32)
     else:
         hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
                            norm=zoo_norm)
@@ -649,7 +654,8 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
                      "efficientnet_b0": 5.29, "mobilenet_v3_large": 5.48,
                      "mobilenet_v3_small": 2.54, "vit_b_16": 86.57,
-                     "vit_b_32": 88.22}.get(arch), "batch": batch,
+                     "vit_b_32": 88.22, "convnext_tiny": 28.59,
+                     "convnext_small": 50.22}.get(arch), "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
 
 
@@ -735,7 +741,8 @@ if __name__ == "__main__":
     ap.add_argument("--arch", default="resnet50",
                     choices=["resnet50", "mobilenet_v2", "efficientnet_b0",
                              "mobilenet_v3_large", "mobilenet_v3_small",
-                             "vit_b_16", "vit_b_32"],
+                             "vit_b_16", "vit_b_32", "convnext_tiny",
+                             "convnext_small"],
                     help="config 9 only: canonical architecture to train")
     ap.add_argument("--batch", type=int, default=0,
                     help="configs 1/6/9: global batch override (defaults "

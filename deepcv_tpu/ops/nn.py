@@ -46,6 +46,9 @@ ACTIVATION_FNS: Dict[str, Callable] = {
     "hard_swish": jax.nn.hard_swish,
     "hard_sigmoid": jax.nn.hard_sigmoid,   # relu6(x+3)/6, torch Hardsigmoid
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    # torch nn.GELU default is the exact erf form; jax.nn.gelu defaults to
+    # the tanh approximation (~1e-3 apart) — ConvNeXt/ViT parity needs exact
+    "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
     "sigmoid": jax.nn.sigmoid,
     "tanh": jnp.tanh,
     "gelu": jax.nn.gelu,
@@ -67,6 +70,7 @@ XAVIER_GAINS: Dict[str, float] = {
     "hard_sigmoid": 1.0,
     "tanh": 5.0 / 3.0,
     "gelu": math.sqrt(2.0),
+    "gelu_exact": math.sqrt(2.0),
     "silu": math.sqrt(2.0),
     "elu": 1.0,
     "identity": 1.0,
@@ -616,6 +620,86 @@ class Interpolate(fnn.Module):
         else:
             raise ValueError("Interpolate needs 'size' or 'scale'")
         return interpolate(x, target, method=self.method)
+
+
+class ConvNeXtStem(fnn.Module):
+    """ConvNeXt patchify stem (Liu et al., arXiv:2201.03545): the 4x4/s4
+    conv is EXACTLY a 4x4-patch reshape + one Dense — implemented that way
+    (pure MXU matmul, no 3->8 conv lane padding, identical parameters) —
+    followed by channels-last LayerNorm (eps 1e-6)."""
+    dim: int
+    patch: int = 4
+    ln_eps: float = 1e-6
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        n, hgt, wid, c = x.shape
+        p = int(self.patch)
+        if hgt % p or wid % p:
+            raise ValueError(f"input {hgt}x{wid} not divisible by patch {p}")
+        gh, gw = hgt // p, wid // p
+        x = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(n, gh, gw, p * p * c)
+        x = fnn.Dense(int(self.dim), dtype=self.dtype,
+                      kernel_init=xavier_uniform_with_gain(1.0),
+                      name="proj")(x)
+        return fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
+                             name="ln")(x)
+
+
+class ConvNeXtDownsample(fnn.Module):
+    """ConvNeXt between-stage downsampling: LayerNorm then 2x2/s2 conv."""
+    dim: int
+    ln_eps: float = 1e-6
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
+                          name="ln")(x)
+        return fnn.Conv(int(self.dim), (2, 2), strides=(2, 2),
+                        padding="VALID", dtype=self.dtype,
+                        kernel_init=xavier_uniform_with_gain(1.0),
+                        name="conv")(x)
+
+
+class ConvNeXtBlock(fnn.Module):
+    """ConvNeXt block: depthwise 7x7 conv -> LN -> Dense(4C) -> exact GELU
+    -> Dense(C) -> per-channel layer scale (init 1e-6) -> stochastic depth
+    -> residual add. Channels-last throughout, so torch's NCHW<->NHWC
+    permutes vanish; the pointwise 'convs' are Denses on the MXU."""
+    drop_path_prob: float = 0.0
+    layer_scale_init: float = 1e-6
+    ln_eps: float = 1e-6
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = x.shape[-1]
+        y = fnn.Conv(c, (7, 7), padding=3, feature_group_count=c,
+                     dtype=self.dtype,
+                     kernel_init=xavier_uniform_with_gain(1.0),
+                     name="dwconv")(x)
+        y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
+                          name="ln")(y)
+        y = fnn.Dense(4 * c, dtype=self.dtype,
+                      kernel_init=xavier_uniform_with_gain(1.0),
+                      name="fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = fnn.Dense(c, dtype=self.dtype,
+                      kernel_init=xavier_uniform_with_gain(1.0),
+                      name="fc2")(y)
+        gamma = self.param("layer_scale",
+                           fnn.initializers.constant(
+                               float(self.layer_scale_init)), (c,),
+                           jnp.float32)
+        y = y * gamma.astype(y.dtype)
+        if self.drop_path_prob and self.drop_path_prob > 0.0:
+            y = fnn.Dropout(rate=float(self.drop_path_prob),
+                            broadcast_dims=tuple(range(1, y.ndim)),
+                            deterministic=not train)(y)
+        return x + y
 
 
 class FeaturePyramid(fnn.Module):

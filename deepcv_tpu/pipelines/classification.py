@@ -72,6 +72,14 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
+        elif str(zoo) == "convnext":
+            _reject("depth", "width_mult", "norm")
+            from deepcv_tpu.spec.zoo import convnext_spec
+            built = convnext_spec(
+                variant=str(hp.pop("variant", "tiny")),
+                num_classes=num_classes or 1000,
+                stochastic_depth=float(hp.pop("stochastic_depth", 0.1)),
+                pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "vit":
             _reject("depth", "width_mult", "norm")
             from deepcv_tpu.spec.zoo import vit_spec
@@ -88,8 +96,8 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                                 pool_kernel=max(1, input_shape[0] // 32))
         else:
             raise ValueError(
-                f"Unknown zoo builder '{zoo}' (known: resnet, "
-                "mobilenet_v2, mobilenet_v3, efficientnet_b0, vit)")
+                f"Unknown zoo builder '{zoo}' (known: resnet, mobilenet_v2, "
+                "mobilenet_v3, efficientnet_b0, convnext, vit)")
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])
@@ -190,5 +198,8 @@ def get_pipelines() -> Dict[str, Pipeline]:
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
         "train_vit": train_pipeline(
             "train_vit", "vit_model", "train_resnet50",
+            ds="imagenet224", pp_key="imagenet224_preprocessing"),
+        "train_convnext": train_pipeline(
+            "train_convnext", "convnext_model", "train_resnet50",
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
     }

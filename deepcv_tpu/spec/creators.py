@@ -444,6 +444,37 @@ def _activation(params, ctx: CreatorContext, name: str) -> fnn.Module:
                      name=name)
 
 
+@submodule_creator("convnext_stem", allowed=("dim", "patch", "ln_eps"),
+                   required=("dim",))
+def _convnext_stem(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """ConvNeXt patchify stem (reshape + Dense + LN; arXiv:2201.03545)."""
+    return dnn.ConvNeXtStem(dim=int(params["dim"]),
+                            patch=int(params.get("patch", 4)),
+                            ln_eps=float(params.get("ln_eps", 1e-6)),
+                            dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("convnext_downsample", allowed=("dim", "ln_eps"),
+                   required=("dim",))
+def _convnext_downsample(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """ConvNeXt between-stage LN + 2x2/s2 conv."""
+    return dnn.ConvNeXtDownsample(dim=int(params["dim"]),
+                                  ln_eps=float(params.get("ln_eps", 1e-6)),
+                                  dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("convnext_block",
+                   allowed=("drop_path_prob", "layer_scale_init", "ln_eps"))
+def _convnext_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """ConvNeXt block: dw7x7 -> LN -> 4C MLP (exact GELU) -> layer scale ->
+    drop path -> residual."""
+    return dnn.ConvNeXtBlock(
+        drop_path_prob=float(params.get("drop_path_prob") or 0.0),
+        layer_scale_init=float(params.get("layer_scale_init", 1e-6)),
+        ln_eps=float(params.get("ln_eps", 1e-6)),
+        dtype=ctx.dtype, name=name)
+
+
 @submodule_creator("fpn", aliases=("feature_pyramid",),
                    allowed=("channels", "head_outputs"))
 def _fpn(params, ctx: CreatorContext, name: str) -> fnn.Module:

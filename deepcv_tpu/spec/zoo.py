@@ -22,7 +22,8 @@ from typing import Any, Dict, List
 __all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
            "MOBILENET_V2_SETTINGS", "efficientnet_b0_spec",
            "EFFICIENTNET_B0_SETTINGS", "mobilenet_v3_spec",
-           "MOBILENET_V3_SETTINGS", "vit_spec", "VIT_SETTINGS"]
+           "MOBILENET_V3_SETTINGS", "vit_spec", "VIT_SETTINGS",
+           "convnext_spec", "CONVNEXT_SETTINGS"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -434,3 +435,52 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
     # global act_fn is unused by the transformer nodes (the MLP's exact
     # GELU is internal) but required by the engine; dropout rides per-node.
     return {"act_fn": "gelu", "architecture": arch, "dropout_prob": 0.0}
+
+
+#: ConvNeXt variants (Liu et al., arXiv:2201.03545; torchvision naming):
+#: (blocks per stage, dims per stage)
+CONVNEXT_SETTINGS = {
+    "tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+    "large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
+}
+
+
+def convnext_spec(variant: str = "tiny", num_classes: int = 1000,
+                  stochastic_depth: float = 0.1,
+                  pool_kernel: int = 7) -> Dict[str, Any]:
+    """ConvNeXt through the spec language — the modern-CNN zoo family
+    (depthwise 7x7 + LayerNorm + inverted 4x MLP + layer scale + drop
+    path). The patchify stem is a reshape + Dense (ops/nn.ConvNeXtStem) so
+    NO inert lane-pad rows arise; parameter counts equal torchvision
+    exactly. ``stochastic_depth`` ramps linearly over all blocks (timm
+    convention; 0.1 is torchvision's convnext_tiny default). Head: global
+    average pool -> flatten -> LayerNorm(1e-6) -> Linear. ``pool_kernel``
+    = input_size // 32."""
+    if variant not in CONVNEXT_SETTINGS:
+        raise ValueError(f"variant must be one of "
+                         f"{sorted(CONVNEXT_SETTINGS)}, got {variant!r}")
+    blocks, dims = CONVNEXT_SETTINGS[variant]
+    total = sum(blocks)
+    arch: List[Any] = [
+        {"convnext_stem": ["stem", {"dim": dims[0], "patch": 4}]},
+    ]
+    bi = 0
+    for s, (n_blocks, dim) in enumerate(zip(blocks, dims)):
+        if s > 0:
+            arch.append({"convnext_downsample": [f"down{s}", {"dim": dim}]})
+        for b in range(n_blocks):
+            dp = stochastic_depth * bi / max(1, total - 1)
+            arch.append({"convnext_block": [
+                f"s{s}b{b}", {"drop_path_prob": round(dp, 6)}]})
+            bi += 1
+    arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
+                                     "stride": [pool_kernel, pool_kernel]}})
+    arch.append({"flatten": {}})
+    arch.append({"norm": ["head_ln", {"layer_norm": {"eps": 1e-6}}]})
+    arch.append({"fully_connected": {"out_features": num_classes,
+                                     "act_fn": None, "batch_norm": None,
+                                     "group_norm": None}})
+    return {"act_fn": "gelu_exact", "architecture": arch,
+            "dropout_prob": 0.0}

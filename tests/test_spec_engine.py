@@ -649,3 +649,46 @@ def test_vit_zoo_builder_matches_torchvision_params():
     bad = vit_spec(variant="b_16")
     with pytest.raises(ValueError, match="not divisible"):
         DeepcvModule((30, 30, 3), bad).init(jax.random.PRNGKey(0))
+
+
+def test_convnext_zoo_builder_matches_torchvision_params():
+    """spec/zoo.convnext_spec: all four torchvision variants land EXACTLY
+    on the published counts at 224 (tiny 28,589,128 / small 50,223,688 /
+    base 88,591,464 / large 197,767,336) — zero pad rows (patchify stem is
+    reshape+Dense). Drop-path ramp is linear from 0; a tiny build forwards
+    train-mode with dropout rngs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import convnext_spec
+
+    for variant, expect in (("tiny", 28_589_128), ("small", 50_223_688),
+                            ("base", 88_591_464), ("large", 197_767_336)):
+        m = DeepcvModule((224, 224, 3), convnext_spec(variant=variant))
+        vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(vs["params"]))
+        assert n == expect, (variant, n, expect)
+
+    with pytest.raises(ValueError, match="variant must be one of"):
+        convnext_spec(variant="xl")
+
+    hp = convnext_spec(variant="tiny", num_classes=7, pool_kernel=1,
+                       stochastic_depth=0.1)
+    rows = [r["convnext_block"][1]["drop_path_prob"]
+            for r in hp["architecture"] if "convnext_block" in r]
+    assert rows[0] == 0.0 and abs(rows[-1] - 0.1) < 1e-9 and len(rows) == 18
+    # shrink to one block per stage for a fast executing forward
+    hp["architecture"] = [r for r in hp["architecture"]
+                          if "convnext_block" not in r
+                          or r["convnext_block"][0] in ("s0b0", "s1b0",
+                                                        "s2b0", "s3b0")]
+    m = DeepcvModule((32, 32, 3), hp)
+    v = m.init(jax.random.PRNGKey(0))
+    assert "layer_scale" in v["params"]["node_impls_s0b0"]
+    y = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
+        v, jnp.ones((2, 32, 32, 3)))
+    assert y.shape == (2, 7) and bool(jnp.isfinite(y).all())

@@ -1426,3 +1426,101 @@ def test_vit_flash_impl_matches_torch_and_xla():
     with torch.no_grad():
         te = tm(_t(x)).numpy()
     np.testing.assert_allclose(jf, te, atol=5e-5, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+# ConvNeXt family mirror (ops/nn.ConvNeXt{Stem,Block,Downsample})
+# --------------------------------------------------------------------------- #
+
+class TorchConvNeXtMini(tnn.Module):
+    """Executing-torch mirror of a 2-stage ConvNeXt built from the same
+    creators convnext_spec uses: patchify-Dense stem + LN, one block per
+    stage (dw7x7 -> LN -> 4C MLP with EXACT GELU -> layer scale ->
+    residual), LN+2x2/s2 downsample between stages, pool -> LN -> head."""
+
+    def __init__(self, d1=16, d2=32, num_classes=5):
+        super().__init__()
+        self.stem_proj = tnn.Linear(4 * 4 * 3, d1)
+        self.stem_ln = tnn.LayerNorm(d1, eps=1e-6)
+
+        def block(c):
+            return tnn.ModuleDict(dict(
+                dw=tnn.Conv2d(c, c, 7, padding=3, groups=c),
+                ln=tnn.LayerNorm(c, eps=1e-6),
+                fc1=tnn.Linear(c, 4 * c), fc2=tnn.Linear(4 * c, c)))
+
+        self.b1, self.b2 = block(d1), block(d2)
+        self.g1 = tnn.Parameter(torch.full((d1,), 1e-6))
+        self.g2 = tnn.Parameter(torch.full((d2,), 1e-6))
+        self.down_ln = tnn.LayerNorm(d1, eps=1e-6)
+        self.down = tnn.Conv2d(d1, d2, 2, stride=2)
+        self.head_ln = tnn.LayerNorm(d2, eps=1e-6)
+        self.head = tnn.Linear(d2, num_classes)
+
+    @staticmethod
+    def _block(blk, gamma, x):                 # x NHWC
+        y = blk["dw"](x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+        y = blk["ln"](y)
+        y = blk["fc2"](tF.gelu(blk["fc1"](y)))
+        return x + y * gamma
+
+    def forward(self, x):                      # x (N, H, W, C)
+        n, hgt, wid, c = x.shape
+        x = x.reshape(n, hgt // 4, 4, wid // 4, 4, c)
+        x = x.permute(0, 1, 3, 2, 4, 5).reshape(n, hgt // 4, wid // 4, -1)
+        x = self.stem_ln(self.stem_proj(x))
+        x = self._block(self.b1, self.g1, x)
+        x = self.down(self.down_ln(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+        x = self._block(self.b2, self.g2, x)
+        x = x.mean(dim=(1, 2))
+        return self.head(self.head_ln(x))
+
+
+def test_convnext_blocks_torch_parity():
+    from deepcv_tpu.spec import DeepcvModule
+
+    d1, d2 = 16, 32
+    hp = {"act_fn": "gelu_exact", "architecture": [
+        {"convnext_stem": ["stem", {"dim": d1, "patch": 4}]},
+        {"convnext_block": ["b1", {}]},
+        {"convnext_downsample": ["down", {"dim": d2}]},
+        {"convnext_block": ["b2", {}]},
+        {"average_pooling": {"kernel_size": [4, 4], "stride": [4, 4]}},
+        {"flatten": {}},
+        {"norm": ["head_ln", {"layer_norm": {"eps": 1e-6}}]},
+        {"fully_connected": {"out_features": 5, "act_fn": None,
+                             "batch_norm": None, "group_norm": None}},
+    ]}
+    jm = DeepcvModule((32, 32, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(5))
+    p = jv["params"]
+
+    tm = TorchConvNeXtMini(d1, d2)
+    stem = p["node_impls_stem"]
+    copy_dense(tm.stem_proj, {"op": stem["proj"]})
+    copy_affine(tm.stem_ln, stem["ln"])
+    for blk, gamma, node in ((tm.b1, tm.g1, p["node_impls_b1"]),
+                             (tm.b2, tm.g2, p["node_impls_b2"])):
+        k = np.asarray(node["dwconv"]["kernel"])       # (7,7,1,C)
+        blk["dw"].weight.data = _t(k.transpose(3, 2, 0, 1))
+        blk["dw"].bias.data = _t(node["dwconv"]["bias"])
+        copy_affine(blk["ln"], node["ln"])
+        copy_dense(blk["fc1"], {"op": node["fc1"]})
+        copy_dense(blk["fc2"], {"op": node["fc2"]})
+        gamma.data = _t(node["layer_scale"])
+    down = p["node_impls_down"]
+    copy_affine(tm.down_ln, down["ln"])
+    tm.down.weight.data = _t(np.asarray(down["conv"]["kernel"]).transpose(3, 2, 0, 1))
+    tm.down.bias.data = _t(down["conv"]["bias"])
+    copy_affine(tm.head_ln, p["node_impls_head_ln"]["norms_0"])
+    fc_key = next(k for k in p if "fully_connected" in k)
+    copy_dense(tm.head, p[fc_key])
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    je = np.asarray(jax.jit(lambda v, x: jm.apply(v, x, train=False))(
+        jv, jnp.asarray(x)))
+    tm.eval()
+    with torch.no_grad():
+        te = tm(_t(x)).numpy()
+    np.testing.assert_allclose(je, te, atol=2e-5, rtol=1e-4)
