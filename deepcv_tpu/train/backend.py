@@ -45,6 +45,7 @@ class BackendConfig:
                  n_devices: Optional[int] = None,
                  tensor_parallel: int = 1,
                  slices: int = 1,
+                 zero: bool = False,
                  distributed: bool = False,
                  # --- reference-compat kwargs (ignored on TPU) ---
                  dist_backend: Optional[str] = None, dist_url: Optional[str] = None,
@@ -99,6 +100,7 @@ class BackendConfig:
                     "cannot cross the DCN slice boundary)")
         self.devices = devices
         self.tensor_parallel = int(tensor_parallel)
+        self.zero = bool(zero)
         self.axis_names = tuple(axis_names)
         if self.tensor_parallel > 1 and mesh_shape is None \
                 and self.axis_names == ("data",):
@@ -160,25 +162,45 @@ class BackendConfig:
     def state_sharding(self, state) -> Any:
         """Sharding pytree for the full TrainState.
 
-        Replicated unless the mesh has a >1 'model' axis (``tensor_parallel``),
-        in which case every 'kernel' leaf — params AND their optimizer moments,
-        which mirror the params tree inside optax states — is column-parallel
-        on its output-features dim (Megatron-style, parallel.py rules). XLA
-        inserts the matching collectives in the jitted train step; activations
-        stay batch-sharded so the TP all-gathers ride the 'model' axis only.
+        Replicated by default. Two opt-in layout changes compose:
+
+        * ``tensor_parallel`` (>1 'model' mesh axis): every 'kernel' leaf —
+          params AND their optimizer moments, which mirror the params tree
+          inside optax states — is column-parallel on its output-features
+          dim (Megatron-style, parallel.py rules). XLA inserts the matching
+          collectives in the jitted train step; activations stay
+          batch-sharded so the TP all-gathers ride the 'model' axis only.
+        * ``zero=True`` (ZeRO-1, arXiv:1910.02054): OPTIMIZER-STATE leaves
+          are additionally sharded over the 'data' axis on dim 0 — each
+          data-parallel replica materializes only its slice of the Adam
+          moments between steps (params stay replicated, so the forward/
+          backward is untouched; GSPMD turns the optimizer update into
+          compute-your-shard + all-gather, which is exactly ZeRO-1's
+          communication pattern). Layout only — trajectories are
+          bit-compatible with the replicated run.
         """
         model_axis = dict(self.mesh.shape).get("model", 1)
-        if model_axis <= 1:
+        data_axis = dict(self.mesh.shape).get(self.data_axis, 1)
+        if model_axis <= 1 and not (self.zero and data_axis > 1):
             return self.replicated_sharding
 
         def rule(path, leaf):
             last = str(getattr(path[-1], "key", path[-1])) if path else ""
-            if last == "kernel" and getattr(leaf, "ndim", 0) >= 2 \
+            root = str(getattr(path[0], "name",
+                               getattr(path[0], "key", path[0]))) if path else ""
+            ndim = getattr(leaf, "ndim", 0)
+            spec = [None] * ndim
+            if model_axis > 1 and last == "kernel" and ndim >= 2 \
                     and leaf.shape[-1] % model_axis == 0 \
                     and leaf.shape[-1] // model_axis >= 2:
-                return NamedSharding(
-                    self.mesh, P(*([None] * (leaf.ndim - 1)), "model"))
-            return self.replicated_sharding
+                spec[-1] = "model"
+            if self.zero and data_axis > 1 and root == "opt_state" \
+                    and ndim >= 1 and leaf.shape[0] % data_axis == 0 \
+                    and spec[0] is None:
+                spec[0] = self.data_axis
+            if not any(spec):
+                return self.replicated_sharding
+            return NamedSharding(self.mesh, P(*spec))
 
         return jax.tree_util.tree_map_with_path(rule, state)
 

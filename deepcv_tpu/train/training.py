@@ -324,9 +324,15 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         state = resume_from_path(hp["resume_from"], state)
         _logger.info("Resumed from %s at step %d", hp["resume_from"], int(state.step))
 
-    # place state over the mesh: replicated, or TP-sharded kernels when the
-    # backend has a 'model' axis (BackendConfig(tensor_parallel=...))
-    state = jax.device_put(state, backend.state_sharding(state))
+    # place state over the mesh: replicated, TP-sharded kernels when the
+    # backend has a 'model' axis (BackendConfig(tensor_parallel=...)), and/or
+    # ZeRO-1 data-sharded optimizer moments (BackendConfig(zero=True)). The
+    # same tree pins the jitted steps' OUTPUT sharding so the layout contract
+    # survives compilation (otherwise GSPMD propagates the moment sharding
+    # into the updated params — correct math, but checkpointing/eval assume
+    # the declared placement).
+    state_shd = backend.state_sharding(state)
+    state = jax.device_put(state, state_shd)
     dtype = hp.get("dtype")
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)
@@ -512,10 +518,12 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
 
         if sampling == "with_replacement":
             jit_scan = jax.jit(scan_steps_uniform, static_argnums=(3,),
-                               donate_argnums=(0,))
+                               donate_argnums=(0,),
+                               out_shardings=(state_shd, None))
         else:
             jit_scan = jax.jit(scan_steps_epoch, static_argnums=(5,),
-                               donate_argnums=(0,))
+                               donate_argnums=(0,),
+                               out_shardings=(state_shd, None))
         # epoch permutations are keyed by (seed, epoch index) alone, so exact
         # resume replays the same data order without extra checkpoint state
         perm_key = jax.random.PRNGKey(seed ^ 0x5EED)
@@ -525,7 +533,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     jax.random.fold_in(perm_key, e), device_ds.n))(epochs_arr))
     else:
         jit_step = jax.jit(train_step, donate_argnums=(0,),
-                           in_shardings=(None, data_shd, data_shd))
+                           in_shardings=(None, data_shd, data_shd),
+                           out_shardings=(state_shd, None))
         # staged streaming: scan over k staged batches in ONE dispatch,
         # amortizing the per-dispatch round trip. On THIS tunneled single
         # chip the streamed path is transfer-bound (~53 MB/s over the

@@ -615,3 +615,31 @@ def test_weight_standardized_variant_trains_comparably(tmp_path):
     acc_ws = run("weight_norm: { eps: 1.0e-06 }\n")
     assert acc_bn > 0.7                      # the task is learnable
     assert acc_ws > acc_bn - 0.08, (acc_bn, acc_ws)
+
+
+def test_zero1_optimizer_state_sharding(tiny_setup, tmp_path):
+    """ZeRO-1 (BackendConfig(zero=True)): optimizer moments sharded over
+    the 'data' axis on dim 0 — layout only, so the trajectory matches the
+    single-device run exactly; params stay replicated."""
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    be = BackendConfig(zero=True)
+    assert be.zero and dict(be.mesh.shape) == {"data": 8}
+    state, hist = train(dict(hp), model, cross_entropy_loss, data,
+                        backend_conf=be)
+    # moments are data-sharded, params replicated (the jit out_shardings
+    # pin — GSPMD would otherwise propagate the moment sharding into params)
+    opt_specs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda l: str(getattr(l.sharding, "spec", "")), state.opt_state))
+    assert any("'data'" in s for s in opt_specs), opt_specs
+    par_specs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda l: str(getattr(l.sharding, "spec", "")), state.params))
+    for s in par_specs:
+        assert "'data'" not in s, s
+    state_dp, hist_dp = train(dict(hp), model, cross_entropy_loss, data,
+                              backend_conf=BackendConfig(n_devices=1))
+    np.testing.assert_allclose(hist["train"][-1]["main_loss"],
+                               hist_dp["train"][-1]["main_loss"],
+                               rtol=1e-4, atol=1e-5)
