@@ -310,11 +310,8 @@ class TransformerEncoderBlock(fnn.Module):
     dtype: Any = None
 
     def _drop_path(self, v, train: bool):
-        if self.drop_path_prob and self.drop_path_prob > 0.0:
-            return fnn.Dropout(rate=float(self.drop_path_prob),
-                               broadcast_dims=tuple(range(1, v.ndim)),
-                               deterministic=not train)(v)
-        return v
+        from deepcv_tpu.ops.nn import DropPath
+        return DropPath(rate=float(self.drop_path_prob))(v, train=train)
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):

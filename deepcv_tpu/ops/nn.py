@@ -622,6 +622,24 @@ class Interpolate(fnn.Module):
         return interpolate(x, target, method=self.method)
 
 
+class DropPath(fnn.Module):
+    """Stochastic depth (Huang et al., arXiv:1603.09382): drop a residual
+    BRANCH per sample with prob ``rate`` during training, rescaling
+    survivors by 1/(1-rate) — one Bernoulli draw broadcast over all
+    non-batch dims. The ONE implementation both ConvNeXt blocks and the
+    transformer encoder use (and the spec engine's rng guard knows the
+    ``drop_path_prob`` key that reaches it)."""
+    rate: float = 0.0
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        if not self.rate or self.rate <= 0.0:
+            return x
+        return fnn.Dropout(rate=float(self.rate),
+                           broadcast_dims=tuple(range(1, x.ndim)),
+                           deterministic=not train)(x)
+
+
 class ConvNeXtStem(fnn.Module):
     """ConvNeXt patchify stem (Liu et al., arXiv:2201.03545): the 4x4/s4
     conv is EXACTLY a 4x4-patch reshape + one Dense — implemented that way
@@ -695,11 +713,7 @@ class ConvNeXtBlock(fnn.Module):
                                float(self.layer_scale_init)), (c,),
                            jnp.float32)
         y = y * gamma.astype(y.dtype)
-        if self.drop_path_prob and self.drop_path_prob > 0.0:
-            y = fnn.Dropout(rate=float(self.drop_path_prob),
-                            broadcast_dims=tuple(range(1, y.ndim)),
-                            deterministic=not train)(y)
-        return x + y
+        return x + DropPath(rate=float(self.drop_path_prob))(y, train=train)
 
 
 class FeaturePyramid(fnn.Module):

@@ -87,6 +87,8 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                              num_classes=num_classes or 1000,
                              dropout=float(hp.pop("dropout", 0.0)),
                              attn_dropout=float(hp.pop("attn_dropout", 0.0)),
+                             stochastic_depth=float(
+                                 hp.pop("stochastic_depth", 0.0)),
                              attn_impl=str(hp.pop("attn_impl", "xla")))
         elif str(zoo) == "resnet":
             _reject("width_mult", "variant")

@@ -195,16 +195,25 @@ def decode_detections(pred: jnp.ndarray, top_k: int = 16,
     gx = (idx % s).astype(jnp.float32)
     boxes = _cell_boxes(sel, gx, gy, s, raw=True)
     classes = jnp.argmax(sel[..., 5:], axis=-1)
-    if nms_iou is not None:
-        from deepcv_tpu.ops.boxes import batched_nms, nms as plain_nms
-        if class_aware_nms:
-            keep = jax.vmap(lambda b, sc, cl: batched_nms(b, sc, cl, nms_iou))(
-                boxes, scores, classes)
-        else:
-            keep = jax.vmap(lambda b, sc: plain_nms(b, sc, nms_iou))(
-                boxes, scores)
-        scores = jnp.where(keep, scores, 0.0)
+    scores = _apply_nms(boxes, scores, classes, nms_iou, class_aware_nms)
     return boxes, scores, classes
+
+
+def _apply_nms(boxes, scores, classes, nms_iou: Optional[float],
+               class_aware: bool) -> jnp.ndarray:
+    """Zero suppressed candidates' scores via per-image greedy NMS
+    (ops/boxes.py) — the one copy both decoders share. No-op when
+    ``nms_iou`` is None."""
+    if nms_iou is None:
+        return scores
+    from deepcv_tpu.ops.boxes import batched_nms, nms as plain_nms
+    if class_aware:
+        keep = jax.vmap(lambda b, sc, cl: batched_nms(b, sc, cl, nms_iou))(
+            boxes, scores, classes)
+    else:
+        keep = jax.vmap(lambda b, sc: plain_nms(b, sc, nms_iou))(
+            boxes, scores)
+    return jnp.where(keep, scores, 0.0)
 
 
 def map50(pred: jnp.ndarray, target: jnp.ndarray,
@@ -305,12 +314,25 @@ def generate_shapes_dataset_fpn(n: int = 512, image_size: int = 32,
                         name=f"shapes_fpn_{'train' if train else 'test'}")
 
 
-_dataset_loader("synthetic_shapes_fpn")(
-    lambda root=None, train=True, n=512, image_size=32, grids=(8, 4),
-    seed=0, **kw:
-    generate_shapes_dataset_fpn(n=int(n), image_size=int(image_size),
-                                grids=tuple(int(g) for g in grids),
-                                seed=int(seed), train=train))
+@_dataset_loader("synthetic_shapes_fpn")
+def _load_shapes_fpn(root=None, train=True, n=512, image_size=32,
+                     grids=(8, 4), size_bounds=None, max_objects=3,
+                     seed=0, **kw):
+    """Catalog loader: every generator knob is configurable from YAML —
+    with >2 levels and no explicit bounds, boundaries are evenly spaced
+    over the generator's (0.15, 0.6) object-size range."""
+    grids = tuple(int(g) for g in grids)
+    if size_bounds is None:
+        k = len(grids) - 1
+        # 2-level default matches the generator's documented (0.3,); deeper
+        # pyramids get evenly spaced boundaries over the object-size range
+        size_bounds = (0.3,) if k == 1 else tuple(
+            round(0.15 + (0.6 - 0.15) * (i + 1) / (k + 1), 4)
+            for i in range(k))
+    return generate_shapes_dataset_fpn(
+        n=int(n), image_size=int(image_size), grids=grids,
+        size_bounds=tuple(float(b) for b in size_bounds),
+        max_objects=int(max_objects), seed=int(seed), train=train)
 
 
 def detection_loss_focal(pred: jnp.ndarray, target: jnp.ndarray,
@@ -358,15 +380,7 @@ def decode_detections_flat(pred: jnp.ndarray, grids: Tuple[int, ...],
     boxes = _cell_boxes(sel, jnp.take(gx, idx), jnp.take(gy, idx),
                         jnp.take(gs, idx), raw=True)
     classes = jnp.argmax(sel[..., 5:], axis=-1)
-    if nms_iou is not None:
-        from deepcv_tpu.ops.boxes import batched_nms, nms as plain_nms
-        if class_aware_nms:
-            keep = jax.vmap(lambda b, sc, cl: batched_nms(b, sc, cl, nms_iou))(
-                boxes, scores, classes)
-        else:
-            keep = jax.vmap(lambda b, sc: plain_nms(b, sc, nms_iou))(
-                boxes, scores)
-        scores = jnp.where(keep, scores, 0.0)
+    scores = _apply_nms(boxes, scores, classes, nms_iou, class_aware_nms)
     return boxes, scores, classes
 
 
@@ -415,6 +429,18 @@ def train_fpn_detector(datasets, model: DeepcvModule, hp: Mapping[str, Any],
     import functools
     backend = BackendConfig(**dict(hp.get("backend_conf") or {}))
     grids = tuple(int(g) for g in hp.get("fpn_grids", (8, 4)))
+    # fpn_grids drives the decode/mAP cell layout; an equal-total mismatch
+    # (e.g. reversed order) would corrupt the metric SILENTLY, so validate
+    # both the fine->coarse convention and the total against the dataset
+    if list(grids) != sorted(grids, reverse=True) \
+            or len(set(grids)) != len(grids):
+        raise ValueError(f"fpn_grids must be strictly fine->coarse "
+                         f"(decreasing), got {grids}")
+    t_total = sum(s * s for s in grids)
+    t_ds = datasets["trainset"].dataset.targets.shape[1]
+    if t_total != t_ds:
+        raise ValueError(f"fpn_grids {grids} flatten to {t_total} cells but "
+                         f"the dataset targets have {t_ds}")
     state, history = train_fn(
         hp, model, detection_loss_focal, datasets, backend_conf=backend,
         metrics={"objectness_accuracy": objectness_accuracy},

@@ -94,8 +94,15 @@ class DeepcvModule:
         self.nas_sampling = nas_sampling
 
         def _any_dropout(node) -> bool:
+            # every spec key whose module consumes the 'dropout' rng stream:
+            # plain dropout, stochastic depth (ViT/ConvNeXt drop_path), and
+            # attention-probability dropout — missing one here silently
+            # routes train=True through the constant-key fallback, turning
+            # the regularizer into a FIXED structural mask
             if isinstance(node, Mapping):
-                if float(node.get("dropout_prob") or 0.0) > 0.0:
+                if any(float(node.get(k) or 0.0) > 0.0
+                       for k in ("dropout_prob", "drop_path_prob",
+                                 "attn_dropout_prob")):
                     return True
                 return any(_any_dropout(v) for v in node.values())
             if isinstance(node, (list, tuple)):

@@ -549,7 +549,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             return st, jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), ms)
 
         jit_stage = jax.jit(scan_steps_staged, donate_argnums=(0,),
-                            in_shardings=(None, stage_shd, stage_shd))
+                            in_shardings=(None, stage_shd, stage_shd),
+                            out_shardings=(state_shd, None))
 
     eval_with_ema = ema_decay is not None and bool(hp.get("ema_eval", True))
 

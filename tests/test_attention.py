@@ -237,3 +237,22 @@ def test_stochastic_depth_drop_path():
             for r in hp["architecture"] if "transformer_block" in r]
     assert rows[0] == 0.0 and abs(rows[-1] - 0.1) < 1e-9
     assert all(b >= a for a, b in zip(rows, rows[1:]))
+
+
+def test_drop_path_model_requires_fresh_rng():
+    """A model whose ONLY stochastic piece is drop_path must hit the same
+    rng guard as dropout — a silent constant key would drop the same
+    branches every step (fixed structural mask)."""
+    from deepcv_tpu.spec import DeepcvModule
+
+    hp = _tiny_vit_hp()
+    for row in hp["architecture"]:
+        if "transformer_block" in row:
+            row["transformer_block"][1]["drop_path_prob"] = 0.2
+    m = DeepcvModule((16, 16, 3), hp)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jnp.ones((2, 16, 16, 3))
+    with pytest.raises(ValueError, match="requires rngs"):
+        m.apply(v, x, train=True)
+    y = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y[0].shape == (2, 5) if isinstance(y, tuple) else y.shape == (2, 5)

@@ -174,3 +174,46 @@ def test_fpn_detector_training_improves_map50(tmp_path):
     assert h["train"][-1]["main_loss"] < h["train"][0]["main_loss"]
     assert h["valid"][-1]["valid_map50"] > h["valid"][0]["valid_map50"] - 0.05
     assert "valid_map50" in h["valid"][0]   # eval-only metric present
+
+
+def test_fpn_grids_validated_against_dataset(tmp_path):
+    """fpn_grids that are reordered (same total!) or mismatched must fail
+    loudly — a silent mismatch would corrupt decode/mAP with no signal."""
+    from deepcv_tpu.pipelines.detection import (create_fpn_detector,
+                                                generate_shapes_dataset_fpn,
+                                                train_fpn_detector)
+    raw = generate_shapes_dataset_fpn(n=64, image_size=16, grids=(4, 2),
+                                      seed=5)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model = create_fpn_detector(data, {
+        "act_fn": "relu", "fpn_channels": 16,
+        "architecture": [
+            {"conv2d": ["c3", {"kernel_size": [2, 2], "out_channels": 8,
+                               "padding": 0, "stride": 4}]},
+            {"avg_pooling": {"kernel_size": [2, 2], "stride": [2, 2]}},
+            {"conv2d": ["c4", {"kernel_size": [3, 3], "out_channels": 8,
+                               "padding": 1}]},
+            {"_new_branch_from_tensor": {"_from": ["c3", "c4"]}},
+        ]})
+    hp = {"epochs": 1, "batch_size": 16, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0,
+          "backend_conf": {"n_devices": 1}}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fine->coarse"):
+        train_fpn_detector(data, model, {**hp, "fpn_grids": (2, 4)})
+    with _pytest.raises(ValueError, match="flatten to"):
+        train_fpn_detector(data, model, {**hp, "fpn_grids": (8, 4)})
+
+
+def test_fpn_catalog_loader_multi_level():
+    """>2-level pyramids are configurable from YAML: grids + optional
+    size_bounds both reach the generator (previously swallowed by **kw)."""
+    from deepcv_tpu.data.datasets import load_dataset
+    ds = load_dataset("synthetic_shapes_fpn", grids=[16, 8, 4], n=8,
+                      image_size=32)
+    assert ds.targets.shape[1] == 16 * 16 + 8 * 8 + 4 * 4
+    ds2 = load_dataset("synthetic_shapes_fpn", grids=[16, 8, 4], n=8,
+                       image_size=32, size_bounds=[0.2, 0.4])
+    assert ds2.targets.shape[1] == ds.targets.shape[1]
