@@ -226,6 +226,7 @@ class MultiHeadSelfAttention(fnn.Module):
     num_heads: int
     dropout_prob: float = 0.0
     attn_impl: str = "xla"
+    dot_general: Any = None       # int8/QAT dot override for the projections
     dtype: Any = None
 
     @fnn.compact
@@ -235,9 +236,10 @@ class MultiHeadSelfAttention(fnn.Module):
         if d % h:
             raise ValueError(f"embed dim {d} not divisible by {h} heads")
         dh = d // h
+        dg = {"dot_general": self.dot_general} if self.dot_general else {}
         qkv = fnn.Dense(3 * d, dtype=self.dtype,
                         kernel_init=xavier_uniform_with_gain(1.0),
-                        name="qkv")(x)
+                        name="qkv", **dg)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):
@@ -261,7 +263,7 @@ class MultiHeadSelfAttention(fnn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
         return fnn.Dense(d, dtype=self.dtype,
                          kernel_init=xavier_uniform_with_gain(1.0),
-                         name="out")(o)
+                         name="out", **dg)(o)
 
 
 class MlpBlock(fnn.Module):
@@ -270,21 +272,23 @@ class MlpBlock(fnn.Module):
     mlp_dim: int
     dropout_prob: float = 0.0
     act_fn: Callable = gelu_exact
+    dot_general: Any = None
     dtype: Any = None
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
         d = x.shape[-1]
+        dg = {"dot_general": self.dot_general} if self.dot_general else {}
         y = fnn.Dense(int(self.mlp_dim), dtype=self.dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
-                      name="fc1")(x)
+                      name="fc1", **dg)(x)
         y = self.act_fn(y)
         if self.dropout_prob and self.dropout_prob > 0.0:
             y = fnn.Dropout(rate=float(self.dropout_prob),
                             deterministic=not train)(y)
         y = fnn.Dense(d, dtype=self.dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
-                      name="fc2")(y)
+                      name="fc2", **dg)(y)
         if self.dropout_prob and self.dropout_prob > 0.0:
             y = fnn.Dropout(rate=float(self.dropout_prob),
                             deterministic=not train)(y)
@@ -306,6 +310,7 @@ class TransformerEncoderBlock(fnn.Module):
     attn_dropout_prob: float = 0.0
     drop_path_prob: float = 0.0
     attn_impl: str = "xla"
+    dot_general: Any = None       # int8/QAT dot override for all projections
     ln_eps: float = 1e-6
     dtype: Any = None
 
@@ -320,6 +325,7 @@ class TransformerEncoderBlock(fnn.Module):
         y = MultiHeadSelfAttention(num_heads=self.num_heads,
                                    dropout_prob=self.attn_dropout_prob,
                                    attn_impl=self.attn_impl,
+                                   dot_general=self.dot_general,
                                    dtype=self.dtype, name="attn")(
             y, train=train)
         if self.dropout_prob and self.dropout_prob > 0.0:
@@ -329,6 +335,7 @@ class TransformerEncoderBlock(fnn.Module):
         z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_2")(x)
         z = MlpBlock(mlp_dim=self.mlp_dim, dropout_prob=self.dropout_prob,
+                     dot_general=self.dot_general,
                      dtype=self.dtype, name="mlp")(z, train=train)
         return x + self._drop_path(z, train)
 
@@ -347,6 +354,7 @@ class PatchEmbed(fnn.Module):
     embed_dim: int
     use_cls_token: bool = True
     dropout_prob: float = 0.0
+    dot_general: Any = None
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -360,10 +368,11 @@ class PatchEmbed(fnn.Module):
         gh, gw = hgt // p, wid // p
         x = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(n, gh * gw, p * p * c)
+        dg = {"dot_general": self.dot_general} if self.dot_general else {}
         x = fnn.Dense(int(self.embed_dim), dtype=self.dtype,
                       param_dtype=self.param_dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
-                      name="proj")(x)
+                      name="proj", **dg)(x)
         t = gh * gw
         d = int(self.embed_dim)
         if self.use_cls_token:

@@ -742,6 +742,24 @@ def _conv_with_meta_layer(params, ctx: CreatorContext, name: str) -> fnn.Module:
 # same YAML spec language so the ViT zoo family is plain spec dicts too)
 # --------------------------------------------------------------------------- #
 
+def _quantized_dot_general(ctx: CreatorContext, name: str):
+    """The int8 / fake-quant dot override for a node's Dense projections
+    (same dispatch as the fully_connected creator; the calibration scale is
+    the node's — conservative max over a transformer block's sub-layers)."""
+    import functools
+    if ctx.quantize == "int8":
+        from deepcv_tpu.compression import int8_dot_general
+        return functools.partial(
+            int8_dot_general, act_scale=ctx.quantize_scales.get(ctx.scope + name))
+    if _qat_bits(ctx.quantize):
+        from deepcv_tpu.compression import fake_quant_dot_general
+        return functools.partial(
+            fake_quant_dot_general,
+            act_scale=ctx.quantize_scales.get(ctx.scope + name),
+            bits=_qat_bits(ctx.quantize))
+    return None
+
+
 @submodule_creator("patch_embed",
                    allowed=("patch_size", "embed_dim", "use_cls_token",
                             "dropout_prob"),
@@ -754,6 +772,7 @@ def _patch_embed(params, ctx: CreatorContext, name: str) -> fnn.Module:
                       embed_dim=int(params["embed_dim"]),
                       use_cls_token=bool(params.get("use_cls_token", True)),
                       dropout_prob=float(params.get("dropout_prob") or 0.0),
+                      dot_general=_quantized_dot_general(ctx, name),
                       dtype=ctx.dtype, param_dtype=ctx.param_dtype, name=name)
 
 
@@ -773,6 +792,7 @@ def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
         attn_dropout_prob=float(params.get("attn_dropout_prob") or 0.0),
         drop_path_prob=float(params.get("drop_path_prob") or 0.0),
         attn_impl=str(params.get("attn_impl", "xla")),
+        dot_general=_quantized_dot_general(ctx, name),
         ln_eps=float(params.get("ln_eps", 1e-6)),
         dtype=ctx.dtype, name=name)
 

@@ -256,3 +256,34 @@ def test_drop_path_model_requires_fresh_rng():
         m.apply(v, x, train=True)
     y = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     assert y[0].shape == (2, 5) if isinstance(y, tuple) else y.shape == (2, 5)
+
+
+def test_vit_int8_serving_and_qat_builds():
+    """quantize='int8' reaches the transformer projections (qkv/out/mlp +
+    patch embed): calibrated static scales -> int8 rebuild restores the
+    FLOAT param tree unchanged and agrees on top-1; the 'int8_qat' build
+    trains (STE keeps gradients alive through the fake-quant)."""
+    from deepcv_tpu.compression import calibrate_int8_scales
+    from deepcv_tpu.spec import DeepcvModule
+
+    hp = _tiny_vit_hp()
+    m = DeepcvModule((16, 16, 3), hp)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 16, 3))
+    ref = m.apply(v, x, train=False)
+
+    scales = calibrate_int8_scales(m, v, [x[:8], x[8:]])
+    assert any(k.startswith("enc") for k in scales) and "embed" in scales
+    mq = DeepcvModule((16, 16, 3), hp, quantize="int8",
+                      quantize_scales=scales)
+    yq = jax.jit(lambda v, x: mq.apply(v, x, train=False))(v, x)
+    assert yq.shape == ref.shape and bool(jnp.isfinite(yq).all())
+    agree = float(jnp.mean((jnp.argmax(yq, -1) == jnp.argmax(ref, -1))))
+    assert agree >= 0.75, agree   # random-init logits are near-ties; top-1
+                                  # agreement just needs to be far from chance
+
+    mqat = DeepcvModule((16, 16, 3), hp, quantize="int8_qat")
+    g = jax.grad(lambda p: jnp.sum(
+        mqat.apply({"params": p}, x, train=False) ** 2))(v["params"])
+    qkv_g = g["node_impls_enc0"]["attn"]["qkv"]["kernel"]
+    assert float(jnp.max(jnp.abs(qkv_g))) > 0.0   # STE gradients alive
