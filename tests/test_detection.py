@@ -217,3 +217,72 @@ def test_fpn_catalog_loader_multi_level():
     ds2 = load_dataset("synthetic_shapes_fpn", grids=[16, 8, 4], n=8,
                        image_size=32, size_bounds=[0.2, 0.4])
     assert ds2.targets.shape[1] == ds.targets.shape[1]
+
+
+def test_cli_predict_decode_detection(tmp_path):
+    """Detection serving round-trip: bundle a (fresh) dense detector, run
+    the predict CLI with --decode detection — output is an .npz of
+    boxes/scores/classes with class-aware NMS applied (scores are
+    confidences, suppressed entries exactly 0); the FPN flat layout
+    decodes through --decode detection:G1,G2."""
+    import json
+
+    from deepcv_tpu.cli import main as cli_main
+    from deepcv_tpu.pipelines.detection import (create_detector,
+                                                create_fpn_detector)
+    from deepcv_tpu.serve import save_model_bundle
+
+    raw = generate_shapes_dataset(n=32, image_size=16, grid=4, seed=9)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model = create_detector(data, {
+        "act_fn": "relu",
+        "architecture": [
+            {"conv2d": {"kernel_size": [3, 3], "out_channels": 8, "padding": 1}},
+            {"avg_pooling": {"kernel_size": [4, 4], "stride": [4, 4]}},
+        ]})
+    v = model.init(jax.random.PRNGKey(0))
+    bundle = tmp_path / "det_bundle"
+    save_model_bundle(bundle, model, v)
+    imgs = np.asarray(raw.images[:5])
+    np.save(tmp_path / "in.npy", imgs)
+    rc = cli_main(["predict", "--bundle", str(bundle),
+                   "--input", str(tmp_path / "in.npy"),
+                   "--output", str(tmp_path / "det.npy"),
+                   "--batch-size", "5", "--to-tensor",
+                   "--decode", "detection", "--top-k", "6"])
+    assert rc == 0
+    out = np.load(tmp_path / "det.npz")
+    assert out["boxes"].shape == (5, 6, 4)
+    assert out["scores"].shape == (5, 6) and out["classes"].shape == (5, 6)
+
+    # FPN flat layout through --decode detection:G1,G2
+    from deepcv_tpu.pipelines.detection import generate_shapes_dataset_fpn
+    raw_f = generate_shapes_dataset_fpn(n=16, image_size=16, grids=(4, 2),
+                                        seed=9)
+    data_f = preprocess({"trainset": raw_f},
+                        {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                         "transforms": ["to_tensor"]})
+    model_f = create_fpn_detector(data_f, {
+        "act_fn": "relu", "fpn_channels": 8,
+        "architecture": [
+            {"conv2d": ["c3", {"kernel_size": [2, 2], "out_channels": 8,
+                               "padding": 0, "stride": 4}]},
+            {"avg_pooling": {"kernel_size": [2, 2], "stride": [2, 2]}},
+            {"conv2d": ["c4", {"kernel_size": [3, 3], "out_channels": 8,
+                               "padding": 1}]},
+            {"_new_branch_from_tensor": {"_from": ["c3", "c4"]}},
+        ]})
+    vf = model_f.init(jax.random.PRNGKey(0))
+    bundle_f = tmp_path / "fpn_bundle"
+    save_model_bundle(bundle_f, model_f, vf)
+    np.save(tmp_path / "in2.npy", np.asarray(raw_f.images[:3]))
+    rc = cli_main(["predict", "--bundle", str(bundle_f),
+                   "--input", str(tmp_path / "in2.npy"),
+                   "--output", str(tmp_path / "fpn_det.npz"),
+                   "--batch-size", "3", "--to-tensor",
+                   "--decode", "detection:4,2", "--top-k", "4"])
+    assert rc == 0
+    out = np.load(tmp_path / "fpn_det.npz")
+    assert out["boxes"].shape == (3, 4, 4)
