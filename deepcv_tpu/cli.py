@@ -167,8 +167,8 @@ def main(argv=None) -> int:
                              "(single-grid dense head) or 'detection:8,4' "
                              "(FPN flat layout, fine->coarse grids) — "
                              "writes an .npz of boxes/scores/classes "
-                             "(class-aware NMS applied) instead of raw "
-                             "logits")
+                             "(class-aware NMS applied); or 'segmentation' "
+                             "— writes int32 argmax class masks (N, H, W)")
     p_pred.add_argument("--top-k", type=int, default=16,
                         help="with --decode: detections kept per image")
     p_pred.add_argument("--nms-iou", type=float, default=0.5,
@@ -386,11 +386,20 @@ def _cmd_predict(args) -> int:
     if out.dtype.kind == "V" or out.dtype.name == "bfloat16":
         # keep the output readable by plain numpy (bf16 .npy needs ml_dtypes)
         out = out.astype(np.float32)
+    if args.decode == "segmentation":
+        masks = np.argmax(out, axis=-1).astype(np.int32)
+        np.save(args.output, masks)
+        print(json.dumps({"inputs": len(images), "output": args.output,
+                          "mask_shape": list(masks.shape),
+                          "classes_present": sorted(
+                              int(c) for c in np.unique(masks))}))
+        return 0
     if args.decode:
         mode, _, rest = str(args.decode).partition(":")
         if mode != "detection":
             print(f"error: unknown --decode mode {mode!r} "
-                  "(known: detection[:g1,g2,...])", file=sys.stderr)
+                  "(known: detection[:g1,g2,...], segmentation)",
+                  file=sys.stderr)
             return 2
         import jax.numpy as jnp
         from deepcv_tpu.pipelines.detection import (decode_detections,

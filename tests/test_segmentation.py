@@ -81,3 +81,35 @@ def test_pipeline_registered():
     assert "train_semantic_segmentation" in ps
     names = [n.name for n in ps["train_semantic_segmentation"].nodes]
     assert names == ["preprocess", "create_segmenter", "train"]
+
+
+def test_cli_predict_decode_segmentation(tmp_path):
+    """Segmentation serving round-trip: bundle a segmenter, run the predict
+    CLI with --decode segmentation — output is an int32 argmax class mask
+    per image at input resolution."""
+    from deepcv_tpu.cli import main as cli_main
+    from deepcv_tpu.serve import save_model_bundle
+
+    raw = generate_segmentation_dataset(n=16, image_size=16, seed=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model = create_segmenter(data, {
+        "act_fn": "relu",
+        "architecture": [
+            {"conv2d": {"kernel_size": [3, 3], "out_channels": 8,
+                        "padding": 1}},
+        ]})
+    v = model.init(jax.random.PRNGKey(0))
+    bundle = tmp_path / "seg_bundle"
+    save_model_bundle(bundle, model, v)
+    np.save(tmp_path / "in.npy", np.asarray(raw.images[:4]))
+    rc = cli_main(["predict", "--bundle", str(bundle),
+                   "--input", str(tmp_path / "in.npy"),
+                   "--output", str(tmp_path / "masks.npy"),
+                   "--batch-size", "4", "--to-tensor",
+                   "--decode", "segmentation"])
+    assert rc == 0
+    masks = np.load(tmp_path / "masks.npy")
+    assert masks.shape == (4, 16, 16) and masks.dtype == np.int32
+    assert masks.min() >= 0 and masks.max() < len(SEG_CLASSES)
