@@ -16,10 +16,11 @@ __all__ = ["create_pipelines"]
 
 def create_pipelines() -> Dict[str, Pipeline]:
     from deepcv_tpu.pipelines import (classification, keypoints, detection,
-                                      segmentation, video)
+                                      pose, segmentation, video)
 
     pipelines: Dict[str, Pipeline] = {}
-    for pkg in (classification, keypoints, detection, segmentation, video):
+    for pkg in (classification, keypoints, detection, pose, segmentation,
+                video):
         for name, p in pkg.get_pipelines().items():
             if name in pipelines:
                 raise ValueError(f"Duplicate pipeline name '{name}'")
