@@ -333,6 +333,20 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     # the declared placement).
     state_shd = backend.state_sharding(state)
     state = jax.device_put(state, state_shd)
+
+    if backend.zero:
+        # checkpointing needs a fully-addressable state: ZeRO shards the
+        # optimizer moments across PROCESSES, and device_get of a cross-host
+        # shard raises — regather to replicated first (one compiled
+        # all-gather at checkpoint cadence; found by the 2-process ZeRO test)
+        _regather = jax.jit(lambda s: s,
+                            out_shardings=backend.replicated_sharding)
+
+        def host_state(s):
+            return jax.device_get(_regather(s))
+    else:
+        def host_state(s):
+            return jax.device_get(s)
     dtype = hp.get("dtype")
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)
@@ -713,7 +727,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     # pulls the full TrainState and blocks, which would stall
                     # the async-dispatch pipeline on every chunk otherwise
                     if ckpt and save_every > 0 and step % save_every == 0:
-                        ckpt.save(step, jax.device_get(state))
+                        ckpt.save(step, host_state(state))
             else:
                 epoch_batches = _streaming_epoch(iterator, trainset, epoch, skip,
                                                  hp, backend, seed)
@@ -771,7 +785,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                         events.fire(TrainingEvents.ITERATION_COMPLETED,
                                     count=s, state=state, metrics=m)
                     if ckpt and save_every > 0 and step % save_every == 0:
-                        ckpt.save(step, jax.device_get(state))
+                        ckpt.save(step, host_state(state))
 
             # force a REAL host sync for honest timing: on tunneled backends
             # block_until_ready can return before remote execution finishes;
@@ -807,7 +821,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 if ckpt:
                     key0 = f"valid_{next(iter(metrics))}"
                     if key0 in val:
-                        ckpt.update_best(step, val[key0], jax.device_get(state))
+                        ckpt.update_best(step, val[key0], host_state(state))
             if rank0:
                 _logger.info("epoch %d/%d  %.1f img/s  %s", epoch, epochs,
                              throughput,

@@ -63,7 +63,8 @@ def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
         return run_sp_pp(distributed)
 
     backend = BackendConfig(distributed=distributed,
-                            tensor_parallel=2 if mode == "tp" else 1)
+                            tensor_parallel=2 if mode == "tp" else 1,
+                            zero=mode == "zero")
     model, data = build_model_and_data()
     hp = training_hp(output_path)
     if mode == "crash_resume":

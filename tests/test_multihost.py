@@ -223,3 +223,47 @@ def test_two_process_spatial_and_pipeline_parallel(tmp_path):
     for r in (r0, r1):
         assert r["sp_err"] < 1e-5, r
         assert r["pp_err"] < 1e-5, r
+
+
+def test_two_process_zero1(tmp_path):
+    """ZeRO-1 over 2 REAL processes (4 devices each): Adam moments shard
+    over the global 8-way 'data' axis — each host materializes only its
+    half of the optimizer state — and the loss trajectory + final params
+    are bit-compatible with the single-process replicated run."""
+    port = _free_port()
+    procs, outs = [], []
+    for rank in range(2):
+        out_json = tmp_path / f"rank{rank}.json"
+        outs.append(out_json)
+        env = dict(os.environ,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(rank),
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   JAX_PLATFORMS="cpu")
+        procs.append(subprocess.Popen(
+            [sys.executable, "tests/_multihost_worker.py",
+             str(out_json), str(tmp_path / f"out_{rank}"), "zero"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    deadline = time.time() + 420
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=max(5, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("zero workers timed out")
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    r0, r1 = (json.loads(o.read_text()) for o in outs)
+    assert r0["params_sha"] == r1["params_sha"]
+
+    sys.path.insert(0, str(REPO / "tests"))
+    import _multihost_worker as W
+    single = W.run(str(tmp_path / "out_single"), distributed=False,
+                   mode="train")   # replicated baseline, same global batch
+    np.testing.assert_allclose(r0["train_loss"], single["train_loss"],
+                               rtol=1e-4, atol=1e-5)
