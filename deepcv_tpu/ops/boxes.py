@@ -19,7 +19,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["box_iou", "nms", "batched_nms", "mean_average_precision"]
+__all__ = ["box_iou", "nms", "batched_nms", "soft_nms",
+           "mean_average_precision"]
 
 
 def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -82,6 +83,42 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     span = jnp.max(boxes) - jnp.min(boxes) + 1.0
     offset = classes.astype(boxes.dtype)[..., None] * span
     return nms(boxes + offset, scores, iou_threshold, score_threshold)
+
+
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+             method: str = "gaussian", sigma: float = 0.5,
+             iou_threshold: float = 0.3) -> jnp.ndarray:
+    """Soft-NMS (Bodla et al., arXiv:1704.04503): instead of binary
+    suppression, overlapping candidates' scores DECAY — 'gaussian'
+    (s *= exp(-iou^2 / sigma)) or 'linear' (s *= 1 - iou when iou >
+    threshold). Returns the rescored (N,) vector; rank or threshold it
+    downstream. Same static-shape greedy structure as :func:`nms`
+    (fori_loop of N vectorized steps over the precomputed IoU matrix),
+    matching the classic sequential algorithm exactly: each round picks
+    the highest CURRENT (already-decayed) score among unprocessed boxes.
+    """
+    if method not in ("gaussian", "linear"):
+        raise ValueError(f"soft_nms method must be 'gaussian' or 'linear', "
+                         f"got {method!r}")
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+
+    def body(_, carry):
+        s, done = carry
+        cand = jnp.where(done, -jnp.inf, s)
+        j = jnp.argmax(cand)
+        row = iou[j]
+        if method == "linear":
+            decay = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
+        else:
+            decay = jnp.exp(-(row ** 2) / sigma)
+        keep_own = done | (jnp.arange(n) == j)
+        s = jnp.where(keep_own, s, s * decay)
+        return s, done.at[j].set(True)
+
+    s, _ = jax.lax.fori_loop(0, n, body, (scores.astype(jnp.float32),
+                                          jnp.zeros((n,), bool)))
+    return s
 
 
 def mean_average_precision(pred_boxes: jnp.ndarray, pred_scores: jnp.ndarray,

@@ -186,3 +186,46 @@ def test_map50_metric_on_grid_targets():
     assert float(map50(pred, tgt)) == pytest.approx(1.0, abs=1e-3)
     garbage = jnp.full_like(pred, -5.0)
     assert float(map50(garbage, tgt)) <= 0.05
+
+
+@pytest.mark.parametrize("method", ["gaussian", "linear"])
+def test_soft_nms_matches_classic_sequential(method):
+    """jit-safe soft-NMS == the classic variable-length sequential
+    algorithm (greedy max of current decayed scores, decay the rest)."""
+    from deepcv_tpu.ops.boxes import soft_nms
+
+    rng = np.random.default_rng(5)
+    n = 24
+    cxy = rng.uniform(0.2, 0.8, (n, 2))
+    wh = rng.uniform(0.1, 0.4, (n, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+
+    def np_iou(a, b):
+        iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = iw * ih
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua if ua > 0 else 0.0
+
+    s = scores.copy()
+    done = np.zeros(n, bool)
+    for _ in range(n):
+        j = int(np.argmax(np.where(done, -np.inf, s)))
+        for i in range(n):
+            if i == j or done[i]:
+                continue
+            o = np_iou(boxes[j], boxes[i])
+            if method == "linear":
+                if o > 0.3:
+                    s[i] *= 1.0 - o
+            else:
+                s[i] *= np.exp(-(o ** 2) / 0.5)
+        done[j] = True
+
+    out = jax.jit(lambda b, sc: soft_nms(b, sc, method=method))(
+        jnp.asarray(boxes), jnp.asarray(scores))
+    np.testing.assert_allclose(np.asarray(out), s, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="method"):
+        soft_nms(jnp.asarray(boxes), jnp.asarray(scores), method="hard")
