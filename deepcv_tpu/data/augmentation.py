@@ -33,6 +33,7 @@ __all__ = [
     "rotate", "color", "contrast", "brightness",
     "AUGMENTATION_OPS", "augment_and_mix", "apply_augmentation_recipe",
     "mixup_batch", "cutmix_batch", "rand_augment_batch",
+    "random_erasing_batch",
     "trivial_augment_batch",
 ]
 
@@ -465,9 +466,17 @@ def apply_augmentation_recipe(recipe: Mapping[str, Any]) -> Callable:
         # reuse the rand_augment machinery: n=1 at the magnitude ceiling
         ra = {"n": 1, "magnitude": 10.0, "ops": ta.get("ops")}
 
+    re_spec = _as_spec_mapping(hp.get("random_erasing"), "random_erasing")
+    if re_spec is not None:
+        unknown_keys = set(re_spec) - {"p", "scale", "ratio", "value"}
+        if unknown_keys:
+            raise ValueError(f"random_erasing: unknown keys "
+                             f"{sorted(unknown_keys)} "
+                             "(known: p, scale, ratio, value)")
+
     return AugmentationRecipe(steps=[(n, s) for n, _fn, s in steps],
                               gate_p=gate_p, augmix_spec=augmix_spec,
-                              rand_augment=ra)
+                              rand_augment=ra, random_erasing=re_spec)
 
 
 class AugmentationRecipe:
@@ -477,13 +486,15 @@ class AugmentationRecipe:
     in another process."""
 
     def __init__(self, steps, gate_p: float, augmix_spec=None,
-                 rand_augment=None):
+                 rand_augment=None, random_erasing=None):
         self._steps = list(steps)              # [(name, severity)]
         self.gate_p = float(gate_p)
         self.augmix_spec = augmix_spec
         # is-not-None: 'rand_augment: {}' means "defaults", not "disabled"
         self.rand_augment = dict(rand_augment) if rand_augment is not None \
             else None
+        self.random_erasing = dict(random_erasing) \
+            if random_erasing is not None else None
 
     @property
     def steps(self):                           # introspection for tests
@@ -508,6 +519,14 @@ class AugmentationRecipe:
             width = int(chains[1]) if isinstance(chains, (list, tuple)) else int(chains)
             alpha = float(self.augmix_spec.get("transform_chains_dirichlet", 1.0))
             x = augment_and_mix(x, keys[-1], width=width, alpha=alpha)
+        if self.random_erasing is not None:
+            re_ = self.random_erasing
+            x = random_erasing_batch(
+                x, jax.random.fold_in(keys[-1], 29),
+                p=float(re_.get("p", 0.5)),
+                scale=tuple(re_.get("scale", (0.02, 0.33))),
+                ratio=tuple(re_.get("ratio", (0.3, 3.3))),
+                value=re_.get("value"))
         return x
 
 
@@ -561,6 +580,39 @@ def trivial_augment_batch(x: jnp.ndarray, key,
     ones on TPU); pass ``ops=`` the cheap-pool subset when augmenting on
     the training chip."""
     return rand_augment_batch(x, key, n=1, magnitude=10.0, ops=ops)
+
+
+def random_erasing_batch(x: jnp.ndarray, key, p: float = 0.5,
+                         scale=(0.02, 0.33), ratio=(0.3, 3.3),
+                         value: Optional[float] = None) -> jnp.ndarray:
+    """Random Erasing (Zhong et al., arXiv:1708.04896; timm RandomErasing):
+    with probability ``p`` per image, overwrite one random rectangle
+    (area fraction ~ U(scale), aspect ~ exp(U(log ratio))) with Gaussian
+    noise (timm's 'random' mode) or a constant ``value``. Static shapes:
+    the rectangle is a per-image iota mask, jit-safe. Apply it AFTER
+    normalization (the noise is ~N(0,1) in normalized space), which is
+    where the recipe pipeline places it."""
+    n, h, w, c = x.shape
+    k_gate, k_area, k_ratio, k_y, k_x, k_fill = jax.random.split(key, 6)
+    area = jax.random.uniform(k_area, (n,), minval=float(scale[0]),
+                              maxval=float(scale[1])) * (h * w)
+    log_r = jax.random.uniform(k_ratio, (n,),
+                               minval=jnp.log(float(ratio[0])),
+                               maxval=jnp.log(float(ratio[1])))
+    r = jnp.exp(log_r)
+    eh = jnp.clip(jnp.sqrt(area * r), 1, h)
+    ew = jnp.clip(jnp.sqrt(area / r), 1, w)
+    y0 = jax.random.uniform(k_y, (n,)) * (h - eh)
+    x0 = jax.random.uniform(k_x, (n,)) * (w - ew)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2)
+    inside = (rows >= y0[:, None, None]) & (rows < (y0 + eh)[:, None, None]) \
+        & (cols >= x0[:, None, None]) & (cols < (x0 + ew)[:, None, None])
+    gate = jax.random.bernoulli(k_gate, float(p), (n,))
+    mask = (inside & gate[:, None, None])[..., None]
+    fill = jax.random.normal(k_fill, x.shape, x.dtype) if value is None \
+        else jnp.full_like(x, float(value))
+    return jnp.where(mask, fill, x)
 
 
 # --------------------------------------------------------------------------- #

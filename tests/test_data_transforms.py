@@ -382,3 +382,45 @@ def test_recipe_scalar_forms():
     assert out2.shape == x.shape
     with _pytest.raises(ValueError, match="expected a mapping"):
         apply_augmentation_recipe({"transforms": [], "trivial_augment": 3})
+
+
+def test_random_erasing_batch():
+    """Random Erasing: erased fraction tracks the scale range, p=0 is
+    identity, constant-value mode fills exactly, recipe key composes and
+    validates; jit-safe."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from deepcv_tpu.data.augmentation import (apply_augmentation_recipe,
+                                              random_erasing_batch)
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.uniform(0.4, 0.6, (8, 32, 32, 3)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    out = jax.jit(lambda x, k: random_erasing_batch(
+        x, k, p=1.0, value=0.0))(x, key)
+    changed = np.asarray(jnp.any(out != x, axis=-1))        # (N, H, W)
+    frac = changed.mean(axis=(1, 2))
+    assert np.all(frac > 0.01) and np.all(frac < 0.45), frac
+    # constant fill: every erased pixel is exactly the value
+    assert float(jnp.abs(out[jnp.asarray(changed)]).max()) == 0.0
+    # erased region is one solid rectangle: per image, the changed-row and
+    # changed-col index sets are contiguous
+    for i in range(8):
+        rows = np.flatnonzero(changed[i].any(axis=1))
+        cols = np.flatnonzero(changed[i].any(axis=0))
+        assert np.array_equal(rows, np.arange(rows[0], rows[-1] + 1))
+        assert np.array_equal(cols, np.arange(cols[0], cols[-1] + 1))
+
+    np.testing.assert_array_equal(
+        np.asarray(random_erasing_batch(x, key, p=0.0)), np.asarray(x))
+
+    rec = apply_augmentation_recipe(
+        {"transforms": [], "random_erasing": {"p": 1.0}})
+    y = jax.jit(rec)(x, key)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+    assert float(jnp.mean((y != x).any(-1).astype(jnp.float32))) > 0.01
+    with _pytest.raises(ValueError, match="unknown keys"):
+        apply_augmentation_recipe(
+            {"transforms": [], "random_erasing": {"prob": 1.0}})
