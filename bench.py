@@ -479,7 +479,7 @@ def bench_serving_int8(model: str = "wide"):
     v = mf.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (B, *shape)), jnp.bfloat16)
-    calib_n = 64 if model == "resnet50" else 256   # 224^2 batches are big
+    calib_n = 64 if model in ("resnet50", "vit_b_16") else 256  # 224^2 is big
     scales = calibrate_int8_scales(mf, v, [x[:calib_n].astype(jnp.float32)])
     ms = DeepcvModule(shape, hp, dtype=jnp.bfloat16, quantize="int8",
                       quantize_scales=scales)

@@ -335,6 +335,11 @@ def _cmd_predict(args) -> int:
         print(f"error: --batch-size must be >= 1 (got {args.batch_size})",
               file=sys.stderr)
         return 2
+    if args.decode and args.decode != "segmentation" \
+            and str(args.decode).partition(":")[0] != "detection":
+        print(f"error: unknown --decode mode {args.decode!r} "
+              "(known: detection[:g1,g2,...], segmentation)", file=sys.stderr)
+        return 2
     images = np.load(args.input)
     model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
                                          quantize=args.quantize)
@@ -395,12 +400,7 @@ def _cmd_predict(args) -> int:
                               int(c) for c in np.unique(masks))}))
         return 0
     if args.decode:
-        mode, _, rest = str(args.decode).partition(":")
-        if mode != "detection":
-            print(f"error: unknown --decode mode {mode!r} "
-                  "(known: detection[:g1,g2,...], segmentation)",
-                  file=sys.stderr)
-            return 2
+        _, _, rest = str(args.decode).partition(":")
         import jax.numpy as jnp
         from deepcv_tpu.pipelines.detection import (decode_detections,
                                                     decode_detections_flat)
@@ -412,8 +412,7 @@ def _cmd_predict(args) -> int:
         else:
             boxes, scores, classes = decode_detections(
                 raw, top_k=args.top_k, nms_iou=args.nms_iou)
-        out_path = args.output if args.output.endswith(".npz") \
-            else args.output.rsplit(".", 1)[0] + ".npz"
+        out_path = str(Path(args.output).with_suffix(".npz"))
         np.savez(out_path, boxes=np.asarray(boxes, np.float32),
                  scores=np.asarray(scores, np.float32),
                  classes=np.asarray(classes, np.int32))

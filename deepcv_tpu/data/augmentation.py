@@ -585,13 +585,15 @@ def trivial_augment_batch(x: jnp.ndarray, key,
 def random_erasing_batch(x: jnp.ndarray, key, p: float = 0.5,
                          scale=(0.02, 0.33), ratio=(0.3, 3.3),
                          value: Optional[float] = None) -> jnp.ndarray:
-    """Random Erasing (Zhong et al., arXiv:1708.04896; timm RandomErasing):
-    with probability ``p`` per image, overwrite one random rectangle
-    (area fraction ~ U(scale), aspect ~ exp(U(log ratio))) with Gaussian
-    noise (timm's 'random' mode) or a constant ``value``. Static shapes:
-    the rectangle is a per-image iota mask, jit-safe. Apply it AFTER
-    normalization (the noise is ~N(0,1) in normalized space), which is
-    where the recipe pipeline places it."""
+    """Random Erasing (Zhong et al., arXiv:1708.04896): with probability
+    ``p`` per image, overwrite one random rectangle (area fraction ~
+    U(scale), aspect ~ exp(U(log ratio))) with uniform random pixel values
+    — the paper's RE-R mode, random values over the image value range —
+    or a constant ``value``. The recipe pipeline runs augmentation BEFORE
+    to_tensor/normalize, so fills are drawn in the [0, 1] pixel space
+    (timm's N(0,1) fill is the post-normalization variant and would come
+    out ~N(-mean/std, 1/std^2) here). Static shapes: the rectangle is a
+    per-image iota mask, jit-safe."""
     n, h, w, c = x.shape
     k_gate, k_area, k_ratio, k_y, k_x, k_fill = jax.random.split(key, 6)
     area = jax.random.uniform(k_area, (n,), minval=float(scale[0]),
@@ -610,7 +612,7 @@ def random_erasing_batch(x: jnp.ndarray, key, p: float = 0.5,
         & (cols >= x0[:, None, None]) & (cols < (x0 + ew)[:, None, None])
     gate = jax.random.bernoulli(k_gate, float(p), (n,))
     mask = (inside & gate[:, None, None])[..., None]
-    fill = jax.random.normal(k_fill, x.shape, x.dtype) if value is None \
+    fill = jax.random.uniform(k_fill, x.shape, x.dtype) if value is None \
         else jnp.full_like(x, float(value))
     return jnp.where(mask, fill, x)
 

@@ -32,6 +32,24 @@ __all__ = ["Node", "Pipeline", "ProjectContext"]
 _logger = logging.getLogger(__name__)
 
 
+def append_dense_head(hp: dict, name: str, out_channels: int, size) -> dict:
+    """Append the dense-prediction head rows the pixel-level tasks share:
+    a norm-free 1x1 conv to ``out_channels`` + bilinear resize to ``size``
+    (segmentation class maps, pose heatmaps). One copy of the
+    norm-suppression set — a new global norm technique added to the spec
+    language only needs updating here."""
+    hp["architecture"].extend([
+        {"conv2d": [name, {"kernel_size": [1, 1],
+                           "out_channels": int(out_channels), "padding": 0,
+                           "act_fn": None,
+                           **{t: None for t in
+                              ("batch_norm", "group_norm", "layer_norm",
+                               "layer_nrm_and_mean_batch_nrm")}}]},
+        {"interpolate": {"size": [int(v) for v in size]}},
+    ])
+    return hp
+
+
 def preprocess_node(trainset, testset, params):
     """Shared preprocess node adapter used by every task package's pipeline
     registry: catalog datasets -> data.preprocess.preprocess({'trainset',

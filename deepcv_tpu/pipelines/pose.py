@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from deepcv_tpu.pipelines.framework import Node, Pipeline, \
-    preprocess_node as preprocess
+    append_dense_head, preprocess_node as preprocess
 from deepcv_tpu.spec import DeepcvModule
 from deepcv_tpu.data.datasets import ArrayDataset, _dataset_loader
 from deepcv_tpu.train import train as train_fn
@@ -98,23 +98,33 @@ def heatmap_mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def decode_heatmaps(pred: jnp.ndarray):
     """Heatmaps -> keypoint coords: per-channel argmax with the classic
     quarter-pixel shift toward the larger neighbor on each axis (HRNet
-    post-processing). Returns (coords (N, K, 2) in (x, y) heatmap pixels,
-    scores (N, K) = peak value). jit-safe (static shapes)."""
+    post-processing). Both neighbor lookups read around the INTEGER peak
+    (an earlier draft shifted x first, corrupting the y lookup), and —
+    like HRNet's reference code — only interior peaks (0 < p < s-1 per
+    axis) are refined, so coordinates never leave the grid. Returns
+    (coords (N, K, 2) in (x, y) heatmap pixels, scores (N, K) = peak
+    value). jit-safe (static shapes)."""
     n, s, _, k = pred.shape
     flat = pred.reshape(n, s * s, k)
     idx = jnp.argmax(flat, axis=1)                       # (N, K)
     scores = jnp.take_along_axis(flat, idx[:, None, :], axis=1)[:, 0, :]
-    y = (idx // s).astype(jnp.float32)
-    x = (idx % s).astype(jnp.float32)
+    yi = (idx // s).astype(jnp.int32)
+    xi = (idx % s).astype(jnp.int32)
 
-    def neighbor(dx, dy):
-        xi = jnp.clip(x + dx, 0, s - 1).astype(jnp.int32)
-        yi = jnp.clip(y + dy, 0, s - 1).astype(jnp.int32)
-        return jnp.take_along_axis(flat, (yi * s + xi)[:, None, :],
+    def at(dx, dy):
+        xj = jnp.clip(xi + dx, 0, s - 1)
+        yj = jnp.clip(yi + dy, 0, s - 1)
+        return jnp.take_along_axis(flat, (yj * s + xj)[:, None, :],
                                    axis=1)[:, 0, :]
 
-    x = x + 0.25 * jnp.sign(neighbor(1, 0) - neighbor(-1, 0))
-    y = y + 0.25 * jnp.sign(neighbor(0, 1) - neighbor(0, -1))
+    x = xi.astype(jnp.float32)
+    y = yi.astype(jnp.float32)
+    x_interior = (xi > 0) & (xi < s - 1)
+    y_interior = (yi > 0) & (yi < s - 1)
+    x = x + jnp.where(x_interior,
+                      0.25 * jnp.sign(at(1, 0) - at(-1, 0)), 0.0)
+    y = y + jnp.where(y_interior,
+                      0.25 * jnp.sign(at(0, 1) - at(0, -1)), 0.0)
     return jnp.stack([x, y], axis=-1), scores
 
 
@@ -143,14 +153,7 @@ def create_pose_estimator(datasets, model_params: Mapping[str, Any]
     tgt = trainset.dataset.targets
     s, k = tgt.shape[1], tgt.shape[-1]
     hp = copy.deepcopy(dict(model_params))
-    hp["architecture"].extend([
-        {"conv2d": ["pose_head", {"kernel_size": [1, 1], "out_channels": k,
-                                  "padding": 0, "act_fn": None,
-                                  **{t: None for t in
-                                     ("batch_norm", "group_norm", "layer_norm",
-                                      "layer_nrm_and_mean_batch_nrm")}}]},
-        {"interpolate": {"size": [s, s]}},
-    ])
+    append_dense_head(hp, "pose_head", k, (s, s))
     return DeepcvModule(trainset.image_shape, hp)
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from deepcv_tpu.pipelines.framework import Node, Pipeline, \
-    preprocess_node as preprocess
+    append_dense_head, preprocess_node as preprocess
 from deepcv_tpu.spec import DeepcvModule
 from deepcv_tpu.data.datasets import ArrayDataset, _dataset_loader
 from deepcv_tpu.train import train as train_fn
@@ -124,16 +124,7 @@ def create_segmenter(datasets, model_params: Mapping[str, Any]) -> DeepcvModule:
     trainset = datasets["trainset"]
     num_classes = len(trainset.dataset.classes or SEG_CLASSES)
     hp = copy.deepcopy(dict(model_params))
-    h, w = trainset.image_shape[:2]
-    hp["architecture"].extend([
-        {"conv2d": ["seg_head", {"kernel_size": [1, 1],
-                                 "out_channels": num_classes, "padding": 0,
-                                 "act_fn": None,
-                                 **{t: None for t in ("batch_norm", "group_norm",
-                                                      "layer_norm",
-                                                      "layer_nrm_and_mean_batch_nrm")}}]},
-        {"interpolate": {"size": [h, w]}},
-    ])
+    append_dense_head(hp, "seg_head", num_classes, trainset.image_shape[:2])
     return DeepcvModule(trainset.image_shape, hp)
 
 

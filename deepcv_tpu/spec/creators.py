@@ -384,18 +384,9 @@ def _fully_connected(params: Mapping[str, Any], ctx: CreatorContext, name: str) 
             "set it explicitly for standalone use.")
     gain = dnn.get_gain(params.get("act_fn"))
     extra = {}
-    if ctx.quantize == "int8":
-        import functools
-        from deepcv_tpu.compression import int8_dot_general
-        extra["dot_general"] = functools.partial(
-            int8_dot_general, act_scale=ctx.quantize_scales.get(ctx.scope + name))
-    elif _qat_bits(ctx.quantize):
-        import functools
-        from deepcv_tpu.compression import fake_quant_dot_general
-        extra["dot_general"] = functools.partial(
-            fake_quant_dot_general,
-            act_scale=ctx.quantize_scales.get(ctx.scope + name),
-            bits=_qat_bits(ctx.quantize))
+    dg = _quantized_dot_general(ctx, name)
+    if dg is not None:
+        extra["dot_general"] = dg
     op = fnn.Dense(features=int(out_features),
                    use_bias=bool(params.get("use_bias", params.get("bias", True))),
                    dtype=ctx.dtype, param_dtype=ctx.param_dtype,

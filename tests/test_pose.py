@@ -39,14 +39,23 @@ def test_decode_and_pck_semantics(pose_data):
     # a uniformly-zero prediction decodes somewhere fixed; PCK collapses
     zero = jnp.zeros_like(t)
     assert float(pck(zero, t)) < 0.5
-    # quarter-pixel shift: a peak with a larger right neighbor moves +x
+    # quarter-pixel shift: a peak with a larger right neighbor moves +x;
+    # the y lookup reads around the INTEGER peak (a left-shifted x must not
+    # corrupt it) and ties leave y unshifted
     hm = np.zeros((1, 8, 8, 1), np.float32)
     hm[0, 4, 4, 0] = 1.0
-    hm[0, 4, 5, 0] = 0.5
+    hm[0, 4, 3, 0] = 0.6       # left neighbor bigger -> x shifts -0.25
+    hm[0, 5, 4, 0] = 0.5       # below bigger -> y shifts +0.25
+    hm[0, 3, 3, 0] = 0.55      # decoy at the SHIFTED x column
     coords, _ = decode_heatmaps(jnp.asarray(hm))
-    assert abs(float(coords[0, 0, 0]) - 4.25) < 1e-6
-    assert abs(float(coords[0, 0, 1]) - 4.0) < 1e-6 or \
-        abs(float(coords[0, 0, 1]) - 3.75) < 0.26  # y neighbor tie-dependent
+    assert abs(float(coords[0, 0, 0]) - 3.75) < 1e-6
+    assert abs(float(coords[0, 0, 1]) - 4.25) < 1e-6
+    # border peaks are not refined (coords never leave the grid)
+    hm2 = np.zeros((1, 8, 8, 1), np.float32)
+    hm2[0, 3, 0, 0] = 1.0
+    hm2[0, 3, 1, 0] = 0.4
+    c2, _ = decode_heatmaps(jnp.asarray(hm2))
+    assert float(c2[0, 0, 0]) == 0.0
     # jit-safe
     assert np.isfinite(float(jax.jit(pck)(t, t)))
 
