@@ -180,8 +180,24 @@ def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any
         return optax.rmsprop(lr, decay=float(opts.pop("alpha", 0.99)),
                              eps=float(opts.pop("eps", 1e-8)),
                              momentum=float(opts.pop("momentum", 0.0)))
-    raise ValueError(f"Unknown optimizer '{name}' "
-                     f"(known: adamw, adam, sgd, rmsprop, or pass a factory)")
+    # large-batch optimizers (You et al., LARS arXiv:1708.03888 / LAMB
+    # arXiv:1904.00962): layerwise trust ratios keep the huge global
+    # batches TPU pods want trainable — the small-batch recipes above
+    # diverge there. optax implementations, torch-style kwargs accepted.
+    if name in ("lamb",):
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        return optax.lamb(lr, b1=float(b1), b2=float(b2),
+                          eps=float(opts.pop("eps", 1e-6)),
+                          weight_decay=float(opts.pop("weight_decay", 0.0)))
+    if name in ("lars",):
+        return optax.lars(lr,
+                          weight_decay=float(opts.pop("weight_decay", 0.0)),
+                          momentum=float(opts.pop("momentum", 0.9)),
+                          trust_coefficient=float(
+                              opts.pop("trust_coefficient", 0.001)),
+                          nesterov=bool(opts.pop("nesterov", False)))
+    raise ValueError(f"Unknown optimizer '{name}' (known: adamw, adam, sgd, "
+                     f"rmsprop, lamb, lars, or pass a factory)")
 
 
 # --------------------------------------------------------------------------- #

@@ -643,3 +643,21 @@ def test_zero1_optimizer_state_sharding(tiny_setup, tmp_path):
     np.testing.assert_allclose(hist["train"][-1]["main_loss"],
                                hist_dp["train"][-1]["main_loss"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_large_batch_optimizers(tiny_setup, tmp_path):
+    """LAMB and LARS (the large-batch TPU staples) train through the
+    standard loop and decrease the loss; unknown names list them."""
+    from deepcv_tpu.train.training import build_optimizer
+
+    model, data = tiny_setup
+    for opt in ("lamb", "lars"):
+        hp = {"epochs": 2, "batch_size": 64, "optimizer": opt,
+              "optimizer_opts": {"lr": 1e-2, "weight_decay": 1e-4},
+              "save_every_iters": 0, "log_progress_every_iters": 1,
+              "output_path": str(tmp_path / opt), "seed": 7,
+              "backend_conf": {"n_devices": 1}}
+        state, hist = train(dict(hp), model, cross_entropy_loss, data)
+        assert hist["train"][-1]["main_loss"] < hist["train"][0]["main_loss"], opt
+    with pytest.raises(ValueError, match="lamb, lars"):
+        build_optimizer("adagrad", {"lr": 1e-3})
