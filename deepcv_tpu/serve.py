@@ -143,18 +143,29 @@ _logger = logging.getLogger(__name__)
 
 
 class Predictor:
-    """Batched jitted inference over a fixed compiled batch size."""
+    """Batched jitted inference over a fixed compiled batch size.
+
+    ``tta='flip'`` enables test-time augmentation: the model also runs on
+    the horizontally mirrored batch and the two outputs are averaged —
+    the classic +0.x% classification trick, ~2x compute, ONE jitted
+    program (the flip fuses in). Output-equivariant tasks (detection
+    grids, segmentation maps) need task-aware merging — TTA here is for
+    spatially-invariant heads (classification logits/embeddings)."""
 
     def __init__(self, model, variables, batch_size: int = 256,
                  preprocess: Optional[Callable] = None,
                  postprocess: Optional[Callable] = None,
-                 dtype: Any = None, bake_params: bool = False):
+                 dtype: Any = None, bake_params: bool = False,
+                 tta: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.batch_size = int(batch_size)
         self.preprocess = preprocess
         self.postprocess = postprocess
         self.dtype = jnp.dtype(dtype) if isinstance(dtype, str) else dtype
+        if tta not in (None, "flip"):
+            raise ValueError(f"unknown tta mode {tta!r} (known: 'flip')")
+        self.tta = tta
 
         def fwd(variables, x):
             if self.preprocess is not None:
@@ -165,6 +176,9 @@ class Predictor:
             if self.dtype is not None:
                 x = x.astype(self.dtype)
             y = model.apply(variables, x, train=False)
+            if self.tta == "flip":
+                y_f = model.apply(variables, x[:, :, ::-1, :], train=False)
+                y = (y + y_f) * 0.5
             if self.postprocess is not None:
                 y = self.postprocess(y)
             return y

@@ -294,3 +294,23 @@ def test_int8_static_calibration(setup):
     md = DeepcvModule(model.input_shape, model.hp.to_dict(), quantize="int8")
     yd = md.apply(variables, x, train=False)
     assert float(jnp.abs(ys - yd).max()) > 0
+
+
+def test_predictor_tta_flip(setup):
+    """tta='flip': outputs average the original and mirrored forwards —
+    equal to the hand-computed mean; a horizontally symmetric input makes
+    TTA a no-op; unknown modes fail at construction."""
+    model, data, ckpt, state = setup
+    v = state.variables()
+    base = Predictor(model, v, batch_size=16)
+    tta = Predictor(model, v, batch_size=16, tta="flip")
+    x = np.asarray(data["trainset"].dataset.images[:8], np.float32) / 255.0
+    y = base(x)
+    y_f = base(x[:, :, ::-1, :])
+    np.testing.assert_allclose(np.asarray(tta(x)), (y + y_f) / 2,
+                               rtol=1e-5, atol=1e-5)
+    sym = np.concatenate([x[..., :4, :], x[..., :4, :][:, :, ::-1, :]], axis=2)
+    np.testing.assert_allclose(np.asarray(tta(sym)), np.asarray(base(sym)),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="tta"):
+        Predictor(model, v, tta="rot90")
