@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Predictor", "save_model_bundle", "load_model_bundle",
+__all__ = ["Predictor", "distill_targets", "save_model_bundle", "load_model_bundle",
            "export_stablehlo", "load_stablehlo"]
 
 
@@ -140,6 +140,31 @@ def load_stablehlo(path: Union[str, Path]) -> Callable:
 
 
 _logger = logging.getLogger(__name__)
+
+
+def distill_targets(teacher_model, teacher_variables, dataset,
+                    batch_size: int = 256, preprocess=None):
+    """Precompute a frozen teacher's logits over ``dataset`` and return a
+    new ArrayDataset whose targets stack [hard label | teacher logits]
+    (N, 1 + C) — the layout ``train.losses.distillation_loss`` consumes.
+    Offline distillation: the teacher runs ONCE here, so the student's
+    train step stays single-model (no teacher weights in HBM, no extra
+    forward per step)."""
+    import numpy as np
+    from deepcv_tpu.data.datasets import ArrayDataset
+
+    pred = Predictor(teacher_model, teacher_variables,
+                     batch_size=batch_size, preprocess=preprocess)
+    logits = np.asarray(pred(dataset.images), np.float32)
+    labels = np.asarray(dataset.targets, np.float32).reshape(len(dataset), -1)
+    if labels.shape[1] != 1:
+        raise ValueError("distill_targets expects integer class targets "
+                         f"(got target shape {np.shape(dataset.targets)})")
+    return ArrayDataset(dataset.images,
+                        np.concatenate([labels, logits], axis=1),
+                        classes=dataset.classes,
+                        name=f"{dataset.name}_distill",
+                        provenance=getattr(dataset, "provenance", "real"))
 
 
 class Predictor:

@@ -22,7 +22,7 @@ from deepcv_tpu.utils import register
 __all__ = [
     "cross_entropy_loss", "label_smoothing_xentropy_loss", "mse_loss", "l1_loss",
     "jensen_shannon_divergence_consistency_loss", "triplet_margin_loss",
-    "WeightedLosses", "LOSS_FNS",
+    "distillation_loss", "distill_accuracy", "WeightedLosses", "LOSS_FNS",
 ]
 
 
@@ -56,6 +56,30 @@ def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+
+
+def distillation_loss(student_logits: jnp.ndarray, targets: jnp.ndarray,
+                      temperature: float = 4.0,
+                      alpha: float = 0.5) -> jnp.ndarray:
+    """Knowledge distillation (Hinton et al., arXiv:1503.02531) over
+    PRECOMPUTED teacher logits: ``targets`` is (N, 1 + C) — column 0 the
+    integer label, columns 1: the frozen teacher's logits (the layout
+    :func:`deepcv_tpu.serve.distill_targets` produces). Loss =
+    alpha * CE(student, label) + (1 - alpha) * T^2 * KL(teacher_T ||
+    student_T). Precomputing the soft labels once (the teacher is frozen —
+    its outputs never change) keeps the train step single-model: no
+    teacher forward per step, no extra weights in HBM, standard offline
+    distillation."""
+    labels = targets[..., 0].astype(jnp.int32)
+    t_logits = targets[..., 1:].astype(jnp.float32)
+    s_logits = student_logits.astype(jnp.float32)
+    hard = cross_entropy_loss(s_logits, labels)
+    t = float(temperature)
+    p_t = jax.nn.softmax(t_logits / t, axis=-1)
+    logp_s = jax.nn.log_softmax(s_logits / t, axis=-1)
+    logp_t = jax.nn.log_softmax(t_logits / t, axis=-1)
+    kl = jnp.mean(jnp.sum(p_t * (logp_t - logp_s), axis=-1))
+    return float(alpha) * hard + (1.0 - float(alpha)) * (t * t) * kl
 
 
 def jensen_shannon_divergence_consistency_loss(logits_clean: jnp.ndarray,
@@ -98,6 +122,7 @@ def triplet_margin_loss(anchor: jnp.ndarray, positive: jnp.ndarray,
 
 LOSS_FNS: Dict[str, Callable] = {
     "cross_entropy": cross_entropy_loss,
+    "distillation": distillation_loss,
     "label_smoothing_xentropy": label_smoothing_xentropy_loss,
     "mse": mse_loss,
     "l1": l1_loss,
@@ -107,6 +132,13 @@ LOSS_FNS: Dict[str, Callable] = {
 for _n, _f in LOSS_FNS.items():
     register(f"loss:{_n}", _f)
     register(_n, _f) if _n not in ("mse", "l1") else None
+
+
+def distill_accuracy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Accuracy against the hard label in a distillation target layout
+    (column 0 of the (N, 1+C) targets distill_targets produces)."""
+    return jnp.mean((jnp.argmax(logits, -1)
+                     == targets[..., 0].astype(jnp.int32)).astype(jnp.float32))
 
 
 class WeightedLosses:

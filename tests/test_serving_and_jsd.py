@@ -314,3 +314,48 @@ def test_predictor_tta_flip(setup):
                                rtol=1e-5, atol=1e-5)
     with pytest.raises(ValueError, match="tta"):
         Predictor(model, v, tta="rot90")
+
+
+def test_offline_distillation(setup, tmp_path):
+    """Offline KD: precomputed teacher soft labels (distill_targets) + the
+    distillation loss train a student end to end. Semantics: alpha=1
+    reduces to plain CE; teacher==student logits at alpha=0 give exactly 0
+    (KL of identical distributions)."""
+    import jax.numpy as jnp
+
+    from deepcv_tpu.train.losses import (cross_entropy_loss,
+                                         distill_accuracy,
+                                         distillation_loss)
+    from deepcv_tpu.serve import distill_targets
+    from deepcv_tpu.data.preprocess import preprocess as preprocess_fn
+    from deepcv_tpu.data.datasets import load_dataset
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, 8), jnp.float32)[:, None]
+    tgts = jnp.concatenate([labels, logits], axis=1)
+    np.testing.assert_allclose(
+        float(distillation_loss(logits, tgts, alpha=1.0)),
+        float(cross_entropy_loss(logits, labels[:, 0].astype(jnp.int32))),
+        rtol=1e-6)
+    assert abs(float(distillation_loss(logits, tgts, alpha=0.0))) < 1e-6
+    assert float(distill_accuracy(logits, tgts)) <= 1.0
+
+    # end to end: trained teacher -> soft labels -> student training
+    model, data, ckpt, state = setup
+    raw = load_dataset("synthetic", n=256, image_shape=(8, 8, 3),
+                       num_classes=4)
+    kd_raw = distill_targets(model, state.variables(), raw, batch_size=32,
+                             preprocess=data["trainset"].batch_transform)
+    assert kd_raw.targets.shape == (256, 1 + 4)
+    kd_data = preprocess_fn({"trainset": kd_raw},
+                            {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                             "transforms": ["to_tensor"]})
+    student = DeepcvModule((8, 8, 3), load_yaml(MODEL))
+    hp = {"epochs": 6, "batch_size": 32, "optimizer_opts": {"lr": 5e-3},
+          "save_every_iters": 0, "output_path": str(tmp_path), "seed": 1,
+          "log_progress_every_iters": 1, "backend_conf": {"n_devices": 1}}
+    st, hist = train(hp, student, "distillation", kd_data,
+                     metrics={"accuracy": distill_accuracy})
+    assert hist["train"][-1]["main_loss"] < hist["train"][0]["main_loss"]
+    assert hist["valid"][-1]["valid_accuracy"] >= 0.25   # learning signal
