@@ -150,19 +150,23 @@ def distill_targets(teacher_model, teacher_variables, dataset,
     Offline distillation: the teacher runs ONCE here, so the student's
     train step stays single-model (no teacher weights in HBM, no extra
     forward per step)."""
-    import numpy as np
     from deepcv_tpu.data.datasets import ArrayDataset
 
-    pred = Predictor(teacher_model, teacher_variables,
-                     batch_size=batch_size, preprocess=preprocess)
-    logits = np.asarray(pred(dataset.images), np.float32)
+    # validate BEFORE the (potentially long) teacher inference
     labels = np.asarray(dataset.targets, np.float32).reshape(len(dataset), -1)
     if labels.shape[1] != 1:
         raise ValueError("distill_targets expects integer class targets "
                          f"(got target shape {np.shape(dataset.targets)})")
+    pred = Predictor(teacher_model, teacher_variables,
+                     batch_size=batch_size, preprocess=preprocess)
+    logits = np.asarray(pred(dataset.images), np.float32)
+    # keep the class count discoverable: the stacked float targets no longer
+    # let ArrayDataset infer it from integer labels
+    classes = dataset.classes or [f"class_{i}"
+                                  for i in range(logits.shape[1])]
     return ArrayDataset(dataset.images,
                         np.concatenate([labels, logits], axis=1),
-                        classes=dataset.classes,
+                        classes=classes,
                         name=f"{dataset.name}_distill",
                         provenance=getattr(dataset, "provenance", "real"))
 
@@ -293,10 +297,17 @@ class Predictor:
             # Note: BN therefore normalizes with MC-batch statistics during
             # sampling, the standard MC-dropout compromise.
             mut = [c for c in ("batch_stats",) if c in variables]
-            out = self.model.apply(variables, x, train=True,
-                                   rngs={"dropout": key},
-                                   mutable=mut if mut else False)
-            return out[0] if isinstance(out, tuple) else out
+
+            def one(v):
+                out = self.model.apply(variables, v, train=True,
+                                       rngs={"dropout": key},
+                                       mutable=mut if mut else False)
+                return out[0] if isinstance(out, tuple) else out
+
+            y = one(x)
+            if self.tta == "flip":   # keep the MC mean consistent with
+                y = (y + one(x[:, :, ::-1, :])) * 0.5  # __call__'s predictor
+            return y
 
         # cache the compiled MC forward: rebuilding jax.jit per call would
         # re-trace and recompile every time
