@@ -45,6 +45,17 @@ def main():
     print(f"trained on mesh {dict(be.mesh.shape)}; "
           f"last loss {hist['train'][-1]['main_loss']:.4f}")
 
+    # ---- ZeRO-1: optimizer moments sharded over the data axis -------------- #
+    be_z = BackendConfig(zero=True)
+    state_z, hist_z = train(dict(hp, grad_accumulation_steps=1, remat=False),
+                            model, cross_entropy_loss, data, backend_conf=be_z)
+    spec = [str(getattr(l.sharding, "spec", ""))
+            for l in jax.tree_util.tree_leaves(state_z.opt_state)
+            if hasattr(l, "sharding") and "'data'" in str(
+                getattr(l.sharding, "spec", ""))]
+    print(f"ZeRO-1: {len(spec)} optimizer-state leaves data-sharded; "
+          f"last loss {hist_z['train'][-1]['main_loss']:.4f}")
+
     # ---- spatial partitioning: batch-1 image too big for one chip --------- #
     sp_mesh = make_mesh({"data": n})
     big = DeepcvModule((64 * n, 64, 3), load_yaml(MODEL))
