@@ -1524,3 +1524,135 @@ def test_convnext_blocks_torch_parity():
     with torch.no_grad():
         te = tm(_t(x)).numpy()
     np.testing.assert_allclose(je, te, atol=2e-5, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# EfficientNet-B0 FULL-network mirror (previously covered by exact param
+# counts + an SE-cell mirror; this closes the one asymmetry in the zoo
+# fidelity program)
+# --------------------------------------------------------------------------- #
+
+class TorchZooEfficientNetB0(tnn.Module):
+    """Executing-torch mirror of spec/zoo.efficientnet_b0_spec semantics:
+    MBConv = MNV2 inverted residual + SE between depthwise and projection
+    (SE hidden = block INPUT // 4, silu inside, sigmoid gate), silu
+    activations, per-stage 3x3/5x5 depthwise kernels, framework layer
+    order op -> act -> norm."""
+
+    def __init__(self, num_classes: int = 5):
+        super().__init__()
+        from deepcv_tpu.spec.zoo import (EFFICIENTNET_B0_SETTINGS,
+                                         _make_divisible)
+
+        def bn(c):
+            return tnn.BatchNorm2d(c, eps=1e-5, momentum=1.0)
+
+        c_in = _make_divisible(32)
+        self.stem = tnn.Conv2d(3, c_in, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = bn(c_in)
+        self.blocks = tnn.ModuleList()
+        self.block_names = []
+        for s, (t, c, n, stride0, k) in enumerate(EFFICIENTNET_B0_SETTINGS):
+            c_out = _make_divisible(c)
+            for b in range(n):
+                stride = stride0 if b == 0 else 1
+                c_exp = c_in * t
+                blk = tnn.ModuleDict()
+                if t != 1:
+                    blk["exp"] = tnn.Conv2d(c_in, c_exp, 1, bias=False)
+                    blk["exp_bn"] = bn(c_exp)
+                blk["dw"] = tnn.Conv2d(c_exp, c_exp, k, stride=stride,
+                                       padding=k // 2, groups=c_exp,
+                                       bias=False)
+                blk["dw_bn"] = bn(c_exp)
+                hidden = max(1, c_exp // (4 * t))      # = block input // 4
+                blk["se_fc1"] = tnn.Linear(c_exp, hidden)
+                blk["se_fc2"] = tnn.Linear(hidden, c_exp)
+                blk["proj"] = tnn.Conv2d(c_exp, c_out, 1, bias=False)
+                blk["proj_bn"] = bn(c_out)
+                blk.has_res = stride == 1 and c_in == c_out
+                self.blocks.append(blk)
+                self.block_names.append(f"mb{s}b{b}")
+                c_in = c_out
+        c_head = _make_divisible(1280)
+        self.head = tnn.Conv2d(c_in, c_head, 1, bias=False)
+        self.head_bn = bn(c_head)
+        self.fc = tnn.Linear(c_head, num_classes)
+
+    def forward(self, x):
+        x = self.stem_bn(tF.silu(self.stem(x)))
+        for blk in self.blocks:
+            h = blk["exp_bn"](tF.silu(blk["exp"](x))) if "exp" in blk else x
+            h = blk["dw_bn"](tF.silu(blk["dw"](h)))
+            z = h.mean(dim=(2, 3))                      # SE squeeze (N, C)
+            z = tF.silu(blk["se_fc1"](z))
+            gate = torch.sigmoid(blk["se_fc2"](z))
+            h = h * gate[:, :, None, None]
+            h = blk["proj_bn"](blk["proj"](h))          # linear bottleneck
+            x = x + h if blk.has_res else h
+        x = self.head_bn(tF.silu(self.head(x)))
+        x = x.mean(dim=(2, 3))
+        return self.fc(x)
+
+
+def test_efficientnet_b0_zoo_forward_parity():
+    """Full-network weight-copied mirror: one train pass at momentum=1.0
+    populates running stats on both sides, JAX stats copy into the mirror,
+    EVAL logits on a fresh batch must agree — the residual is pure
+    conv/silu/SE/residual math through all 16 MBConv blocks."""
+    from deepcv_tpu.spec.zoo import efficientnet_b0_spec
+
+    hp = efficientnet_b0_spec(num_classes=5, pool_kernel=2, dropout=0.0)
+    hp["batch_norm"]["momentum"] = 1.0
+    jm = DeepcvModule((64, 64, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(17))
+    p = jv["params"]
+
+    tm = TorchZooEfficientNetB0(num_classes=5)
+    _copy_conv_nobias(tm.stem, p["node_impls_stem"])
+    copy_affine(tm.stem_bn, p["node_impls_stem"]["norms_0"])
+    for name, blk in zip(tm.block_names, tm.blocks):
+        for part in ("exp", "dw", "proj"):
+            if part in blk:
+                node = p[f"node_impls_{name}_{part}"]
+                _copy_conv_nobias(blk[part], node)
+                copy_affine(blk[f"{part}_bn"], node["norms_0"])
+        se = p[f"node_impls_{name}_se"]
+        copy_dense(blk["se_fc1"], {"op": se["reduce"]})
+        copy_dense(blk["se_fc2"], {"op": se["expand"]})
+    _copy_conv_nobias(tm.head, p["node_impls_head"])
+    copy_affine(tm.head_bn, p["node_impls_head"]["norms_0"])
+    fc_key = next(k for k in p if "fully_connected" in k)
+    copy_dense(tm.fc, p[fc_key])
+
+    rng = np.random.default_rng(41)
+    xa = rng.normal(size=(8, 64, 64, 3)).astype(np.float32)
+    xb = rng.normal(size=(3, 64, 64, 3)).astype(np.float32)
+
+    _, mut = jax.jit(lambda v, x: jm.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"]))(jv, jnp.asarray(xa))
+    tm.train()
+    with torch.no_grad():
+        tm(_t(xa).permute(0, 3, 1, 2))
+
+    def load_stats(tbn, node):
+        tbn.running_mean.data = _t(mut["batch_stats"][node]["norms_0"]["mean"])
+        tbn.running_var.data = _t(mut["batch_stats"][node]["norms_0"]["var"])
+
+    load_stats(tm.stem_bn, "node_impls_stem")
+    load_stats(tm.head_bn, "node_impls_head")
+    for name, blk in zip(tm.block_names, tm.blocks):
+        for part in ("exp", "dw", "proj"):
+            if part in blk:
+                load_stats(blk[f"{part}_bn"], f"node_impls_{name}_{part}")
+
+    jv2 = {"params": jv["params"], "batch_stats": mut["batch_stats"]}
+    je = np.asarray(jax.jit(lambda v, x: jm.apply(v, x, train=False))(
+        jv2, jnp.asarray(xb)))
+    tm.eval()
+    with torch.no_grad():
+        te = tm(_t(xb).permute(0, 3, 1, 2)).numpy()
+    scale = np.abs(te).max()
+    np.testing.assert_allclose(je, te, atol=max(5e-4, 2e-3 * scale),
+                               rtol=2e-3)
