@@ -384,6 +384,7 @@ VIT_SETTINGS = {
     "b_32": (32, 12, 12, 768, 3072),
     "l_16": (16, 24, 16, 1024, 4096),
     "l_32": (32, 24, 16, 1024, 4096),
+    "h_14": (14, 32, 16, 1280, 5120),
 }
 
 
@@ -399,7 +400,7 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
     MLP), final LayerNorm (eps 1e-6), [cls] token -> Linear head. At
     224x224 input the parameter counts equal torchvision exactly —
     vit_b_16 86,567,656 / vit_b_32 88,224,232 / vit_l_16 304,326,632 /
-    vit_l_32 306,535,400 — with NO inert pad rows: patch embedding is a
+    vit_l_32 306,535,400 / vit_h_14 632,045,800 — with NO inert pad rows: patch embedding is a
     reshape + Dense (ops/attention.py:PatchEmbed), so the conv-stem lane
     padding the CNN families document does not arise. The position table
     is sized from the actual input (token count is static at build), so

@@ -625,7 +625,8 @@ def test_vit_zoo_builder_matches_torchvision_params():
     from deepcv_tpu.spec.zoo import vit_spec
 
     for variant, expect in (("b_16", 86_567_656), ("b_32", 88_224_232),
-                            ("l_16", 304_326_632), ("l_32", 306_535_400)):
+                            ("l_16", 304_326_632), ("l_32", 306_535_400),
+                            ("h_14", 632_045_800)):
         m = DeepcvModule((224, 224, 3), vit_spec(variant=variant))
         vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
         n = sum(int(np.prod(l.shape))
