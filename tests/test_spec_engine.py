@@ -634,7 +634,7 @@ def test_vit_zoo_builder_matches_torchvision_params():
         assert n == expect, (variant, n, expect)
 
     with pytest.raises(ValueError, match="variant must be one of"):
-        vit_spec(variant="h_14")
+        vit_spec(variant="g_14")
 
     hp = vit_spec(variant="b_16", num_classes=7, dropout=0.1)
     hp["architecture"] = hp["architecture"][:3] + hp["architecture"][-3:]
