@@ -635,6 +635,12 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         # LN-normalized family: --norm does not apply
         hp_m = convnext_spec(variant=arch[len("convnext_"):],
                              num_classes=1000, pool_kernel=hw // 32)
+    elif arch.startswith("swin_"):
+        from deepcv_tpu.spec.zoo import swin_spec
+        # window must divide every stage's map: 7 at 224; 2 on the CPU smoke
+        hp_m = swin_spec(variant=arch[len("swin_"):], num_classes=1000,
+                         window=7 if hw == 224 else 2,
+                         pool_kernel=hw // 32)
     else:
         hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
                            norm=zoo_norm)
@@ -669,7 +675,8 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                      "efficientnet_b0": 5.29, "mobilenet_v3_large": 5.48,
                      "mobilenet_v3_small": 2.54, "vit_b_16": 86.57,
                      "vit_b_32": 88.22, "convnext_tiny": 28.59,
-                     "convnext_small": 50.22}.get(arch), "batch": batch,
+                     "convnext_small": 50.22, "swin_t": 28.29,
+                     "swin_s": 49.61}.get(arch), "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
 
 
@@ -839,7 +846,7 @@ if __name__ == "__main__":
                     choices=["resnet50", "mobilenet_v2", "efficientnet_b0",
                              "mobilenet_v3_large", "mobilenet_v3_small",
                              "vit_b_16", "vit_b_32", "convnext_tiny",
-                             "convnext_small"],
+                             "convnext_small", "swin_t", "swin_s"],
                     help="config 9 only: canonical architecture to train")
     ap.add_argument("--batch", type=int, default=0,
                     help="configs 1/6/9: global batch override (defaults "

@@ -32,6 +32,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as fnn
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -42,6 +43,7 @@ __all__ = [
     "attention_xla", "flash_attention", "scaled_dot_product_attention",
     "MultiHeadSelfAttention", "MlpBlock", "TransformerEncoderBlock",
     "PatchEmbed", "TakeToken", "resize_pos_embedding",
+    "WindowAttention", "SwinBlock", "PatchMerging",
 ]
 
 #: exact (erf) GELU — torch.nn.GELU parity; jax.nn.gelu defaults to tanh approx
@@ -434,3 +436,168 @@ class TakeToken(fnn.Module):
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
         return x[:, int(self.index)]
+
+
+# --------------------------------------------------------------------------- #
+# Windowed attention (Swin family — Liu et al., arXiv:2103.14030)
+# --------------------------------------------------------------------------- #
+
+def _window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N * nH * nW, w*w, C) — pure reshapes."""
+    n, h, wid, c = x.shape
+    x = x.reshape(n, h // w, w, wid // w, w, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, c)
+
+
+def _window_reverse(win: jnp.ndarray, w: int, h: int, wid: int) -> jnp.ndarray:
+    """Inverse of :func:`_window_partition`."""
+    c = win.shape[-1]
+    x = win.reshape(-1, h // w, wid // w, w, w, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, h, wid, c)
+
+
+def _relative_position_index(w: int) -> np.ndarray:
+    """Static (w*w, w*w) index into the (2w-1)^2 relative-bias table
+    (Swin's standard construction)."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w),
+                                  indexing="ij")).reshape(2, -1)   # (2, w*w)
+    rel = coords[:, :, None] - coords[:, None, :]                  # (2, T, T)
+    rel = rel.transpose(1, 2, 0) + (w - 1)                         # to >= 0
+    return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_attention_mask(h: int, wid: int, w: int, shift: int) -> np.ndarray:
+    """Static additive mask (nWindows, w*w, w*w) for shifted windows:
+    tokens that were NOT neighbors before the cyclic shift (wrapped-around
+    content) must not attend to each other. The region labels are defined
+    directly in SHIFTED coordinates (the official Swin construction —
+    rows/cols [0, -w) are contiguous interior, [-w, -shift) and
+    [-shift, 0) are the two sides of the wrap seam); -1e9 on cross-region
+    pairs."""
+    img = np.zeros((h, wid), np.int32)
+    cnt = 0
+    for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+        for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(h // w, w, wid // w, w).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, w * w)                                   # (nW, T)
+    diff = win[:, :, None] != win[:, None, :]
+    return np.where(diff, -1e9, 0.0).astype(np.float32)
+
+
+class WindowAttention(fnn.Module):
+    """(Shifted-)window multi-head self-attention on a spatial map
+    (Swin W-MSA / SW-MSA): attention is computed inside non-overlapping
+    w x w windows with a learned relative-position bias; ``shift = w // 2``
+    cyclically shifts the map first and masks cross-region pairs (the
+    static mask is built from the shapes at trace time). Input and output
+    are (N, H, W, C) — window partition/reverse are pure reshapes, so the
+    whole op is a few batched (w², w²) MXU matmuls; H and W must be
+    multiples of ``window``."""
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        n, h, wid, c = x.shape
+        nh = int(self.num_heads)
+        # official Swin convention: when the map is no larger than the
+        # window, attention is global — clamp the window and drop the shift
+        # (shifting a full-map window is a no-op modulo the wrap mask)
+        w = min(int(self.window), h, wid)
+        shift = int(self.shift) if w < min(h, wid) else 0
+        if h % w or wid % w:
+            raise ValueError(f"feature map {h}x{wid} not divisible by "
+                             f"window={w}")
+        if c % nh:
+            raise ValueError(f"dim {c} not divisible by {nh} heads")
+        dh = c // nh
+        if shift:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        t = w * w
+        win = _window_partition(x, w)                   # (B, T, C)
+        qkv = fnn.Dense(3 * c, dtype=self.dtype,
+                        kernel_init=xavier_uniform_with_gain(1.0),
+                        name="qkv")(win)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(-1, t, nh, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / math.sqrt(dh)
+        table = self.param("rel_pos_bias",
+                           fnn.initializers.normal(stddev=0.02),
+                           ((2 * w - 1) ** 2, nh), jnp.float32)
+        idx = jnp.asarray(_relative_position_index(w))
+        bias = table[idx.reshape(-1)].reshape(t, t, nh).transpose(2, 0, 1)
+        s = s + bias[None].astype(s.dtype)
+        if shift:
+            mask = jnp.asarray(_shift_attention_mask(h, wid, w, shift))
+            nw = mask.shape[0]
+            s = s.reshape(n, nw, nh, t, t) + mask[None, :, None]
+            s = s.reshape(-1, nh, t, t)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+        o = o.transpose(0, 2, 1, 3).reshape(-1, t, c)
+        o = fnn.Dense(c, dtype=self.dtype,
+                      kernel_init=xavier_uniform_with_gain(1.0),
+                      name="out")(o)
+        x = _window_reverse(o, w, h, wid)
+        if shift:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        return x
+
+
+class SwinBlock(fnn.Module):
+    """Pre-LN Swin transformer block on a spatial map: x + drop_path(
+    (S)W-MSA(ln_1(x))); x + drop_path(MLP(ln_2(x))) — exact-GELU 4x MLP,
+    LayerNorm over channels (channel-last maps make torch's permutes
+    vanish)."""
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    drop_path_prob: float = 0.0
+    ln_eps: float = 1e-5
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        from deepcv_tpu.ops.nn import DropPath
+        dp = DropPath(rate=float(self.drop_path_prob))
+        y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
+                          name="ln_1")(x)
+        y = WindowAttention(num_heads=self.num_heads, window=self.window,
+                            shift=self.shift, dtype=self.dtype,
+                            name="attn")(y, train=train)
+        x = x + dp(y, train=train)
+        z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
+                          name="ln_2")(x)
+        z = MlpBlock(mlp_dim=int(round(x.shape[-1] * float(self.mlp_ratio))),
+                     dtype=self.dtype, name="mlp")(z, train=train)
+        return x + dp(z, train=train)
+
+
+class PatchMerging(fnn.Module):
+    """Swin between-stage downsampling: concat 2x2 neighbors (C -> 4C),
+    LayerNorm, Linear 4C -> 2C (bias-free, torch convention)."""
+    ln_eps: float = 1e-5
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        n, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(f"feature map {h}x{w} not divisible by 2")
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(n, h // 2, w // 2, 4 * c)
+        x = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
+                          name="ln")(x)
+        return fnn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                         kernel_init=xavier_uniform_with_gain(1.0),
+                         name="reduce")(x)

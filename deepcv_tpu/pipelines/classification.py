@@ -80,6 +80,15 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 num_classes=num_classes or 1000,
                 stochastic_depth=float(hp.pop("stochastic_depth", 0.1)),
                 pool_kernel=max(1, input_shape[0] // 32))
+        elif str(zoo) == "swin":
+            _reject("depth", "width_mult", "norm")
+            from deepcv_tpu.spec.zoo import swin_spec
+            built = swin_spec(
+                variant=str(hp.pop("variant", "t")),
+                num_classes=num_classes or 1000,
+                window=int(hp.pop("window", 7)),
+                stochastic_depth=float(hp.pop("stochastic_depth", 0.2)),
+                pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "vit":
             _reject("depth", "width_mult", "norm")
             from deepcv_tpu.spec.zoo import vit_spec
@@ -99,7 +108,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
         else:
             raise ValueError(
                 f"Unknown zoo builder '{zoo}' (known: resnet, mobilenet_v2, "
-                "mobilenet_v3, efficientnet_b0, convnext, vit)")
+                "mobilenet_v3, efficientnet_b0, convnext, swin, vit)")
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])
@@ -203,5 +212,8 @@ def get_pipelines() -> Dict[str, Pipeline]:
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
         "train_convnext": train_pipeline(
             "train_convnext", "convnext_model", "train_resnet50",
+            ds="imagenet224", pp_key="imagenet224_preprocessing"),
+        "train_swin": train_pipeline(
+            "train_swin", "swin_model", "train_resnet50",
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
     }

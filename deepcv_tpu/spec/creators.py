@@ -788,6 +788,33 @@ def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
         dtype=ctx.dtype, name=name)
 
 
+@submodule_creator("swin_block",
+                   allowed=("num_heads", "window", "shift", "mlp_ratio",
+                            "drop_path_prob", "ln_eps"),
+                   required=("num_heads",))
+def _swin_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Swin transformer block on a spatial map (arXiv:2103.14030):
+    (shifted-)window attention with relative-position bias + exact-GELU
+    MLP; ``shift: window // 2`` gives the SW-MSA variant."""
+    from deepcv_tpu.ops.attention import SwinBlock
+    return SwinBlock(num_heads=int(params["num_heads"]),
+                     window=int(params.get("window", 7)),
+                     shift=int(params.get("shift", 0)),
+                     mlp_ratio=float(params.get("mlp_ratio", 4.0)),
+                     drop_path_prob=float(params.get("drop_path_prob") or 0.0),
+                     ln_eps=float(params.get("ln_eps", 1e-5)),
+                     dtype=ctx.dtype, name=name)
+
+
+@submodule_creator("patch_merging", allowed=("ln_eps",))
+def _patch_merging(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Swin between-stage downsampling: 2x2 concat + LN + bias-free
+    Linear to 2C."""
+    from deepcv_tpu.ops.attention import PatchMerging
+    return PatchMerging(ln_eps=float(params.get("ln_eps", 1e-5)),
+                        dtype=ctx.dtype, name=name)
+
+
 @submodule_creator("take_token", allowed=("index",))
 def _take_token(params, ctx: CreatorContext, name: str) -> fnn.Module:
     """(N, T, D) -> (N, D): pick one token ([cls] by default)."""

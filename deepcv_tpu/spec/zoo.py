@@ -23,7 +23,8 @@ __all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
            "MOBILENET_V2_SETTINGS", "efficientnet_b0_spec",
            "EFFICIENTNET_B0_SETTINGS", "mobilenet_v3_spec",
            "MOBILENET_V3_SETTINGS", "vit_spec", "VIT_SETTINGS",
-           "convnext_spec", "CONVNEXT_SETTINGS"]
+           "convnext_spec", "CONVNEXT_SETTINGS", "swin_spec",
+           "SWIN_SETTINGS"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -480,6 +481,62 @@ def convnext_spec(variant: str = "tiny", num_classes: int = 1000,
                                      "stride": [pool_kernel, pool_kernel]}})
     arch.append({"flatten": {}})
     arch.append({"norm": ["head_ln", {"layer_norm": {"eps": 1e-6}}]})
+    arch.append({"fully_connected": {"out_features": num_classes,
+                                     "act_fn": None, "batch_norm": None,
+                                     "group_norm": None}})
+    return {"act_fn": "gelu_exact", "architecture": arch,
+            "dropout_prob": 0.0}
+
+
+#: Swin variants (Liu et al., arXiv:2103.14030; torchvision naming):
+#: (embed dim, depths per stage, heads per stage)
+SWIN_SETTINGS = {
+    "t": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
+    "s": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
+    "b": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+}
+
+
+def swin_spec(variant: str = "t", num_classes: int = 1000,
+              window: int = 7, stochastic_depth: float = 0.2,
+              pool_kernel: int = 7) -> Dict[str, Any]:
+    """Swin Transformer through the spec language — hierarchical windowed
+    attention (the seventh zoo family; the attention counterpart of the
+    CNN pyramids). Patchify stem (reshape + Dense + LN — the ConvNeXt stem
+    cell at Swin's eps), stages of W-MSA/SW-MSA pairs (shift = window // 2
+    on odd blocks, relative-position bias inside windows), PatchMerging
+    (2x2 concat + LN + bias-free 2C Linear) between stages, final LN on
+    the map, global pool, Linear head. Stochastic depth ramps linearly
+    over all blocks (torchvision's 0.2 default for swin_t).
+
+    Parameter counts at 224 equal torchvision exactly — swin_t 28,288,354
+    (hand-derived and asserted in tests) — with zero pad rows.
+    ``pool_kernel`` = input_size // 32. Feature maps must stay divisible
+    by ``window`` at every stage (224 -> 56/28/14/7 with window 7)."""
+    if variant not in SWIN_SETTINGS:
+        raise ValueError(f"variant must be one of {sorted(SWIN_SETTINGS)}, "
+                         f"got {variant!r}")
+    dim, depths, heads = SWIN_SETTINGS[variant]
+    total = sum(depths)
+    arch: List[Any] = [
+        {"convnext_stem": ["stem", {"dim": dim, "patch": 4,
+                                    "ln_eps": 1e-5}]},
+    ]
+    bi = 0
+    for s, (n_blocks, nh) in enumerate(zip(depths, heads)):
+        if s > 0:
+            arch.append({"patch_merging": [f"merge{s}", {}]})
+        for b in range(n_blocks):
+            dp = stochastic_depth * bi / max(1, total - 1)
+            arch.append({"swin_block": [
+                f"s{s}b{b}", {"num_heads": nh, "window": window,
+                              "shift": 0 if b % 2 == 0 else window // 2,
+                              "drop_path_prob": round(dp, 6)}]})
+            bi += 1
+    arch.append({"norm": ["head_ln", {"layer_norm": {"eps": 1e-5}}]})
+    arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
+                                     "stride": [pool_kernel, pool_kernel]}})
+    arch.append({"flatten": {}})
     arch.append({"fully_connected": {"out_features": num_classes,
                                      "act_fn": None, "batch_norm": None,
                                      "group_norm": None}})

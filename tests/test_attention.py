@@ -287,3 +287,78 @@ def test_vit_int8_serving_and_qat_builds():
         mqat.apply({"params": p}, x, train=False) ** 2))(v["params"])
     qkv_g = g["node_impls_enc0"]["attn"]["qkv"]["kernel"]
     assert float(jnp.max(jnp.abs(qkv_g))) > 0.0   # STE gradients alive
+
+
+# --------------------------------------------------------------------------- #
+# Swin windowed attention
+# --------------------------------------------------------------------------- #
+
+def test_window_attention_full_window_equals_plain_attention():
+    """With window == the whole map, no shift, and a zeroed bias table,
+    WindowAttention is EXACTLY plain attention on the flattened tokens
+    (same packed qkv/out weights through the verified attention_xla path)."""
+    from deepcv_tpu.ops.attention import WindowAttention
+
+    n, h, w, c, heads = 2, 4, 4, 16, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+    wa = WindowAttention(num_heads=heads, window=4)
+    v = wa.init(jax.random.PRNGKey(1), x)
+    v["params"]["rel_pos_bias"] = jnp.zeros_like(v["params"]["rel_pos_bias"])
+    y = wa.apply(v, x)
+    tok = x.reshape(n, h * w, c)
+    qkv = tok @ v["params"]["qkv"]["kernel"] + v["params"]["qkv"]["bias"]
+    q, k, vv = jnp.split(qkv, 3, axis=-1)
+    hs = lambda z: z.reshape(n, h * w, heads, c // heads).transpose(0, 2, 1, 3)
+    o = attention_xla(hs(q), hs(k), hs(vv))
+    o = o.transpose(0, 2, 1, 3).reshape(n, h * w, c) \
+        @ v["params"]["out"]["kernel"] + v["params"]["out"]["bias"]
+    np.testing.assert_allclose(np.asarray(y.reshape(n, h * w, c)),
+                               np.asarray(o), atol=1e-5, rtol=1e-5)
+
+
+def test_window_attention_locality_and_shift_mask():
+    """No shift: distant windows are INDEPENDENT (modifying one window
+    cannot change another's output). Shifted: the wrap seam is masked —
+    the static mask leaves the interior window fully unmasked and masks
+    only cross-region pairs in seam windows; a constant map is invariant
+    to shifting (cyclic roll of a constant is itself)."""
+    from deepcv_tpu.ops.attention import (WindowAttention,
+                                          _shift_attention_mask)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 8))
+    wa = WindowAttention(num_heads=2, window=2)
+    v = wa.init(jax.random.PRNGKey(1), x)
+    y1 = wa.apply(v, x)
+    y2 = wa.apply(v, x.at[:, :2, :2, :].set(0.0))
+    np.testing.assert_array_equal(np.asarray(y1[:, 2:, 2:]),
+                                  np.asarray(y2[:, 2:, 2:]))
+
+    m = _shift_attention_mask(8, 8, 2, 1)        # (16, 4, 4)
+    assert m.shape == (16, 4, 4)
+    assert np.all(m[0] == 0.0)                   # interior: unmasked
+    assert (m < 0).any()                         # seam windows: masked pairs
+    np.testing.assert_array_equal(m, m.transpose(0, 2, 1))  # symmetric
+
+    was = WindowAttention(num_heads=2, window=2, shift=1)
+    vs = was.init(jax.random.PRNGKey(2), x)
+    const = jnp.ones((1, 8, 8, 8)) * 0.3
+    y_s = was.apply(vs, const)
+    # constant input: every token sees identical content; output constant
+    assert float(jnp.std(y_s.reshape(-1, 8), axis=0).max()) < 1e-5
+
+
+def test_swin_block_and_patch_merging_shapes():
+    from deepcv_tpu.ops.attention import (PatchMerging, SwinBlock,
+                                          WindowAttention)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    blk = SwinBlock(num_heads=4, window=2, shift=1, drop_path_prob=0.1)
+    v = blk.init(jax.random.PRNGKey(1), x)
+    y = blk.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+    pm = PatchMerging()
+    vp = pm.init(jax.random.PRNGKey(3), x)
+    assert pm.apply(vp, x).shape == (2, 4, 4, 32)
+    assert "bias" not in vp["params"]["reduce"]   # torch: bias-free reduce
+    with pytest.raises(ValueError, match="not divisible"):
+        WindowAttention(num_heads=2, window=3).init(jax.random.PRNGKey(0), x)

@@ -363,6 +363,11 @@ def test_zoo_builders_reachable_from_model_conf():
     out = jax.eval_shape(
         lambda vv: m.apply(vv, jnp.ones((2, 32, 32, 3)), train=False), v)
     assert out.shape == (2, 7)
+    msw = create_model(data, {"zoo": "swin", "variant": "t", "window": 2})
+    vsw = jax.eval_shape(msw.init, jax.random.PRNGKey(0))
+    outsw = jax.eval_shape(
+        lambda w: msw.apply(w, jnp.ones((2, 32, 32, 3)), train=False), vsw)
+    assert outsw.shape == (2, 7)
     mv = create_model(data, {"zoo": "vit", "variant": "b_32"})
     vv = jax.eval_shape(mv.init, jax.random.PRNGKey(0))
     outv = jax.eval_shape(

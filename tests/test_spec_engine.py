@@ -693,3 +693,42 @@ def test_convnext_zoo_builder_matches_torchvision_params():
         v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
         v, jnp.ones((2, 32, 32, 3)))
     assert y.shape == (2, 7) and bool(jnp.isfinite(y).all())
+
+
+def test_swin_zoo_builder_matches_torchvision_params():
+    """spec/zoo.swin_spec: all three torchvision variants EXACT at 224
+    (t 28,288,354 / s 49,606,258 / b 87,768,224 — also hand-derived from
+    the block arithmetic), zero pad rows; W-MSA/SW-MSA alternation and the
+    drop-path ramp are emitted; full swin_t forwards at 64px window 2."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import swin_spec
+
+    for variant, expect in (("t", 28_288_354), ("s", 49_606_258),
+                            ("b", 87_768_224)):
+        m = DeepcvModule((224, 224, 3), swin_spec(variant=variant))
+        vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(vs["params"]))
+        assert n == expect, (variant, n, expect)
+
+    with pytest.raises(ValueError, match="variant must be one of"):
+        swin_spec(variant="l")
+
+    hp = swin_spec(variant="t", num_classes=7, window=2, pool_kernel=2)
+    rows = [r["swin_block"][1] for r in hp["architecture"]
+            if "swin_block" in r]
+    assert [r["shift"] for r in rows[:4]] == [0, 1, 0, 1]   # W/SW alternate
+    dps = [r["drop_path_prob"] for r in rows]
+    assert dps[0] == 0.0 and abs(dps[-1] - 0.2) < 1e-9
+    assert all(b >= a for a, b in zip(dps, dps[1:]))
+    m = DeepcvModule((64, 64, 3), hp)
+    v = m.init(jax.random.PRNGKey(0))
+    assert "rel_pos_bias" in v["params"]["node_impls_s0b0"]["attn"]
+    y = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
+        v, jnp.ones((2, 64, 64, 3)))
+    assert y.shape == (2, 7) and bool(jnp.isfinite(y).all())
