@@ -6,7 +6,8 @@ a TPU the same code runs full-size — swap in the real variants).
 Covers:
   1. ViT through the spec language (zoo builder), with the Pallas flash
      attention path cross-checked against the XLA path;
-  2. ConvNeXt through the spec language (layer scale + stochastic depth);
+  2. ConvNeXt through the spec language (layer scale + stochastic depth)
+     and Swin-T (hierarchical windowed attention);
   3. the multi-scale FPN detector (focal loss, flat decode, mAP@0.5);
   4. HRNet-style semantic segmentation (mIoU).
 """
@@ -50,6 +51,23 @@ def convnext_forward():
     hp["architecture"] = [r for r in hp["architecture"]
                           if "convnext_block" not in r
                           or r["convnext_block"][0].endswith("b0")]
+    m = DeepcvModule((32, 32, 3), hp)
+    v = m.init(jax.random.PRNGKey(0))
+    y = jax.jit(lambda v, x: m.apply(
+        v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
+        v, jnp.ones((2, 32, 32, 3)))
+    print("   train-mode logits:", y.shape)
+
+
+def swin_forward():
+    print("== Swin-T (spec-built, windowed attention) ==")
+    from deepcv_tpu.spec.zoo import swin_spec
+    hp = swin_spec(variant="t", num_classes=10, window=2, pool_kernel=1)
+    # one block per stage for a fast demo (keeps a W-MSA and an SW-MSA)
+    keep = {"s0b0", "s0b1", "s1b0", "s2b0", "s3b0"}
+    hp["architecture"] = [r for r in hp["architecture"]
+                          if "swin_block" not in r
+                          or r["swin_block"][0] in keep]
     m = DeepcvModule((32, 32, 3), hp)
     v = m.init(jax.random.PRNGKey(0))
     y = jax.jit(lambda v, x: m.apply(
@@ -128,6 +146,7 @@ def segmentation():
 if __name__ == "__main__":
     vit_with_flash()
     convnext_forward()
+    swin_forward()
     fpn_detection()
     segmentation()
     print("all green")
