@@ -249,12 +249,23 @@ def calibrate_int8_scales(model, variables, batches) -> Dict[str, float]:
         mod = context.module
         if context.method_name == "__call__" and isinstance(mod, (fnn.Conv,
                                                                   fnn.Dense)):
-            nodes = [c[len("node_impls_"):] for c in mod.path
+            path = list(mod.path)
+            nodes = [c[len("node_impls_"):] for c in path
                      if c.startswith("node_impls_")]
             if nodes:
-                key = "/".join(nodes)
                 v = float(jnp.max(jnp.abs(args[0])))
+                key = "/".join(nodes)
                 amax[key] = max(amax.get(key, 0.0), v)
+                # ALSO record the per-sublayer key for nodes with several
+                # quantizable ops (transformer blocks: attn/qkv, attn/out,
+                # mlp/fc1, mlp/fc2) — strictly finer than the node max, so
+                # consumers that know the subpath clip less
+                last = max(i for i, c in enumerate(path)
+                           if c.startswith("node_impls_"))
+                tail = path[last + 1:]
+                if tail:
+                    sub = key + "/" + "/".join(tail)
+                    amax[sub] = max(amax.get(sub, 0.0), v)
         return next_fn(*args, **kwargs)
 
     with fnn.intercept_methods(interceptor):

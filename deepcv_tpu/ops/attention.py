@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -214,6 +214,14 @@ def scaled_dot_product_attention(q, k, v, impl: str = "xla") -> jnp.ndarray:
 # Transformer modules (torchvision ViT wiring, verified by torch mirrors)
 # --------------------------------------------------------------------------- #
 
+def _sub_dot_general(dg, sub: str):
+    """Resolve a per-sublayer dot_general: a mapping selects by sub-path
+    (per-sublayer calibration scales), a bare callable applies to all."""
+    if isinstance(dg, Mapping):
+        return dg.get(sub)
+    return dg
+
+
 class MultiHeadSelfAttention(fnn.Module):
     """Self-attention with torch ``nn.MultiheadAttention`` packing: one
     Dense to 3*D whose output columns are [q | k | v] (= in_proj_weight
@@ -238,10 +246,12 @@ class MultiHeadSelfAttention(fnn.Module):
         if d % h:
             raise ValueError(f"embed dim {d} not divisible by {h} heads")
         dh = d // h
-        dg = {"dot_general": self.dot_general} if self.dot_general else {}
+        dg_q = _sub_dot_general(self.dot_general, "qkv")
+        dg_o = _sub_dot_general(self.dot_general, "out")
         qkv = fnn.Dense(3 * d, dtype=self.dtype,
                         kernel_init=xavier_uniform_with_gain(1.0),
-                        name="qkv", **dg)(x)
+                        name="qkv",
+                        **({"dot_general": dg_q} if dg_q else {}))(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):
@@ -265,7 +275,8 @@ class MultiHeadSelfAttention(fnn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(n, t, d)
         return fnn.Dense(d, dtype=self.dtype,
                          kernel_init=xavier_uniform_with_gain(1.0),
-                         name="out", **dg)(o)
+                         name="out",
+                         **({"dot_general": dg_o} if dg_o else {}))(o)
 
 
 class MlpBlock(fnn.Module):
@@ -280,17 +291,20 @@ class MlpBlock(fnn.Module):
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
         d = x.shape[-1]
-        dg = {"dot_general": self.dot_general} if self.dot_general else {}
+        dg1 = _sub_dot_general(self.dot_general, "fc1")
+        dg2 = _sub_dot_general(self.dot_general, "fc2")
         y = fnn.Dense(int(self.mlp_dim), dtype=self.dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
-                      name="fc1", **dg)(x)
+                      name="fc1",
+                      **({"dot_general": dg1} if dg1 else {}))(x)
         y = self.act_fn(y)
         if self.dropout_prob and self.dropout_prob > 0.0:
             y = fnn.Dropout(rate=float(self.dropout_prob),
                             deterministic=not train)(y)
         y = fnn.Dense(d, dtype=self.dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
-                      name="fc2", **dg)(y)
+                      name="fc2",
+                      **({"dot_general": dg2} if dg2 else {}))(y)
         if self.dropout_prob and self.dropout_prob > 0.0:
             y = fnn.Dropout(rate=float(self.dropout_prob),
                             deterministic=not train)(y)
@@ -324,10 +338,18 @@ class TransformerEncoderBlock(fnn.Module):
     def __call__(self, x, *, train: bool = False):
         y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_1")(x)
+        def sub_dg(prefix):
+            dg = self.dot_general
+            if isinstance(dg, Mapping):
+                picked = {k.split("/", 1)[1]: v for k, v in dg.items()
+                          if k.startswith(prefix + "/")}
+                return picked or None
+            return dg
+
         y = MultiHeadSelfAttention(num_heads=self.num_heads,
                                    dropout_prob=self.attn_dropout_prob,
                                    attn_impl=self.attn_impl,
-                                   dot_general=self.dot_general,
+                                   dot_general=sub_dg("attn"),
                                    dtype=self.dtype, name="attn")(
             y, train=train)
         if self.dropout_prob and self.dropout_prob > 0.0:
@@ -337,7 +359,7 @@ class TransformerEncoderBlock(fnn.Module):
         z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_2")(x)
         z = MlpBlock(mlp_dim=self.mlp_dim, dropout_prob=self.dropout_prob,
-                     dot_general=self.dot_general,
+                     dot_general=sub_dg("mlp"),
                      dtype=self.dtype, name="mlp")(z, train=train)
         return x + self._drop_path(z, train)
 
@@ -370,11 +392,12 @@ class PatchEmbed(fnn.Module):
         gh, gw = hgt // p, wid // p
         x = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(n, gh * gw, p * p * c)
-        dg = {"dot_general": self.dot_general} if self.dot_general else {}
+        dg_p = _sub_dot_general(self.dot_general, "proj")
         x = fnn.Dense(int(self.embed_dim), dtype=self.dtype,
                       param_dtype=self.param_dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
-                      name="proj", **dg)(x)
+                      name="proj",
+                      **({"dot_general": dg_p} if dg_p else {}))(x)
         t = gh * gw
         d = int(self.embed_dim)
         if self.use_cls_token:

@@ -733,22 +733,35 @@ def _conv_with_meta_layer(params, ctx: CreatorContext, name: str) -> fnn.Module:
 # same YAML spec language so the ViT zoo family is plain spec dicts too)
 # --------------------------------------------------------------------------- #
 
-def _quantized_dot_general(ctx: CreatorContext, name: str):
-    """The int8 / fake-quant dot override for a node's Dense projections
-    (same dispatch as the fully_connected creator; the calibration scale is
-    the node's — conservative max over a transformer block's sub-layers)."""
+def _quantized_dot_general(ctx: CreatorContext, name: str,
+                           subs: Sequence[str] = ()):
+    """The int8 / fake-quant dot override for a node's Dense projections.
+
+    Without ``subs``: one callable bound to the node's calibration scale
+    (the fully_connected case — one op per node). With ``subs`` (the
+    transformer blocks' sub-layer paths, e.g. 'attn/qkv'): a MAPPING
+    sub -> callable, each bound to its own per-sublayer scale when the
+    calibration recorded one ('<node>/<sub>' keys), falling back to the
+    node's max — strictly finer clipping than one shared scale."""
     import functools
     if ctx.quantize == "int8":
         from deepcv_tpu.compression import int8_dot_general
-        return functools.partial(
-            int8_dot_general, act_scale=ctx.quantize_scales.get(ctx.scope + name))
-    if _qat_bits(ctx.quantize):
+        base = int8_dot_general
+        extra = {}
+    elif _qat_bits(ctx.quantize):
         from deepcv_tpu.compression import fake_quant_dot_general
-        return functools.partial(
-            fake_quant_dot_general,
-            act_scale=ctx.quantize_scales.get(ctx.scope + name),
-            bits=_qat_bits(ctx.quantize))
-    return None
+        base = fake_quant_dot_general
+        extra = {"bits": _qat_bits(ctx.quantize)}
+    else:
+        return None
+    node_scale = ctx.quantize_scales.get(ctx.scope + name)
+    if not subs:
+        return functools.partial(base, act_scale=node_scale, **extra)
+    return {sub: functools.partial(
+        base,
+        act_scale=ctx.quantize_scales.get(f"{ctx.scope}{name}/{sub}",
+                                          node_scale),
+        **extra) for sub in subs}
 
 
 @submodule_creator("patch_embed",
@@ -763,7 +776,8 @@ def _patch_embed(params, ctx: CreatorContext, name: str) -> fnn.Module:
                       embed_dim=int(params["embed_dim"]),
                       use_cls_token=bool(params.get("use_cls_token", True)),
                       dropout_prob=float(params.get("dropout_prob") or 0.0),
-                      dot_general=_quantized_dot_general(ctx, name),
+                      dot_general=_quantized_dot_general(ctx, name,
+                                                         subs=("proj",)),
                       dtype=ctx.dtype, param_dtype=ctx.param_dtype, name=name)
 
 
@@ -783,7 +797,8 @@ def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
         attn_dropout_prob=float(params.get("attn_dropout_prob") or 0.0),
         drop_path_prob=float(params.get("drop_path_prob") or 0.0),
         attn_impl=str(params.get("attn_impl", "xla")),
-        dot_general=_quantized_dot_general(ctx, name),
+        dot_general=_quantized_dot_general(
+            ctx, name, subs=("attn/qkv", "attn/out", "mlp/fc1", "mlp/fc2")),
         ln_eps=float(params.get("ln_eps", 1e-6)),
         dtype=ctx.dtype, name=name)
 

@@ -274,6 +274,10 @@ def test_vit_int8_serving_and_qat_builds():
 
     scales = calibrate_int8_scales(m, v, [x[:8], x[8:]])
     assert any(k.startswith("enc") for k in scales) and "embed" in scales
+    # per-sublayer keys are recorded and strictly refine the node max
+    assert "enc0/attn/qkv" in scales and "enc0/mlp/fc1" in scales
+    assert scales["enc0/attn/qkv"] <= scales["enc0"] + 1e-12
+    assert "embed/proj" in scales
     mq = DeepcvModule((16, 16, 3), hp, quantize="int8",
                       quantize_scales=scales)
     yq = jax.jit(lambda v, x: mq.apply(v, x, train=False))(v, x)
