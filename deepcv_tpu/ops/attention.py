@@ -521,6 +521,7 @@ class WindowAttention(fnn.Module):
     num_heads: int
     window: int = 7
     shift: int = 0
+    dot_general: Any = None       # int8/QAT dot override for the projections
     dtype: Any = None
 
     @fnn.compact
@@ -542,9 +543,12 @@ class WindowAttention(fnn.Module):
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         t = w * w
         win = _window_partition(x, w)                   # (B, T, C)
+        dg_q = _sub_dot_general(self.dot_general, "qkv")
+        dg_o = _sub_dot_general(self.dot_general, "out")
         qkv = fnn.Dense(3 * c, dtype=self.dtype,
                         kernel_init=xavier_uniform_with_gain(1.0),
-                        name="qkv")(win)
+                        name="qkv",
+                        **({"dot_general": dg_q} if dg_q else {}))(win)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):
@@ -569,7 +573,8 @@ class WindowAttention(fnn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(-1, t, c)
         o = fnn.Dense(c, dtype=self.dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
-                      name="out")(o)
+                      name="out",
+                      **({"dot_general": dg_o} if dg_o else {}))(o)
         x = _window_reverse(o, w, h, wid)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -586,6 +591,7 @@ class SwinBlock(fnn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     drop_path_prob: float = 0.0
+    dot_general: Any = None       # int8/QAT dot override for all projections
     ln_eps: float = 1e-5
     dtype: Any = None
 
@@ -593,23 +599,38 @@ class SwinBlock(fnn.Module):
     def __call__(self, x, *, train: bool = False):
         from deepcv_tpu.ops.nn import DropPath
         dp = DropPath(rate=float(self.drop_path_prob))
+
+        def sub_dg(prefix):
+            dg = self.dot_general
+            if isinstance(dg, Mapping):
+                picked = {k.split("/", 1)[1]: v for k, v in dg.items()
+                          if k.startswith(prefix + "/")}
+                return picked or None
+            return dg
+
         y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_1")(x)
         y = WindowAttention(num_heads=self.num_heads, window=self.window,
-                            shift=self.shift, dtype=self.dtype,
+                            shift=self.shift, dot_general=sub_dg("attn"),
+                            dtype=self.dtype,
                             name="attn")(y, train=train)
         x = x + dp(y, train=train)
         z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_2")(x)
         z = MlpBlock(mlp_dim=int(round(x.shape[-1] * float(self.mlp_ratio))),
+                     dot_general=sub_dg("mlp"),
                      dtype=self.dtype, name="mlp")(z, train=train)
         return x + dp(z, train=train)
 
 
 class PatchMerging(fnn.Module):
     """Swin between-stage downsampling: concat 2x2 neighbors (C -> 4C),
-    LayerNorm, Linear 4C -> 2C (bias-free, torch convention)."""
+    LayerNorm, Linear 4C -> 2C (bias-free). The 4C concatenation order is
+    TORCH's (x0=h0w0, x1=h1w0, x2=h0w1, x3=h1w1 — the h-offset varies
+    fastest), so torch Swin checkpoints port with a plain transpose of the
+    ln/reduce weights, no channel permutation."""
     ln_eps: float = 1e-5
+    dot_general: Any = None
     dtype: Any = None
 
     @fnn.compact
@@ -617,10 +638,12 @@ class PatchMerging(fnn.Module):
         n, h, w, c = x.shape
         if h % 2 or w % 2:
             raise ValueError(f"feature map {h}x{w} not divisible by 2")
-        x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 4, 2, 5)
         x = x.reshape(n, h // 2, w // 2, 4 * c)
         x = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln")(x)
+        dg = _sub_dot_general(self.dot_general, "reduce")
         return fnn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                          kernel_init=xavier_uniform_with_gain(1.0),
-                         name="reduce")(x)
+                         name="reduce",
+                         **({"dot_general": dg} if dg else {}))(x)

@@ -50,21 +50,21 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
             if bad:
                 raise ValueError(f"zoo '{zoo}' does not accept {bad}")
         if str(zoo) == "mobilenet_v2":
-            _reject("depth", "variant")
+            _reject("depth", "variant", "window")
             built = mobilenet_v2_spec(
                 num_classes=num_classes or 1000,
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "efficientnet_b0":
-            _reject("depth", "width_mult", "variant")
+            _reject("depth", "width_mult", "variant", "window")
             from deepcv_tpu.spec.zoo import efficientnet_b0_spec
             built = efficientnet_b0_spec(
                 num_classes=num_classes or 1000,
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "mobilenet_v3":
-            _reject("depth")
+            _reject("depth", "window")
             from deepcv_tpu.spec.zoo import mobilenet_v3_spec
             built = mobilenet_v3_spec(
                 variant=str(hp.pop("variant", "large")),
@@ -73,7 +73,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "convnext":
-            _reject("depth", "width_mult", "norm")
+            _reject("depth", "width_mult", "norm", "window")
             from deepcv_tpu.spec.zoo import convnext_spec
             built = convnext_spec(
                 variant=str(hp.pop("variant", "tiny")),
@@ -90,7 +90,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 stochastic_depth=float(hp.pop("stochastic_depth", 0.2)),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "vit":
-            _reject("depth", "width_mult", "norm")
+            _reject("depth", "width_mult", "norm", "window")
             from deepcv_tpu.spec.zoo import vit_spec
             built = vit_spec(variant=str(hp.pop("variant", "b_16")),
                              num_classes=num_classes or 1000,
@@ -100,7 +100,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                                  hp.pop("stochastic_depth", 0.0)),
                              attn_impl=str(hp.pop("attn_impl", "xla")))
         elif str(zoo) == "resnet":
-            _reject("width_mult", "variant")
+            _reject("width_mult", "variant", "window")
             built = resnet_spec(depth=int(hp.pop("depth", 50)),
                                 num_classes=num_classes or 1000,
                                 norm=hp.pop("norm", "batch_norm"),

@@ -817,6 +817,9 @@ def _swin_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
                      shift=int(params.get("shift", 0)),
                      mlp_ratio=float(params.get("mlp_ratio", 4.0)),
                      drop_path_prob=float(params.get("drop_path_prob") or 0.0),
+                     dot_general=_quantized_dot_general(
+                         ctx, name,
+                         subs=("attn/qkv", "attn/out", "mlp/fc1", "mlp/fc2")),
                      ln_eps=float(params.get("ln_eps", 1e-5)),
                      dtype=ctx.dtype, name=name)
 
@@ -827,6 +830,8 @@ def _patch_merging(params, ctx: CreatorContext, name: str) -> fnn.Module:
     Linear to 2C."""
     from deepcv_tpu.ops.attention import PatchMerging
     return PatchMerging(ln_eps=float(params.get("ln_eps", 1e-5)),
+                        dot_general=_quantized_dot_general(ctx, name,
+                                                           subs=("reduce",)),
                         dtype=ctx.dtype, name=name)
 
 

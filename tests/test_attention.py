@@ -366,3 +366,33 @@ def test_swin_block_and_patch_merging_shapes():
     assert "bias" not in vp["params"]["reduce"]   # torch: bias-free reduce
     with pytest.raises(ValueError, match="not divisible"):
         WindowAttention(num_heads=2, window=3).init(jax.random.PRNGKey(0), x)
+
+
+def test_swin_int8_serving_reaches_projections():
+    """quantize='int8' must reach Swin's qkv/out/mlp/reduce projections
+    (they are ~all the FLOPs) — calibrated rebuild restores the float tree
+    and stays close on top-1."""
+    from deepcv_tpu.compression import calibrate_int8_scales
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import swin_spec
+
+    hp = swin_spec(variant="t", num_classes=5, window=2, pool_kernel=1)
+    keep = {"s0b0", "s1b0", "s2b0", "s3b0"}
+    hp["architecture"] = [r for r in hp["architecture"]
+                          if "swin_block" not in r
+                          or r["swin_block"][0] in keep]
+    m = DeepcvModule((32, 32, 3), hp)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    ref = m.apply(v, x, train=False)
+    scales = calibrate_int8_scales(m, v, [x])
+    assert "s0b0/attn/qkv" in scales and "merge1/reduce" in scales
+    mq = DeepcvModule((32, 32, 3), hp, quantize="int8",
+                      quantize_scales=scales)
+    yq = jax.jit(lambda v, x: mq.apply(v, x, train=False))(v, x)
+    assert bool(jnp.isfinite(yq).all())
+    # the quantized graph must actually differ from float (projections
+    # really rerouted) yet agree on most top-1 decisions
+    assert float(jnp.max(jnp.abs(yq - ref))) > 1e-7
+    agree = float(jnp.mean((jnp.argmax(yq, -1) == jnp.argmax(ref, -1))))
+    assert agree >= 0.75, agree
