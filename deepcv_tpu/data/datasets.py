@@ -26,7 +26,8 @@ import numpy as np
 from deepcv_tpu.utils import get_by_identifier, register
 
 __all__ = ["ArrayDataset", "load_dataset", "split_dataset", "get_random_subset",
-           "TorchDatasetAdapter", "DATASET_LOADERS"]
+           "TorchDatasetAdapter", "DATASET_LOADERS", "write_tar_shards",
+           "tar_shards_to_memmap"]
 
 _logger = logging.getLogger(__name__)
 
@@ -381,6 +382,121 @@ def materialize_image_folder_to_memmap(root, out_dir, image_size: int = 224,
     images.flush()
     targets.flush()
     (out_dir / "classes.txt").write_text("\n".join(classes))
+    return _memmap_dataset(root=out_dir, classes=classes)
+
+
+def write_tar_shards(dataset, out_dir, shard_size: int = 1024) -> list:
+    """Export a dataset as webdataset-style TAR SHARDS: ``shard-%05d.tar``
+    files whose members pair ``{idx:08d}.img.npy`` (uint8 NHWC image) with
+    ``{idx:08d}.cls`` (ascii integer label). Tar shards are the standard
+    interchange/ingest format for network-filesystem training corpora
+    (sequential reads, rsync/object-store friendly, no tiny-file storms);
+    stdlib ``tarfile`` only — no extra deps. Returns the shard paths."""
+    import io
+    import tarfile
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    n = len(dataset)
+    for s0 in range(0, n, int(shard_size)):
+        p = out_dir / f"shard-{len(paths):05d}.tar"
+        with tarfile.open(p, "w") as tf:
+            for i in range(s0, min(n, s0 + int(shard_size))):
+                img, tgt = dataset[i]
+                buf = io.BytesIO()
+                np.save(buf, np.asarray(img, np.uint8))
+                info = tarfile.TarInfo(f"{i:08d}.img.npy")
+                info.size = buf.getbuffer().nbytes
+                buf.seek(0)
+                tf.addfile(info, buf)
+                cls = str(int(np.asarray(tgt).reshape(-1)[0])).encode()
+                info = tarfile.TarInfo(f"{i:08d}.cls")
+                info.size = len(cls)
+                tf.addfile(info, io.BytesIO(cls))
+        paths.append(p)
+    if getattr(dataset, "classes", None):
+        (out_dir / "classes.txt").write_text("\n".join(dataset.classes))
+    return paths
+
+
+def _iter_tar_shards(shard_dir):
+    """Yield (image uint8 array, int label) streaming through the shards
+    sequentially (one member pair in memory at a time)."""
+    import io
+    import tarfile
+
+    shard_dir = Path(shard_dir)
+    shards = sorted(shard_dir.glob("shard-*.tar"))
+    if not shards:
+        raise ValueError(f"no shard-*.tar files under {shard_dir}")
+    for sp in shards:
+        with tarfile.open(sp, "r") as tf:
+            pending = {}
+            for m in tf:
+                stem, _, kind = m.name.partition(".")
+                data = tf.extractfile(m).read()
+                pending.setdefault(stem, {})[kind] = data
+                entry = pending[stem]
+                if "img.npy" in entry and "cls" in entry:
+                    import io as _io
+                    img = np.load(_io.BytesIO(entry["img.npy"]))
+                    yield img, int(entry["cls"].decode())
+                    del pending[stem]
+
+
+@_dataset_loader("tar_shards")
+def _tar_shards_dataset(root=None, train=True, **kw) -> ArrayDataset:
+    """Load webdataset-style tar shards (see :func:`write_tar_shards`) into
+    an in-memory ArrayDataset — the ingest path for corpora that fit RAM.
+    For larger-than-RAM corpora convert once with
+    :func:`tar_shards_to_memmap` and use the 'memmap' streaming loader."""
+    root = Path(root)
+    imgs, tgts = [], []
+    for img, cls in _iter_tar_shards(root):
+        imgs.append(img)
+        tgts.append(cls)
+    classes = None
+    if (root / "classes.txt").exists():
+        classes = (root / "classes.txt").read_text().splitlines()
+    return ArrayDataset(np.stack(imgs), np.asarray(tgts, np.int64),
+                        classes=classes, name=f"tar_shards_{root.name}")
+
+
+def tar_shards_to_memmap(shard_dir, out_dir) -> ArrayDataset:
+    """One-time conversion of tar shards into the memmap streaming format
+    (larger-than-RAM training): rows stream shard-by-shard into
+    ``images.npy``/``targets.npy``, peak RSS ~ one image. The shard files'
+    row count is read from a first pass over the tar INDEXES only (no
+    member data), so the memmap can be preallocated."""
+    import tarfile
+    from numpy.lib.format import open_memmap
+
+    shard_dir, out_dir = Path(shard_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    shards = sorted(shard_dir.glob("shard-*.tar"))
+    if not shards:
+        raise ValueError(f"no shard-*.tar files under {shard_dir}")
+    n = 0
+    for sp in shards:
+        with tarfile.open(sp, "r") as tf:
+            n += sum(1 for m in tf if m.name.endswith(".cls"))
+    it = _iter_tar_shards(shard_dir)
+    first_img, first_cls = next(it)
+    images = open_memmap(out_dir / "images.npy", mode="w+", dtype=np.uint8,
+                         shape=(n, *first_img.shape))
+    targets = open_memmap(out_dir / "targets.npy", mode="w+", dtype=np.int64,
+                          shape=(n,))
+    images[0], targets[0] = first_img, first_cls
+    for i, (img, cls) in enumerate(it, start=1):
+        images[i], targets[i] = img, cls
+    images.flush()
+    targets.flush()
+    classes = None
+    if (shard_dir / "classes.txt").exists():
+        text = (shard_dir / "classes.txt").read_text()
+        (out_dir / "classes.txt").write_text(text)
+        classes = text.splitlines()
     return _memmap_dataset(root=out_dir, classes=classes)
 
 

@@ -387,3 +387,38 @@ def test_mnist_idx_search_is_dataset_specific(tmp_path):
     assert int(m.images[0, 0, 0, 0]) == 11
     assert int(f.images[0, 0, 0, 0]) == 99
     assert f.classes[0] == "T-shirt/top"
+
+
+def test_tar_shards_roundtrip_and_memmap_conversion(tmp_path):
+    """webdataset-style tar shards: export -> reload is exact (images,
+    labels, class names, order) across shard boundaries; the memmap
+    conversion produces the streaming-format files the 'memmap' loader
+    opens, with identical content."""
+    from deepcv_tpu.data.datasets import (ArrayDataset, load_dataset,
+                                          tar_shards_to_memmap,
+                                          write_tar_shards)
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (25, 8, 8, 3), dtype=np.uint8)
+    tgts = rng.integers(0, 4, 25).astype(np.int64)
+    ds = ArrayDataset(imgs, tgts, classes=["a", "b", "c", "d"], name="t")
+
+    shard_dir = tmp_path / "shards"
+    paths = write_tar_shards(ds, shard_dir, shard_size=10)
+    assert [p.name for p in paths] == ["shard-00000.tar", "shard-00001.tar",
+                                       "shard-00002.tar"]
+
+    back = load_dataset("tar_shards", root=shard_dir)
+    np.testing.assert_array_equal(back.images, imgs)
+    np.testing.assert_array_equal(back.targets, tgts)
+    assert back.classes == ["a", "b", "c", "d"]
+
+    mm_dir = tmp_path / "mm"
+    mm = tar_shards_to_memmap(shard_dir, mm_dir)
+    assert isinstance(mm.images, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mm.images), imgs)
+    np.testing.assert_array_equal(np.asarray(mm.targets), tgts)
+    assert mm.classes == ["a", "b", "c", "d"]
+    # the produced files ARE the standard memmap catalog format
+    again = load_dataset("memmap", root=mm_dir, classes=mm.classes)
+    np.testing.assert_array_equal(np.asarray(again.images), imgs)
