@@ -263,7 +263,11 @@ def calibrate_int8_scales(model, variables, batches) -> Dict[str, float]:
                 last = max(i for i, c in enumerate(path)
                            if c.startswith("node_impls_"))
                 tail = path[last + 1:]
-                if tail:
+                # skip the Layer unit's single wrapped op ('<name>_op'/'op'):
+                # its sub key would just duplicate the node key
+                if tail and not (len(tail) == 1
+                                 and (tail[-1] == "op"
+                                      or tail[-1].endswith("_op"))):
                     sub = key + "/" + "/".join(tail)
                     amax[sub] = max(amax.get(sub, 0.0), v)
         return next_fn(*args, **kwargs)
