@@ -396,3 +396,42 @@ def test_swin_int8_serving_reaches_projections():
     assert float(jnp.max(jnp.abs(yq - ref))) > 1e-7
     agree = float(jnp.mean((jnp.argmax(yq, -1) == jnp.argmax(ref, -1))))
     assert agree >= 0.75, agree
+
+
+def test_swin_tensor_parallel_training_exactness(tmp_path):
+    """Swin blocks under dp x tp GSPMD: windowed-attention reshapes and
+    the relative-bias add are layout-safe — the TP training trajectory
+    matches the single-device run exactly."""
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import swin_spec
+    from deepcv_tpu.train import train
+    from deepcv_tpu.train.backend import BackendConfig
+
+    hp_m = swin_spec(variant="t", num_classes=5, window=2, pool_kernel=2)
+    # two stages (one W-MSA + the merge + one SW-MSA) keep the compile small
+    keep = {"s0b0", "s1b1"}
+    hp_m["architecture"] = [
+        r for r in hp_m["architecture"]
+        if ("swin_block" not in r or r["swin_block"][0] in keep)
+        and ("patch_merging" not in r or r["patch_merging"][0] == "merge1")]
+    raw = load_dataset("synthetic", n=128, image_shape=(16, 16, 3),
+                       num_classes=5, seed=4)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    hp = {"epochs": 1, "batch_size": 32, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+
+    def run(backend):
+        model = DeepcvModule((16, 16, 3), hp_m)
+        return train(dict(hp), model, "cross_entropy", data,
+                     backend_conf=backend)
+
+    _, hist_tp = run(BackendConfig(tensor_parallel=2))
+    _, hist_dp = run(BackendConfig(n_devices=1))
+    np.testing.assert_allclose(hist_tp["train"][-1]["main_loss"],
+                               hist_dp["train"][-1]["main_loss"],
+                               rtol=1e-4, atol=1e-5)
