@@ -391,12 +391,26 @@ def write_tar_shards(dataset, out_dir, shard_size: int = 1024) -> list:
     ``{idx:08d}.cls`` (ascii integer label). Tar shards are the standard
     interchange/ingest format for network-filesystem training corpora
     (sequential reads, rsync/object-store friendly, no tiny-file storms);
-    stdlib ``tarfile`` only — no extra deps. Returns the shard paths."""
+    stdlib ``tarfile`` only — no extra deps. Pre-existing shards in
+    ``out_dir`` are removed first (a smaller re-export must not leave
+    stale higher-numbered shards for the loaders to silently mix in).
+    Images must be uint8 raw pixels — export BEFORE to_tensor/normalize
+    (a silent float->uint8 cast would truncate [0,1] pixels to black).
+    Returns the shard paths."""
     import io
     import tarfile
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    for stale in list(out_dir.glob("shard-*.tar")) + \
+            ([out_dir / "classes.txt"] if (out_dir / "classes.txt").exists()
+             else []):
+        stale.unlink()
+    if np.asarray(dataset[0][0]).dtype != np.uint8:
+        raise ValueError(
+            "write_tar_shards stores uint8 raw pixels; got dtype "
+            f"{np.asarray(dataset[0][0]).dtype} — export the RAW dataset "
+            "(before to_tensor/normalize), not transformed floats")
     paths = []
     n = len(dataset)
     for s0 in range(0, n, int(shard_size)):
@@ -420,17 +434,46 @@ def write_tar_shards(dataset, out_dir, shard_size: int = 1024) -> list:
     return paths
 
 
+def _sorted_shards(shard_dir) -> list:
+    """Shard files in NUMERIC order (lexicographic sorting breaks past
+    99999 shards when the %05d field widens)."""
+    shard_dir = Path(shard_dir)
+    shards = sorted(shard_dir.glob("shard-*.tar"),
+                    key=lambda p: int(p.stem.split("-", 1)[1]))
+    if not shards:
+        raise ValueError(f"no shard-*.tar files under {shard_dir}")
+    return shards
+
+
+def _count_shard_pairs(shards) -> int:
+    """Complete img/cls PAIR count from the tar indexes only (no member
+    data read) — orphaned members (truncated writes) are excluded so
+    consumers never fabricate zero-filled rows."""
+    import tarfile
+
+    total = 0
+    for sp in shards:
+        stems_img, stems_cls = set(), set()
+        with tarfile.open(sp, "r") as tf:
+            for m in tf:
+                stem, _, kind = m.name.partition(".")
+                (stems_img if kind == "img.npy" else stems_cls).add(stem)
+        orphans = stems_img ^ stems_cls
+        if orphans:
+            raise ValueError(f"{sp}: {len(orphans)} unpaired member(s) "
+                             f"(e.g. {sorted(orphans)[:3]}) — truncated or "
+                             "hand-built shard; re-export it")
+        total += len(stems_img)
+    return total
+
+
 def _iter_tar_shards(shard_dir):
     """Yield (image uint8 array, int label) streaming through the shards
     sequentially (one member pair in memory at a time)."""
     import io
     import tarfile
 
-    shard_dir = Path(shard_dir)
-    shards = sorted(shard_dir.glob("shard-*.tar"))
-    if not shards:
-        raise ValueError(f"no shard-*.tar files under {shard_dir}")
-    for sp in shards:
+    for sp in _sorted_shards(shard_dir):
         with tarfile.open(sp, "r") as tf:
             pending = {}
             for m in tf:
@@ -439,8 +482,7 @@ def _iter_tar_shards(shard_dir):
                 pending.setdefault(stem, {})[kind] = data
                 entry = pending[stem]
                 if "img.npy" in entry and "cls" in entry:
-                    import io as _io
-                    img = np.load(_io.BytesIO(entry["img.npy"]))
+                    img = np.load(io.BytesIO(entry["img.npy"]))
                     yield img, int(entry["cls"].decode())
                     del pending[stem]
 
@@ -448,50 +490,68 @@ def _iter_tar_shards(shard_dir):
 @_dataset_loader("tar_shards")
 def _tar_shards_dataset(root=None, train=True, **kw) -> ArrayDataset:
     """Load webdataset-style tar shards (see :func:`write_tar_shards`) into
-    an in-memory ArrayDataset — the ingest path for corpora that fit RAM.
-    For larger-than-RAM corpora convert once with
+    an in-memory ArrayDataset — the ingest path for corpora that fit RAM
+    (rows stream into ONE preallocated array; peak RSS ~ the dataset, not
+    2x). For larger-than-RAM corpora convert once with
     :func:`tar_shards_to_memmap` and use the 'memmap' streaming loader."""
+    if root is None:
+        raise ValueError("the 'tar_shards' loader needs root=<shard dir> "
+                         "(the directory write_tar_shards produced)")
     root = Path(root)
-    imgs, tgts = [], []
-    for img, cls in _iter_tar_shards(root):
-        imgs.append(img)
-        tgts.append(cls)
+    shards = _sorted_shards(root)
+    n = _count_shard_pairs(shards)
+    it = _iter_tar_shards(root)
+    first_img, first_cls = next(it)
+    imgs = np.empty((n, *first_img.shape), first_img.dtype)
+    tgts = np.empty((n,), np.int64)
+    imgs[0], tgts[0] = first_img, first_cls
+    for i, (img, cls) in enumerate(it, start=1):
+        if img.shape != first_img.shape:
+            raise ValueError(f"shard row {i}: image shape {img.shape} != "
+                             f"{first_img.shape} (row 0) — mixed-shape "
+                             "corpora are not loadable as one array")
+        imgs[i], tgts[i] = img, cls
     classes = None
     if (root / "classes.txt").exists():
         classes = (root / "classes.txt").read_text().splitlines()
-    return ArrayDataset(np.stack(imgs), np.asarray(tgts, np.int64),
-                        classes=classes, name=f"tar_shards_{root.name}")
+    return ArrayDataset(imgs, tgts, classes=classes,
+                        name=f"tar_shards_{root.name}")
 
 
 def tar_shards_to_memmap(shard_dir, out_dir) -> ArrayDataset:
     """One-time conversion of tar shards into the memmap streaming format
     (larger-than-RAM training): rows stream shard-by-shard into
-    ``images.npy``/``targets.npy``, peak RSS ~ one image. The shard files'
-    row count is read from a first pass over the tar INDEXES only (no
-    member data), so the memmap can be preallocated."""
-    import tarfile
+    ``images.npy``/``targets.npy``, peak RSS ~ one image. The row count
+    comes from a tar-index-only first pass (orphaned members rejected);
+    a mid-conversion failure removes the partial files so a later
+    'memmap' load can never open a half-written catalog."""
     from numpy.lib.format import open_memmap
 
     shard_dir, out_dir = Path(shard_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    shards = sorted(shard_dir.glob("shard-*.tar"))
-    if not shards:
-        raise ValueError(f"no shard-*.tar files under {shard_dir}")
-    n = 0
-    for sp in shards:
-        with tarfile.open(sp, "r") as tf:
-            n += sum(1 for m in tf if m.name.endswith(".cls"))
+    shards = _sorted_shards(shard_dir)
+    n = _count_shard_pairs(shards)
     it = _iter_tar_shards(shard_dir)
     first_img, first_cls = next(it)
-    images = open_memmap(out_dir / "images.npy", mode="w+", dtype=np.uint8,
-                         shape=(n, *first_img.shape))
-    targets = open_memmap(out_dir / "targets.npy", mode="w+", dtype=np.int64,
-                          shape=(n,))
-    images[0], targets[0] = first_img, first_cls
-    for i, (img, cls) in enumerate(it, start=1):
-        images[i], targets[i] = img, cls
-    images.flush()
-    targets.flush()
+    img_path, tgt_path = out_dir / "images.npy", out_dir / "targets.npy"
+    try:
+        images = open_memmap(img_path, mode="w+", dtype=np.uint8,
+                             shape=(n, *first_img.shape))
+        targets = open_memmap(tgt_path, mode="w+", dtype=np.int64,
+                              shape=(n,))
+        images[0], targets[0] = first_img, first_cls
+        for i, (img, cls) in enumerate(it, start=1):
+            if img.shape != first_img.shape:
+                raise ValueError(f"shard row {i}: image shape {img.shape} "
+                                 f"!= {first_img.shape} (row 0)")
+            images[i], targets[i] = img, cls
+        images.flush()
+        targets.flush()
+    except Exception:
+        for p in (img_path, tgt_path):
+            if p.exists():
+                p.unlink()
+        raise
     classes = None
     if (shard_dir / "classes.txt").exists():
         text = (shard_dir / "classes.txt").read_text()

@@ -422,3 +422,50 @@ def test_tar_shards_roundtrip_and_memmap_conversion(tmp_path):
     # the produced files ARE the standard memmap catalog format
     again = load_dataset("memmap", root=mm_dir, classes=mm.classes)
     np.testing.assert_array_equal(np.asarray(again.images), imgs)
+
+
+def test_tar_shards_hardening(tmp_path):
+    """Re-export removes stale shards; float datasets are rejected (silent
+    uint8 truncation would blacken [0,1] pixels); mixed shapes and orphan
+    members fail loudly; the memmap conversion never leaves partial files."""
+    import tarfile
+
+    from deepcv_tpu.data.datasets import (ArrayDataset, load_dataset,
+                                          tar_shards_to_memmap,
+                                          write_tar_shards)
+
+    rng = np.random.default_rng(4)
+    big = ArrayDataset(rng.integers(0, 255, (25, 4, 4, 3), dtype=np.uint8),
+                       np.zeros(25, np.int64), classes=["z"])
+    small = ArrayDataset(rng.integers(0, 255, (5, 4, 4, 3), dtype=np.uint8),
+                         np.ones(5, np.int64))
+    d = tmp_path / "sh"
+    write_tar_shards(big, d, shard_size=10)          # 3 shards
+    write_tar_shards(small, d, shard_size=10)        # re-export: 1 shard
+    back = load_dataset("tar_shards", root=d)
+    assert len(back) == 5 and back.classes is None   # stale shards+classes gone
+
+    floats = ArrayDataset(np.zeros((2, 4, 4, 3), np.float32),
+                          np.zeros(2, np.int64))
+    with pytest.raises(ValueError, match="uint8 raw pixels"):
+        write_tar_shards(floats, tmp_path / "f")
+
+    with pytest.raises(ValueError, match="needs root"):
+        load_dataset("tar_shards")
+
+    # orphaned member (truncated shard) -> loud error, and the memmap
+    # conversion leaves NO partial files behind
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with tarfile.open(bad / "shard-00000.tar", "w") as tf:
+        import io as _io
+        cls = b"0"
+        info = tarfile.TarInfo("00000000.cls")
+        info.size = len(cls)
+        tf.addfile(info, _io.BytesIO(cls))
+    with pytest.raises(ValueError, match="unpaired"):
+        load_dataset("tar_shards", root=bad)
+    out = tmp_path / "mm_bad"
+    with pytest.raises(ValueError, match="unpaired"):
+        tar_shards_to_memmap(bad, out)
+    assert not (out / "images.npy").exists()
