@@ -635,6 +635,10 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         # LN-normalized family: --norm does not apply
         hp_m = convnext_spec(variant=arch[len("convnext_"):],
                              num_classes=1000, pool_kernel=hw // 32)
+    elif arch.startswith("densenet"):
+        from deepcv_tpu.spec.zoo import densenet_spec
+        hp_m = densenet_spec(depth=int(arch[len("densenet"):]),
+                             num_classes=1000, pool_kernel=hw // 32)
     elif arch.startswith("swin_"):
         from deepcv_tpu.spec.zoo import swin_spec
         # window must divide every stage's map: 7 at 224; 2 on the CPU smoke
@@ -676,7 +680,8 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                      "mobilenet_v3_small": 2.54, "vit_b_16": 86.57,
                      "vit_b_32": 88.22, "convnext_tiny": 28.59,
                      "convnext_small": 50.22, "swin_t": 28.29,
-                     "swin_s": 49.61}.get(arch), "batch": batch,
+                     "swin_s": 49.61, "densenet121": 7.98,
+                     "densenet169": 14.15}.get(arch), "batch": batch,
         "device_kind": kind, "data": "synthetic"}))
 
 
@@ -846,7 +851,8 @@ if __name__ == "__main__":
                     choices=["resnet50", "mobilenet_v2", "efficientnet_b0",
                              "mobilenet_v3_large", "mobilenet_v3_small",
                              "vit_b_16", "vit_b_32", "convnext_tiny",
-                             "convnext_small", "swin_t", "swin_s"],
+                             "convnext_small", "swin_t", "swin_s",
+                             "densenet121", "densenet169"],
                     help="config 9 only: canonical architecture to train")
     ap.add_argument("--batch", type=int, default=0,
                     help="configs 1/6/9: global batch override (defaults "

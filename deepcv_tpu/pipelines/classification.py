@@ -72,6 +72,12 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
+        elif str(zoo) == "densenet":
+            _reject("width_mult", "variant", "norm", "window")
+            from deepcv_tpu.spec.zoo import densenet_spec
+            built = densenet_spec(depth=int(hp.pop("depth", 121)),
+                                  num_classes=num_classes or 1000,
+                                  pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "convnext":
             _reject("depth", "width_mult", "norm", "window")
             from deepcv_tpu.spec.zoo import convnext_spec
@@ -108,7 +114,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
         else:
             raise ValueError(
                 f"Unknown zoo builder '{zoo}' (known: resnet, mobilenet_v2, "
-                "mobilenet_v3, efficientnet_b0, convnext, swin, vit)")
+                "mobilenet_v3, efficientnet_b0, densenet, convnext, swin, vit)")
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])
@@ -215,5 +221,8 @@ def get_pipelines() -> Dict[str, Pipeline]:
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
         "train_swin": train_pipeline(
             "train_swin", "swin_model", "train_resnet50",
+            ds="imagenet224", pp_key="imagenet224_preprocessing"),
+        "train_densenet": train_pipeline(
+            "train_densenet", "densenet_model", "train_resnet50",
             ds="imagenet224", pp_key="imagenet224_preprocessing"),
     }

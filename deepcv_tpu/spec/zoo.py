@@ -24,7 +24,7 @@ __all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
            "EFFICIENTNET_B0_SETTINGS", "mobilenet_v3_spec",
            "MOBILENET_V3_SETTINGS", "vit_spec", "VIT_SETTINGS",
            "convnext_spec", "CONVNEXT_SETTINGS", "swin_spec",
-           "SWIN_SETTINGS"]
+           "SWIN_SETTINGS", "densenet_spec", "DENSENET_SETTINGS"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -541,4 +541,99 @@ def swin_spec(variant: str = "t", num_classes: int = 1000,
                                      "act_fn": None, "batch_norm": None,
                                      "group_norm": None}})
     return {"act_fn": "gelu_exact", "architecture": arch,
+            "dropout_prob": 0.0}
+
+
+#: DenseNet variants (Huang et al., arXiv:1608.06993; torchvision naming):
+#: (growth rate k, layers per dense block)
+DENSENET_SETTINGS = {
+    121: (32, (6, 12, 24, 16)),
+    169: (32, (6, 12, 32, 32)),
+    201: (32, (6, 12, 48, 32)),
+}
+
+
+def densenet_spec(depth: int = 121, num_classes: int = 1000,
+                  pool_kernel: int = 7) -> Dict[str, Any]:
+    """DenseNet through the spec language — the showcase for the
+    reference's OWN signature mechanism: every dense-block layer's input
+    is a ``dense_link`` concat of the block input and all previous layer
+    outputs (the spec token the reference built its language around,
+    submodule_creators.py:272-332, here driving a canonical architecture
+    at scale). Layers are BN-ReLU-Conv via ``preactivation: true`` — the
+    one zoo family whose op order matches torch EXACTLY (no op->act->norm
+    caveat): bottleneck 1x1 to 4k, then 3x3 to k=growth, transitions
+    halve channels + avg-pool, final BN-ReLU before the classifier.
+
+    Parameter counts equal torchvision exactly modulo the inert stem
+    lane-pad rows (cin 3->8): densenet121 7,978,856 / densenet169
+    14,149,480 / densenet201 20,013,928. ``pool_kernel`` =
+    input_size // 32."""
+    if depth not in DENSENET_SETTINGS:
+        raise ValueError(f"depth must be one of {sorted(DENSENET_SETTINGS)}, "
+                         f"got {depth}")
+    k, blocks = DENSENET_SETTINGS[depth]
+    c = 2 * k
+
+    def pre_conv(name, out_ch, ksize, act=True):
+        p: Dict[str, Any] = {"kernel_size": [ksize, ksize],
+                             "out_channels": out_ch, "padding": ksize // 2,
+                             "use_bias": False, "preactivation": True}
+        if not act:
+            p["act_fn"] = None
+        return {"conv2d": [name, p]}
+
+    # stem in torch's exact order: conv0 -> norm0 -> relu0 -> pool0
+    # (standalone norm + activation nodes keep the order faithful; a layer
+    # unit would emit conv -> relu -> BN)
+    arch: List[Any] = [
+        {"conv2d": ["stem", {"kernel_size": [7, 7], "out_channels": c,
+                             "stride": 2, "padding": 3, "use_bias": False,
+                             "act_fn": None, "batch_norm": None}]},
+        {"norm": ["stem_bn", {"batch_norm": {"momentum": 0.1, "eps": 1e-5}}]},
+        {"activation": ["stem_relu", {}]},
+        {"max_pooling": ["stem_pool", {"kernel_size": [3, 3],
+                                       "stride": [2, 2], "padding": 1}]},
+    ]
+    in_name = "stem_pool"
+    for s, n_layers in enumerate(blocks):
+        feats = [in_name]            # the dense block's growing feature set
+        for l in range(n_layers):
+            blk = f"d{s}l{l}"
+            if len(feats) > 1:
+                # full dense connectivity: restart the stream from the
+                # concat of the block input + every earlier output, in
+                # TORCH's channel order [input, out0, out1, ...] (the
+                # listed-_from order; dense_link would put the current
+                # stream first, permuting channels vs torch checkpoints)
+                arch.append({"_new_branch_from_tensor":
+                             [f"{blk}_cat", {"_from": list(feats),
+                                             "reduction": "concat"}]})
+            arch.append(pre_conv(f"{blk}_b", 4 * k, 1))
+            arch.append(pre_conv(f"{blk}_c", k, 3))
+            feats.append(f"{blk}_c")
+        c = c + n_layers * k
+        # final concat of the block feeds the transition / head
+        arch.append({"_new_branch_from_tensor":
+                     [f"t{s}_in", {"_from": list(feats),
+                                   "reduction": "concat"}]})
+        if s < len(blocks) - 1:
+            c = c // 2
+            arch.append(pre_conv(f"t{s}_conv", c, 1))
+            arch.append({"average_pooling": [f"t{s}_pool",
+                                             {"kernel_size": [2, 2],
+                                              "stride": [2, 2]}]})
+            in_name = f"t{s}_pool"
+    # final BN-ReLU (torch: features.norm5 + relu), pool, classifier
+    arch.append({"norm": ["final_bn", {"batch_norm": {"momentum": 0.1,
+                                                      "eps": 1e-5}}]})
+    arch.append({"activation": ["final_relu", {}]})
+    arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
+                                     "stride": [pool_kernel, pool_kernel]}})
+    arch.append({"flatten": {}})
+    arch.append({"fully_connected": {"out_features": num_classes,
+                                     "act_fn": None, "batch_norm": None,
+                                     "group_norm": None}})
+    return {"act_fn": "relu", "architecture": arch,
+            "batch_norm": {"momentum": 0.1, "eps": 1e-5},
             "dropout_prob": 0.0}

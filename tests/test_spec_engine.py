@@ -732,3 +732,26 @@ def test_swin_zoo_builder_matches_torchvision_params():
         v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))(
         v, jnp.ones((2, 64, 64, 3)))
     assert y.shape == (2, 7) and bool(jnp.isfinite(y).all())
+
+
+def test_densenet_zoo_builder_matches_torchvision_params():
+    """spec/zoo.densenet_spec: dense connectivity through the spec
+    language's ref machinery in TORCH channel order; counts equal
+    torchvision exactly modulo the documented stem pad rows (121
+    7,978,856 / 169 14,149,480 / 201 20,013,928)."""
+    import jax
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import densenet_spec
+
+    PAD = 7 * 7 * 5 * 64
+    for depth, expect in ((121, 7_978_856), (169, 14_149_480),
+                          (201, 20_013_928)):
+        m = DeepcvModule((224, 224, 3), densenet_spec(depth=depth))
+        vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(vs["params"]))
+        assert n == expect + PAD, (depth, n, expect + PAD)
+    with pytest.raises(ValueError, match="depth must be one of"):
+        densenet_spec(depth=264)

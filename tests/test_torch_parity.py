@@ -1656,3 +1656,131 @@ def test_efficientnet_b0_zoo_forward_parity():
     scale = np.abs(te).max()
     np.testing.assert_allclose(je, te, atol=max(5e-4, 2e-3 * scale),
                                rtol=2e-3)
+
+
+# --------------------------------------------------------------------------- #
+# DenseNet-121 FULL-network mirror — the one family whose op ORDER matches
+# torch exactly (preactivation BN-ReLU-conv + standalone stem nodes), so
+# this mirror also pins the preactivation path's torch semantics
+# --------------------------------------------------------------------------- #
+
+class TorchDenseNet121(tnn.Module):
+    """Executing-torch DenseNet-121 (torchvision semantics: conv0-norm0-
+    relu0-pool0 stem, BN-ReLU-1x1(4k)-BN-ReLU-3x3(k) dense layers with
+    [input, out0, out1, ...] concatenation, BN-ReLU-1x1-avgpool
+    transitions, final norm5 + relu + pool + classifier)."""
+
+    def __init__(self, num_classes: int = 5):
+        super().__init__()
+        from deepcv_tpu.spec.zoo import DENSENET_SETTINGS
+
+        def bn(ch):
+            return tnn.BatchNorm2d(ch, eps=1e-5, momentum=1.0)
+
+        k, blocks = DENSENET_SETTINGS[121]
+        self.conv0 = tnn.Conv2d(3, 2 * k, 7, stride=2, padding=3, bias=False)
+        self.norm0 = bn(2 * k)
+        self.blocks = tnn.ModuleList()
+        self.transitions = tnn.ModuleList()
+        c = 2 * k
+        for s, n_layers in enumerate(blocks):
+            layers = tnn.ModuleList()
+            for l in range(n_layers):
+                cin = c + k * l
+                layers.append(tnn.ModuleDict(dict(
+                    norm1=bn(cin),
+                    conv1=tnn.Conv2d(cin, 4 * k, 1, bias=False),
+                    norm2=bn(4 * k),
+                    conv2=tnn.Conv2d(4 * k, k, 3, padding=1, bias=False))))
+            self.blocks.append(layers)
+            c = c + k * n_layers
+            if s < len(blocks) - 1:
+                self.transitions.append(tnn.ModuleDict(dict(
+                    norm=bn(c), conv=tnn.Conv2d(c, c // 2, 1, bias=False))))
+                c //= 2
+        self.norm5 = bn(c)
+        self.classifier = tnn.Linear(c, num_classes)
+
+    def forward(self, x):
+        x = tF.max_pool2d(tF.relu(self.norm0(self.conv0(x))), 3, 2, 1)
+        for s, layers in enumerate(self.blocks):
+            feats = [x]
+            for lyr in layers:
+                h = torch.cat(feats, dim=1)
+                h = lyr["conv1"](tF.relu(lyr["norm1"](h)))
+                h = lyr["conv2"](tF.relu(lyr["norm2"](h)))
+                feats.append(h)
+            x = torch.cat(feats, dim=1)
+            if s < len(self.transitions):
+                t = self.transitions[s]
+                x = tF.avg_pool2d(t["conv"](tF.relu(t["norm"](x))), 2, 2)
+        x = tF.relu(self.norm5(x))
+        x = x.mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+def test_densenet121_zoo_forward_parity():
+    """Full-network weight-copied mirror through all 58 dense layers: one
+    momentum=1.0 train pass populates stats both sides, JAX stats copy in,
+    EVAL logits on a fresh batch agree — including the preactivation
+    (norm -> act -> op) path and torch's dense-concat channel order."""
+    from deepcv_tpu.spec.zoo import DENSENET_SETTINGS, densenet_spec
+
+    hp = densenet_spec(depth=121, num_classes=5, pool_kernel=2)
+    jm = DeepcvModule((64, 64, 3), hp)
+    jv = jm.init(jax.random.PRNGKey(23))
+    p = jv["params"]
+
+    tm = TorchDenseNet121(num_classes=5)
+    _copy_conv_nobias(tm.conv0, p["node_impls_stem"])
+    copy_affine(tm.norm0, p["node_impls_stem_bn"]["norms_0"])
+    k, blocks = DENSENET_SETTINGS[121]
+    for s, layers in enumerate(tm.blocks):
+        for l, lyr in enumerate(layers):
+            nb = p[f"node_impls_d{s}l{l}_b"]
+            nc = p[f"node_impls_d{s}l{l}_c"]
+            copy_affine(lyr["norm1"], nb["norms_0"])
+            _copy_conv_nobias(lyr["conv1"], nb)
+            copy_affine(lyr["norm2"], nc["norms_0"])
+            _copy_conv_nobias(lyr["conv2"], nc)
+        if s < len(tm.transitions):
+            nt = p[f"node_impls_t{s}_conv"]
+            copy_affine(tm.transitions[s]["norm"], nt["norms_0"])
+            _copy_conv_nobias(tm.transitions[s]["conv"], nt)
+    copy_affine(tm.norm5, p["node_impls_final_bn"]["norms_0"])
+    fc_key = next(kk for kk in p if "fully_connected" in kk)
+    copy_dense(tm.classifier, p[fc_key])
+
+    rng = np.random.default_rng(51)
+    xa = rng.normal(size=(8, 64, 64, 3)).astype(np.float32)
+    xb = rng.normal(size=(3, 64, 64, 3)).astype(np.float32)
+
+    _, mut = jax.jit(lambda v, x: jm.apply(
+        v, x, train=True, mutable=["batch_stats"]))(jv, jnp.asarray(xa))
+    tm.train()
+    with torch.no_grad():
+        tm(_t(xa).permute(0, 3, 1, 2))
+
+    def load_stats(tbn, node):
+        bs = mut["batch_stats"][node]["norms_0"]
+        tbn.running_mean.data = _t(bs["mean"])
+        tbn.running_var.data = _t(bs["var"])
+
+    load_stats(tm.norm0, "node_impls_stem_bn")
+    load_stats(tm.norm5, "node_impls_final_bn")
+    for s, layers in enumerate(tm.blocks):
+        for l, lyr in enumerate(layers):
+            load_stats(lyr["norm1"], f"node_impls_d{s}l{l}_b")
+            load_stats(lyr["norm2"], f"node_impls_d{s}l{l}_c")
+        if s < len(tm.transitions):
+            load_stats(tm.transitions[s]["norm"], f"node_impls_t{s}_conv")
+
+    jv2 = {"params": jv["params"], "batch_stats": mut["batch_stats"]}
+    je = np.asarray(jax.jit(lambda v, x: jm.apply(v, x, train=False))(
+        jv2, jnp.asarray(xb)))
+    tm.eval()
+    with torch.no_grad():
+        te = tm(_t(xb).permute(0, 3, 1, 2)).numpy()
+    scale = np.abs(te).max()
+    np.testing.assert_allclose(je, te, atol=max(5e-4, 2e-3 * scale),
+                               rtol=2e-3)
