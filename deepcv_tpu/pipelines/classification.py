@@ -110,6 +110,9 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
             built = resnet_spec(depth=int(hp.pop("depth", 50)),
                                 num_classes=num_classes or 1000,
                                 norm=hp.pop("norm", "batch_norm"),
+                                groups=int(hp.pop("groups", 1)),
+                                width_per_group=int(
+                                    hp.pop("width_per_group", 64)),
                                 pool_kernel=max(1, input_shape[0] // 32))
         else:
             raise ValueError(

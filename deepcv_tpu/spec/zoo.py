@@ -52,14 +52,23 @@ def _conv(name, out_ch, k, stride=1, act=True, groups=1, bias=True):
 
 def resnet_spec(depth: int = 50, num_classes: int = 1000,
                 norm: str = "batch_norm",
-                width: int = 64, pool_kernel: int = 7) -> Dict[str, Any]:
+                width: int = 64, pool_kernel: int = 7,
+                groups: int = 1, width_per_group: int = 64) -> Dict[str, Any]:
     """Full model hp dict (architecture + globals) for a ResNet of the given
     depth. ``norm`` picks the normalization technique globally ('batch_norm'
     canonical; 'group_norm' / None for the TPU-throughput variants measured
-    in docs/design.md §5.9 — pair None with hp['weight_norm'] yourself)."""
+    in docs/design.md §5.9 — pair None with hp['weight_norm'] yourself).
+
+    ``groups``/``width_per_group`` give the torchvision-exact variants of
+    the bottleneck family: ResNeXt-50 32x4d = (50, groups=32,
+    width_per_group=4) -> 25,028,904 params; Wide ResNet-50-2 = (50,
+    width_per_group=128) -> 68,883,240 (both modulo the stem pad rows)."""
     if depth not in RESNET_LAYERS:
         raise ValueError(f"depth must be one of {sorted(RESNET_LAYERS)}")
     layers, kind = RESNET_LAYERS[depth]
+    if (groups != 1 or width_per_group != 64) and kind != "bottleneck":
+        raise ValueError("groups/width_per_group need a bottleneck depth "
+                         "(50/101/152)")
     # canonical ResNet: conv biases off when a norm follows each conv
     bias = not bool(norm)
     arch: List[Any] = [
@@ -80,8 +89,11 @@ def resnet_spec(depth: int = 50, num_classes: int = 1000,
             prev = in_name  # block input (addressable for the shortcut)
             # ---- main path ------------------------------------------------ #
             if kind == "bottleneck":
-                arch.append(_conv(f"{blk}_c1", c_mid, 1, stride=1, bias=bias))
-                arch.append(_conv(f"{blk}_c2", c_mid, 3, stride=stride, bias=bias))
+                # torchvision Bottleneck width: planes * wpg/64 * groups
+                c_w = int(c_mid * (width_per_group / 64.0)) * groups
+                arch.append(_conv(f"{blk}_c1", c_w, 1, stride=1, bias=bias))
+                arch.append(_conv(f"{blk}_c2", c_w, 3, stride=stride,
+                                  groups=groups, bias=bias))
                 arch.append(_conv(f"{blk}_c3", c_out, 1, act=False, bias=bias))
             else:
                 arch.append(_conv(f"{blk}_c1", c_out, 3, stride=stride, bias=bias))

@@ -755,3 +755,25 @@ def test_densenet_zoo_builder_matches_torchvision_params():
         assert n == expect + PAD, (depth, n, expect + PAD)
     with pytest.raises(ValueError, match="depth must be one of"):
         densenet_spec(depth=264)
+
+
+def test_resnext_and_wide_resnet_variants():
+    """resnet_spec(groups/width_per_group) lands on torchvision's ResNeXt-50
+    32x4d (25,028,904) and Wide ResNet-50-2 (68,883,240) exactly (modulo
+    stem pad); basic depths reject the kwargs; zoo dispatch passes them."""
+    import jax
+    import numpy as np
+
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import resnet_spec
+
+    PAD = 7 * 7 * 5 * 64
+    for kw, expect in (({"groups": 32, "width_per_group": 4}, 25_028_904),
+                       ({"width_per_group": 128}, 68_883_240)):
+        m = DeepcvModule((224, 224, 3), resnet_spec(50, **kw))
+        vs = jax.eval_shape(lambda m=m: m.init(jax.random.PRNGKey(0)))
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(vs["params"]))
+        assert n == expect + PAD, (kw, n, expect + PAD)
+    with pytest.raises(ValueError, match="bottleneck"):
+        resnet_spec(18, groups=32, width_per_group=4)
