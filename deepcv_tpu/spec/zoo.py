@@ -24,7 +24,8 @@ __all__ = ["resnet_spec", "RESNET_LAYERS", "mobilenet_v2_spec",
            "EFFICIENTNET_B0_SETTINGS", "mobilenet_v3_spec",
            "MOBILENET_V3_SETTINGS", "vit_spec", "VIT_SETTINGS",
            "convnext_spec", "CONVNEXT_SETTINGS", "swin_spec",
-           "SWIN_SETTINGS", "densenet_spec", "DENSENET_SETTINGS"]
+           "SWIN_SETTINGS", "densenet_spec", "DENSENET_SETTINGS",
+           "unet_spec"]
 
 #: blocks per stage for the standard depths
 RESNET_LAYERS = {
@@ -649,3 +650,43 @@ def densenet_spec(depth: int = 121, num_classes: int = 1000,
     return {"act_fn": "relu", "architecture": arch,
             "batch_norm": {"momentum": 0.1, "eps": 1e-5},
             "dropout_prob": 0.0}
+
+
+def unet_spec(depth: int = 4, base_channels: int = 32,
+              norm: str = "group_norm") -> Dict[str, Any]:
+    """U-Net (Ronneberger et al., arXiv:1505.04597) through the spec
+    language: the encoder halves resolution per level (double conv +
+    pool), the decoder bilinearly upsamples (``interpolate`` node) and
+    concatenates the matching encoder feature via ``dense_link`` — skip
+    connections are exactly the reference's signature ref mechanism. The
+    output keeps the INPUT resolution and ``base_channels`` width; pair it
+    with the dense-prediction heads (create_segmenter/create_pose_estimator
+    append the 1x1 class conv). Input H/W must be divisible by 2**depth.
+    GroupNorm default (segmentation batches are small; BN stats would be
+    noisy) — pass norm='batch_norm' or None to override."""
+    arch: List[Any] = []
+    c = int(base_channels)
+
+    def double_conv(prefix, out_ch):
+        arch.append(_conv(f"{prefix}a", out_ch, 3))
+        arch.append(_conv(f"{prefix}b", out_ch, 3))
+
+    enc_names = []
+    for d in range(depth):
+        double_conv(f"enc{d}_", c * 2 ** d)
+        enc_names.append(f"enc{d}_b")
+        arch.append({"max_pooling": {"kernel_size": [2, 2],
+                                     "stride": [2, 2]}})
+    double_conv("mid_", c * 2 ** depth)
+    for d in reversed(range(depth)):
+        arch.append({"interpolate": {"scale": 2}})
+        arch.append({"dense_link": [f"dec{d}_cat",
+                                    {"_from": enc_names[d]}]})
+        double_conv(f"dec{d}_", c * 2 ** d)
+
+    hp: Dict[str, Any] = {"act_fn": "relu", "architecture": arch,
+                          "dropout_prob": 0.0}
+    if norm:
+        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
+                    else {"num_groups": 8, "eps": 1e-5})
+    return hp
