@@ -638,7 +638,8 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
     elif arch.startswith("densenet"):
         from deepcv_tpu.spec.zoo import densenet_spec
         hp_m = densenet_spec(depth=int(arch[len("densenet"):]),
-                             num_classes=1000, pool_kernel=hw // 32)
+                             num_classes=1000, norm=zoo_norm or "batch_norm",
+                             pool_kernel=hw // 32)
     elif arch.startswith("swin_"):
         from deepcv_tpu.spec.zoo import swin_spec
         # window must divide every stage's map: 7 at 224; 2 on the CPU smoke

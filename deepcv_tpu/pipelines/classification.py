@@ -50,21 +50,21 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
             if bad:
                 raise ValueError(f"zoo '{zoo}' does not accept {bad}")
         if str(zoo) == "mobilenet_v2":
-            _reject("depth", "variant", "window")
+            _reject("depth", "variant", "window", "groups", "width_per_group")
             built = mobilenet_v2_spec(
                 num_classes=num_classes or 1000,
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "efficientnet_b0":
-            _reject("depth", "width_mult", "variant", "window")
+            _reject("depth", "width_mult", "variant", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import efficientnet_b0_spec
             built = efficientnet_b0_spec(
                 num_classes=num_classes or 1000,
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "mobilenet_v3":
-            _reject("depth", "window")
+            _reject("depth", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import mobilenet_v3_spec
             built = mobilenet_v3_spec(
                 variant=str(hp.pop("variant", "large")),
@@ -73,13 +73,15 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 norm=hp.pop("norm", "batch_norm"),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "densenet":
-            _reject("width_mult", "variant", "norm", "window")
+            _reject("width_mult", "variant", "window", "groups",
+                    "width_per_group")
             from deepcv_tpu.spec.zoo import densenet_spec
             built = densenet_spec(depth=int(hp.pop("depth", 121)),
                                   num_classes=num_classes or 1000,
+                                  norm=hp.pop("norm", "batch_norm"),
                                   pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "convnext":
-            _reject("depth", "width_mult", "norm", "window")
+            _reject("depth", "width_mult", "norm", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import convnext_spec
             built = convnext_spec(
                 variant=str(hp.pop("variant", "tiny")),
@@ -87,7 +89,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 stochastic_depth=float(hp.pop("stochastic_depth", 0.1)),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "swin":
-            _reject("depth", "width_mult", "norm")
+            _reject("depth", "width_mult", "norm", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import swin_spec
             built = swin_spec(
                 variant=str(hp.pop("variant", "t")),
@@ -96,7 +98,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 stochastic_depth=float(hp.pop("stochastic_depth", 0.2)),
                 pool_kernel=max(1, input_shape[0] // 32))
         elif str(zoo) == "vit":
-            _reject("depth", "width_mult", "norm", "window")
+            _reject("depth", "width_mult", "norm", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import vit_spec
             built = vit_spec(variant=str(hp.pop("variant", "b_16")),
                              num_classes=num_classes or 1000,

@@ -567,6 +567,7 @@ DENSENET_SETTINGS = {
 
 
 def densenet_spec(depth: int = 121, num_classes: int = 1000,
+                  norm: str = "batch_norm",
                   pool_kernel: int = 7) -> Dict[str, Any]:
     """DenseNet through the spec language — the showcase for the
     reference's OWN signature mechanism: every dense-block layer's input
@@ -588,13 +589,16 @@ def densenet_spec(depth: int = 121, num_classes: int = 1000,
     k, blocks = DENSENET_SETTINGS[depth]
     c = 2 * k
 
-    def pre_conv(name, out_ch, ksize, act=True):
-        p: Dict[str, Any] = {"kernel_size": [ksize, ksize],
-                             "out_channels": out_ch, "padding": ksize // 2,
-                             "use_bias": False, "preactivation": True}
-        if not act:
-            p["act_fn"] = None
-        return {"conv2d": [name, p]}
+    norm = norm or "batch_norm"     # preactivation needs SOME norm
+    norm_spec = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
+                 else {"num_groups": 8, "eps": 1e-5})
+
+    def pre_conv(name, out_ch, ksize):
+        return {"conv2d": [name, {"kernel_size": [ksize, ksize],
+                                  "out_channels": out_ch,
+                                  "padding": ksize // 2,
+                                  "use_bias": False,
+                                  "preactivation": True}]}
 
     # stem in torch's exact order: conv0 -> norm0 -> relu0 -> pool0
     # (standalone norm + activation nodes keep the order faithful; a layer
@@ -603,7 +607,7 @@ def densenet_spec(depth: int = 121, num_classes: int = 1000,
         {"conv2d": ["stem", {"kernel_size": [7, 7], "out_channels": c,
                              "stride": 2, "padding": 3, "use_bias": False,
                              "act_fn": None, "batch_norm": None}]},
-        {"norm": ["stem_bn", {"batch_norm": {"momentum": 0.1, "eps": 1e-5}}]},
+        {"norm": ["stem_bn", {norm: dict(norm_spec)}]},
         {"activation": ["stem_relu", {}]},
         {"max_pooling": ["stem_pool", {"kernel_size": [3, 3],
                                        "stride": [2, 2], "padding": 1}]},
@@ -638,8 +642,7 @@ def densenet_spec(depth: int = 121, num_classes: int = 1000,
                                               "stride": [2, 2]}]})
             in_name = f"t{s}_pool"
     # final BN-ReLU (torch: features.norm5 + relu), pool, classifier
-    arch.append({"norm": ["final_bn", {"batch_norm": {"momentum": 0.1,
-                                                      "eps": 1e-5}}]})
+    arch.append({"norm": ["final_bn", {norm: dict(norm_spec)}]})
     arch.append({"activation": ["final_relu", {}]})
     arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
                                      "stride": [pool_kernel, pool_kernel]}})
@@ -647,9 +650,10 @@ def densenet_spec(depth: int = 121, num_classes: int = 1000,
     arch.append({"fully_connected": {"out_features": num_classes,
                                      "act_fn": None, "batch_norm": None,
                                      "group_norm": None}})
-    return {"act_fn": "relu", "architecture": arch,
-            "batch_norm": {"momentum": 0.1, "eps": 1e-5},
-            "dropout_prob": 0.0}
+    hp: Dict[str, Any] = {"act_fn": "relu", "architecture": arch,
+                          "dropout_prob": 0.0}
+    hp[norm] = dict(norm_spec)
+    return hp
 
 
 def unet_spec(depth: int = 4, base_channels: int = 32,
@@ -666,10 +670,11 @@ def unet_spec(depth: int = 4, base_channels: int = 32,
     noisy) — pass norm='batch_norm' or None to override."""
     arch: List[Any] = []
     c = int(base_channels)
+    bias = not bool(norm)   # zoo convention: biases off when a norm follows
 
     def double_conv(prefix, out_ch):
-        arch.append(_conv(f"{prefix}a", out_ch, 3))
-        arch.append(_conv(f"{prefix}b", out_ch, 3))
+        arch.append(_conv(f"{prefix}a", out_ch, 3, bias=bias))
+        arch.append(_conv(f"{prefix}b", out_ch, 3, bias=bias))
 
     enc_names = []
     for d in range(depth):

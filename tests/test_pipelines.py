@@ -363,6 +363,20 @@ def test_zoo_builders_reachable_from_model_conf():
     out = jax.eval_shape(
         lambda vv: m.apply(vv, jnp.ones((2, 32, 32, 3)), train=False), v)
     assert out.shape == (2, 7)
+    mdn = create_model(data, {"zoo": "densenet", "depth": 121})
+    vdn = jax.eval_shape(mdn.init, jax.random.PRNGKey(0))
+    outdn = jax.eval_shape(
+        lambda w: mdn.apply(w, jnp.ones((2, 32, 32, 3)), train=False), vdn)
+    assert outdn.shape == (2, 7)
+    mrx = create_model(data, {"zoo": "resnet", "depth": 50, "groups": 32,
+                              "width_per_group": 4})
+    vrx = jax.eval_shape(mrx.init, jax.random.PRNGKey(0))
+    n_rx = sum(int(np.prod(l.shape))
+               for l in jax.tree_util.tree_leaves(vrx["params"]))
+    # resnext50_32x4d with a 7-class head: 25,028,904 - (1000-7)*2049 + pad
+    assert n_rx == 25_028_904 - 993 * 2049 + 7 * 7 * 5 * 64, n_rx
+    with pytest.raises(ValueError, match="does not accept"):
+        create_model(data, {"zoo": "densenet", "groups": 32})
     msw = create_model(data, {"zoo": "swin", "variant": "t", "window": 2})
     vsw = jax.eval_shape(msw.init, jax.random.PRNGKey(0))
     outsw = jax.eval_shape(
