@@ -471,6 +471,13 @@ def bench_serving_int8(model: str = "wide"):
         hp = vit_spec(variant="b_16", num_classes=1000)
         shape = (hw, hw, 3)
         B = 256 if on_tpu else 16
+    elif model == "swin_t":
+        from deepcv_tpu.spec.zoo import swin_spec
+        hw = 224 if on_tpu else 64
+        hp = swin_spec(variant="t", num_classes=1000,
+                       window=7 if hw == 224 else 2, pool_kernel=hw // 32)
+        shape = (hw, hw, 3)
+        B = 256 if on_tpu else 8
     else:
         hp = _wide_classifier_hp()
         shape = (32, 32, 3)
@@ -542,6 +549,12 @@ def bench_serving_latency(model: str = "wide"):
         from deepcv_tpu.spec.zoo import vit_spec
         hw = 224 if on_tpu else 32
         hp = vit_spec(variant="b_16", num_classes=1000)
+        shape = (hw, hw, 3)
+    elif model == "swin_t":
+        from deepcv_tpu.spec.zoo import swin_spec
+        hw = 224 if on_tpu else 64
+        hp = swin_spec(variant="t", num_classes=1000,
+                       window=7 if hw == 224 else 2, pool_kernel=hw // 32)
         shape = (hw, hw, 3)
     else:
         hp = _wide_classifier_hp()
@@ -846,7 +859,7 @@ if __name__ == "__main__":
     enable_persistent_compilation_cache()  # amortize XLA compiles across runs
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="wide",
-                    choices=["wide", "resnet50", "vit_b_16"],
+                    choices=["wide", "resnet50", "vit_b_16", "swin_t"],
                     help="configs 8/10: serving model")
     ap.add_argument("--arch", default="resnet50",
                     choices=["resnet50", "mobilenet_v2", "efficientnet_b0",
