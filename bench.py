@@ -447,6 +447,31 @@ def bench_streaming():
         shutil.rmtree(d, ignore_errors=True)   # ~400MB on TPU: don't leak
 
 
+def _serving_model(model: str, on_tpu: bool):
+    """(hp, input shape, serving batch) for the serving benches' models —
+    ONE dispatch shared by configs 8 (int8) and 10 (latency). The
+    transformer entries serve at 224 on TPU and smoke-size on CPU; int8
+    covers vit/swin projection GEMMs (attention einsums stay bf16)."""
+    if model == "resnet50":
+        from deepcv_tpu.spec.zoo import resnet_spec
+        hw = 224 if on_tpu else 64
+        return (resnet_spec(50, num_classes=1000, pool_kernel=hw // 32),
+                (hw, hw, 3), 256 if on_tpu else 64)
+    if model == "vit_b_16":
+        from deepcv_tpu.spec.zoo import vit_spec
+        hw = 224 if on_tpu else 32
+        return (vit_spec(variant="b_16", num_classes=1000),
+                (hw, hw, 3), 256 if on_tpu else 16)
+    if model == "swin_t":
+        from deepcv_tpu.spec.zoo import swin_spec
+        hw = 224 if on_tpu else 64
+        return (swin_spec(variant="t", num_classes=1000,
+                          window=7 if hw == 224 else 2,
+                          pool_kernel=hw // 32),
+                (hw, hw, 3), 256 if on_tpu else 8)
+    return _wide_classifier_hp(), (32, 32, 3), 4096 if on_tpu else 256
+
+
 def bench_serving_int8(model: str = "wide"):
     """Config 8: serving throughput — bf16 vs CALIBRATED static-int8 w8a8 on
     the wide classifier or spec-built ResNet-50 (the int8 path that actually
@@ -457,31 +482,7 @@ def bench_serving_int8(model: str = "wide"):
     from deepcv_tpu.compression import calibrate_int8_scales
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    if model == "resnet50":
-        from deepcv_tpu.spec.zoo import resnet_spec
-        hw = 224 if on_tpu else 64
-        hp = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32)
-        shape = (hw, hw, 3)
-        B = 256 if on_tpu else 64
-    elif model == "vit_b_16":
-        # transformer serving: int8 covers the projection GEMMs (the FLOPs
-        # at T=197); the attention einsums stay bf16
-        from deepcv_tpu.spec.zoo import vit_spec
-        hw = 224 if on_tpu else 32
-        hp = vit_spec(variant="b_16", num_classes=1000)
-        shape = (hw, hw, 3)
-        B = 256 if on_tpu else 16
-    elif model == "swin_t":
-        from deepcv_tpu.spec.zoo import swin_spec
-        hw = 224 if on_tpu else 64
-        hp = swin_spec(variant="t", num_classes=1000,
-                       window=7 if hw == 224 else 2, pool_kernel=hw // 32)
-        shape = (hw, hw, 3)
-        B = 256 if on_tpu else 8
-    else:
-        hp = _wide_classifier_hp()
-        shape = (32, 32, 3)
-        B = 4096 if on_tpu else 256
+    hp, shape, B = _serving_model(model, on_tpu)
     mf = DeepcvModule(shape, hp, dtype=jnp.bfloat16)
     v = mf.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -540,25 +541,7 @@ def bench_serving_latency(model: str = "wide"):
     from deepcv_tpu.spec import DeepcvModule
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    if model == "resnet50":
-        from deepcv_tpu.spec.zoo import resnet_spec
-        hw = 224 if on_tpu else 64
-        hp = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32)
-        shape = (hw, hw, 3)
-    elif model == "vit_b_16":
-        from deepcv_tpu.spec.zoo import vit_spec
-        hw = 224 if on_tpu else 32
-        hp = vit_spec(variant="b_16", num_classes=1000)
-        shape = (hw, hw, 3)
-    elif model == "swin_t":
-        from deepcv_tpu.spec.zoo import swin_spec
-        hw = 224 if on_tpu else 64
-        hp = swin_spec(variant="t", num_classes=1000,
-                       window=7 if hw == 224 else 2, pool_kernel=hw // 32)
-        shape = (hw, hw, 3)
-    else:
-        hp = _wide_classifier_hp()
-        shape = (32, 32, 3)
+    hp, shape, _ = _serving_model(model, on_tpu)
     m = DeepcvModule(shape, hp, dtype=jnp.bfloat16)
     v = m.init(jax.random.PRNGKey(0))
     f = jax.jit(lambda v, x: m.apply(v, x, train=False))

@@ -222,6 +222,17 @@ def _sub_dot_general(dg, sub: str):
     return dg
 
 
+def _split_dot_general(dg, prefix: str):
+    """Narrow a block-level dot_general to one child module: mappings keep
+    only the '<prefix>/...' entries (keys stripped), callables pass through
+    — the one copy of the prefix-split both block types use."""
+    if isinstance(dg, Mapping):
+        picked = {k.split("/", 1)[1]: v for k, v in dg.items()
+                  if k.startswith(prefix + "/")}
+        return picked or None
+    return dg
+
+
 class MultiHeadSelfAttention(fnn.Module):
     """Self-attention with torch ``nn.MultiheadAttention`` packing: one
     Dense to 3*D whose output columns are [q | k | v] (= in_proj_weight
@@ -338,18 +349,10 @@ class TransformerEncoderBlock(fnn.Module):
     def __call__(self, x, *, train: bool = False):
         y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_1")(x)
-        def sub_dg(prefix):
-            dg = self.dot_general
-            if isinstance(dg, Mapping):
-                picked = {k.split("/", 1)[1]: v for k, v in dg.items()
-                          if k.startswith(prefix + "/")}
-                return picked or None
-            return dg
-
         y = MultiHeadSelfAttention(num_heads=self.num_heads,
                                    dropout_prob=self.attn_dropout_prob,
                                    attn_impl=self.attn_impl,
-                                   dot_general=sub_dg("attn"),
+                                   dot_general=_split_dot_general(self.dot_general, "attn"),
                                    dtype=self.dtype, name="attn")(
             y, train=train)
         if self.dropout_prob and self.dropout_prob > 0.0:
@@ -359,7 +362,7 @@ class TransformerEncoderBlock(fnn.Module):
         z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_2")(x)
         z = MlpBlock(mlp_dim=self.mlp_dim, dropout_prob=self.dropout_prob,
-                     dot_general=sub_dg("mlp"),
+                     dot_general=_split_dot_general(self.dot_general, "mlp"),
                      dtype=self.dtype, name="mlp")(z, train=train)
         return x + self._drop_path(z, train)
 
@@ -600,25 +603,17 @@ class SwinBlock(fnn.Module):
         from deepcv_tpu.ops.nn import DropPath
         dp = DropPath(rate=float(self.drop_path_prob))
 
-        def sub_dg(prefix):
-            dg = self.dot_general
-            if isinstance(dg, Mapping):
-                picked = {k.split("/", 1)[1]: v for k, v in dg.items()
-                          if k.startswith(prefix + "/")}
-                return picked or None
-            return dg
-
         y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_1")(x)
         y = WindowAttention(num_heads=self.num_heads, window=self.window,
-                            shift=self.shift, dot_general=sub_dg("attn"),
+                            shift=self.shift, dot_general=_split_dot_general(self.dot_general, "attn"),
                             dtype=self.dtype,
                             name="attn")(y, train=train)
         x = x + dp(y, train=train)
         z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_2")(x)
         z = MlpBlock(mlp_dim=int(round(x.shape[-1] * float(self.mlp_ratio))),
-                     dot_general=sub_dg("mlp"),
+                     dot_general=_split_dot_general(self.dot_general, "mlp"),
                      dtype=self.dtype, name="mlp")(z, train=train)
         return x + dp(z, train=train)
 

@@ -43,6 +43,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
         # remaining keys override builder kwargs; input size sets the
         # global-pool window
         from deepcv_tpu.spec.zoo import mobilenet_v2_spec, resnet_spec
+        pool = max(1, input_shape[0] // 32)   # global-pool window per family
         # kwargs belonging to OTHER builders must fail loudly, not ride
         # silently into the spec dict as inert keys
         def _reject(*keys):
@@ -55,14 +56,14 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 num_classes=num_classes or 1000,
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
-                pool_kernel=max(1, input_shape[0] // 32))
+                pool_kernel=pool)
         elif str(zoo) == "efficientnet_b0":
             _reject("depth", "width_mult", "variant", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import efficientnet_b0_spec
             built = efficientnet_b0_spec(
                 num_classes=num_classes or 1000,
                 norm=hp.pop("norm", "batch_norm"),
-                pool_kernel=max(1, input_shape[0] // 32))
+                pool_kernel=pool)
         elif str(zoo) == "mobilenet_v3":
             _reject("depth", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import mobilenet_v3_spec
@@ -71,7 +72,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 num_classes=num_classes or 1000,
                 width_mult=float(hp.pop("width_mult", 1.0)),
                 norm=hp.pop("norm", "batch_norm"),
-                pool_kernel=max(1, input_shape[0] // 32))
+                pool_kernel=pool)
         elif str(zoo) == "densenet":
             _reject("width_mult", "variant", "window", "groups",
                     "width_per_group")
@@ -79,7 +80,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
             built = densenet_spec(depth=int(hp.pop("depth", 121)),
                                   num_classes=num_classes or 1000,
                                   norm=hp.pop("norm", "batch_norm"),
-                                  pool_kernel=max(1, input_shape[0] // 32))
+                                  pool_kernel=pool)
         elif str(zoo) == "convnext":
             _reject("depth", "width_mult", "norm", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import convnext_spec
@@ -87,7 +88,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 variant=str(hp.pop("variant", "tiny")),
                 num_classes=num_classes or 1000,
                 stochastic_depth=float(hp.pop("stochastic_depth", 0.1)),
-                pool_kernel=max(1, input_shape[0] // 32))
+                pool_kernel=pool)
         elif str(zoo) == "swin":
             _reject("depth", "width_mult", "norm", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import swin_spec
@@ -96,7 +97,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                 num_classes=num_classes or 1000,
                 window=int(hp.pop("window", 7)),
                 stochastic_depth=float(hp.pop("stochastic_depth", 0.2)),
-                pool_kernel=max(1, input_shape[0] // 32))
+                pool_kernel=pool)
         elif str(zoo) == "vit":
             _reject("depth", "width_mult", "norm", "window", "groups", "width_per_group")
             from deepcv_tpu.spec.zoo import vit_spec
@@ -115,7 +116,7 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
                                 groups=int(hp.pop("groups", 1)),
                                 width_per_group=int(
                                     hp.pop("width_per_group", 64)),
-                                pool_kernel=max(1, input_shape[0] // 32))
+                                pool_kernel=pool)
         else:
             raise ValueError(
                 f"Unknown zoo builder '{zoo}' (known: resnet, mobilenet_v2, "

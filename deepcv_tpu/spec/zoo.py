@@ -37,6 +37,13 @@ RESNET_LAYERS = {
 }
 
 
+def _norm_hp(norm: str, num_groups: int = 8):
+    """The builders' shared norm-technique spec (torch eps/momentum
+    conventions; group count per family)."""
+    return ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
+            else {"num_groups": num_groups, "eps": 1e-5})
+
+
 def _conv(name, out_ch, k, stride=1, act=True, groups=1, bias=True):
     p: Dict[str, Any] = {"kernel_size": [k, k], "out_channels": out_ch,
                          "padding": k // 2}
@@ -129,8 +136,7 @@ def resnet_spec(depth: int = 50, num_classes: int = 1000,
 
     hp: Dict[str, Any] = {"act_fn": "relu", "architecture": arch}
     if norm:
-        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
-                    else {"num_groups": 32, "eps": 1e-5})
+        hp[norm] = _norm_hp(norm, num_groups=32)
     return hp
 
 
@@ -205,8 +211,7 @@ def mobilenet_v2_spec(num_classes: int = 1000, width_mult: float = 1.0,
     hp: Dict[str, Any] = {"act_fn": "relu6", "architecture": arch,
                           "dropout_prob": 0.0}
     if norm:
-        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
-                    else {"num_groups": 8, "eps": 1e-5})
+        hp[norm] = _norm_hp(norm, num_groups=8)
     return hp
 
 
@@ -273,8 +278,7 @@ def efficientnet_b0_spec(num_classes: int = 1000, norm: str = "batch_norm",
     hp: Dict[str, Any] = {"act_fn": "silu", "architecture": arch,
                           "dropout_prob": 0.0}
     if norm:
-        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
-                    else {"num_groups": 8, "eps": 1e-5})
+        hp[norm] = _norm_hp(norm, num_groups=8)
     return hp
 
 
@@ -386,8 +390,7 @@ def mobilenet_v3_spec(variant: str = "large", num_classes: int = 1000,
     hp: Dict[str, Any] = {"act_fn": "hard_swish", "architecture": arch,
                           "dropout_prob": 0.0}
     if norm:
-        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
-                    else {"num_groups": 8, "eps": 1e-5})
+        hp[norm] = _norm_hp(norm, num_groups=8)
     return hp
 
 
@@ -590,8 +593,7 @@ def densenet_spec(depth: int = 121, num_classes: int = 1000,
     c = 2 * k
 
     norm = norm or "batch_norm"     # preactivation needs SOME norm
-    norm_spec = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
-                 else {"num_groups": 8, "eps": 1e-5})
+    norm_spec = _norm_hp(norm)
 
     def pre_conv(name, out_ch, ksize):
         return {"conv2d": [name, {"kernel_size": [ksize, ksize],
@@ -692,6 +694,5 @@ def unet_spec(depth: int = 4, base_channels: int = 32,
     hp: Dict[str, Any] = {"act_fn": "relu", "architecture": arch,
                           "dropout_prob": 0.0}
     if norm:
-        hp[norm] = ({"momentum": 0.1, "eps": 1e-5} if norm == "batch_norm"
-                    else {"num_groups": 8, "eps": 1e-5})
+        hp[norm] = _norm_hp(norm, num_groups=8)
     return hp
