@@ -781,8 +781,11 @@ def bench_attention(batch: int = 0):
     h, dh = 12, 64
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     # CPU = interpreter-mode smoke only (pallas compiles for TPU); tiny sizes
-    seqs = (197, 1024, 4096) if on_tpu else (64, 128)
-    grad_seq = 1024 if on_tpu else seqs[0]  # one grad point (compile budget)
+    seqs = (197, 1024, 4096, 8192) if on_tpu else (64, 128)
+    # grad at the mid and longest points: T=1024 is the XLA-friendly regime
+    # (honest loss), T=8192 is where the (T,T) backward's HBM traffic wall
+    # bites (measured 4.6x flash win)
+    grad_seqs = (1024, 8192) if on_tpu else (seqs[0],)
     budget = int(batch) or (4096 * 8 if on_tpu else 128)
     per_seq = {}
     for t in seqs:
@@ -812,7 +815,7 @@ def bench_attention(batch: int = 0):
                "fwd_xla_ms": round(t_fx * 1e3, 3),
                "fwd_flash_ms": round(t_ff * 1e3, 3),
                "fwd_speedup": round(t_fx / t_ff, 3)}
-        if t == grad_seq:
+        if t in grad_seqs:
             gx = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
                 attention_xla(q, k, v).astype(jnp.float32) ** 2),
                 argnums=(0, 1, 2)))
