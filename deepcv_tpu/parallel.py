@@ -19,6 +19,10 @@ This module adds the pieces a *framework* should expose beyond parity:
     (PP) over a 'stage' mesh axis: microbatched schedule written with
     ``jax.shard_map`` + ``lax.ppermute`` so stage-to-stage transfers ride
     ICI point-to-point links;
+  * :func:`ring_attention` — exact sequence-parallel attention: K/V
+    shards rotate around the mesh axis via ``lax.ppermute`` while each
+    device folds them into online-softmax statistics (the flash kernel's
+    merge, lifted from VMEM blocks to mesh shards);
   * :func:`data_parallelism_usefulness_heuristic` — reference
     ``is_data_parallelization_usefull_heuristic`` parity (nn.py:618-637):
     sigmoid score over model capacity / batch size / device count, used to
@@ -36,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "tensor_parallel_rules", "shard_params",
            "cross_replica_mean", "spatial_sharding", "pipeline_parallel_apply",
-           "data_parallelism_usefulness_heuristic"]
+           "ring_attention", "data_parallelism_usefulness_heuristic"]
 
 
 def make_mesh(axis_sizes: Mapping[str, int],
@@ -170,6 +174,69 @@ def pipeline_parallel_apply(stage_fn: Callable, stage_params, x,
     out = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P(),
                         check_vma=False)(stage_params, xm)
     return out.reshape(n, *out.shape[2:])
+
+
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   *, mesh: Mesh, axis_name: str = "data") -> jnp.ndarray:
+    """Ring attention (Liu et al., arXiv:2310.01889): sequence-parallel
+    exact attention over ``mesh[axis_name]``.
+
+    (N, H, T, Dh) -> (N, H, T, Dh), with the SEQUENCE dim sharded over the
+    mesh axis — each of the P devices holds a (N, H, T/P, Dh) shard of
+    q/k/v and only ever materializes a (T/P, T/P) score block, so the
+    attainable T scales linearly with the ring size on top of what one
+    chip's flash kernel can hold. P ring steps: each device accumulates
+    online-softmax statistics (running max m, normalizer l, weighted sum
+    acc — the same exact rescaling as ``flash_attention``'s inner loop,
+    lifted from VMEM blocks to mesh shards) against its resident K/V
+    block, then rotates K/V one hop via ``lax.ppermute`` — neighbor ICI
+    transfers that overlap with the next block's compute under XLA's
+    latency-hiding scheduler, never an all-gather of the full sequence.
+
+    Numerically exact softmax attention (f32 statistics regardless of io
+    dtype), differentiable through the scan-of-ppermute (ppermute's
+    transpose is the reverse permutation, so the backward is a ring too).
+    Composes with DP/TP on the other mesh axes: N and H ride any batch
+    sharding GSPMD already applies. The reference has no sequence story at
+    all (SURVEY §5.7); this is the long-context member of the toolbox.
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected (N, H, T, Dh) inputs, got {q.shape}")
+    P_ = mesh.shape[axis_name]
+    t = q.shape[2]
+    if t % P_:
+        raise ValueError(f"sequence length {t} not divisible by ring size "
+                         f"{P_} (mesh axis {axis_name!r})")
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    fwd = [(r, (r + 1) % P_) for r in range(P_)]      # rotate shards
+
+    def local(q, k, v):                                # (N, H, T/P, Dh)
+        qf = q.astype(jnp.float32) * scale
+
+        def step(carry, _):
+            m, l, acc, kc, vc = carry
+            s = jnp.einsum("nhqd,nhkd->nhqk", qf, kc.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.einsum(
+                "nhqk,nhkd->nhqd", p, vc.astype(jnp.float32))
+            kc = jax.lax.ppermute(kc, axis_name, fwd)
+            vc = jax.lax.ppermute(vc, axis_name, fwd)
+            return (m_new, l, acc, kc, vc), None
+
+        stat = (*qf.shape[:3], 1)
+        init = (jnp.full(stat, -jnp.inf, jnp.float32),
+                jnp.zeros(stat, jnp.float32),
+                jnp.zeros(qf.shape, jnp.float32), k, v)
+        (m, l, acc, _, _), _ = jax.lax.scan(step, init, None, length=P_)
+        return (acc / l).astype(q.dtype)
+
+    spec = P(None, None, axis_name, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)(q, k, v)
 
 
 def data_parallelism_usefulness_heuristic(model_capacity: int, batch_size: int,

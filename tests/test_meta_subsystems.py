@@ -13,7 +13,8 @@ from deepcv_tpu.data.datasets import load_dataset
 from deepcv_tpu.data.viz import to_uint8, make_grid, save_image_grid
 from deepcv_tpu.parallel import (
     make_mesh, tensor_parallel_rules, shard_params, spatial_sharding,
-    pipeline_parallel_apply, data_parallelism_usefulness_heuristic,
+    pipeline_parallel_apply, ring_attention,
+    data_parallelism_usefulness_heuristic,
 )
 from deepcv_tpu.train.lr_finder import (
     run_lr_range_test, find_optimal_params, plot_search_curves,
@@ -127,6 +128,41 @@ def test_pipeline_parallel_apply(devices):
     with pytest.raises(ValueError, match="divisible"):
         pipeline_parallel_apply(stage_fn, stage_params, x,
                                 mesh=mesh, n_microbatches=3)
+
+
+def test_ring_attention_matches_full_softmax(devices):
+    """Ring attention over an 8-device sequence shard == the single-device
+    full-softmax reference, forward AND gradients (the online-softmax merge
+    across ring hops is exact, and ppermute's transpose makes the backward
+    a ring too)."""
+    from deepcv_tpu.ops.attention import attention_xla
+    mesh = make_mesh({"data": 8})
+    n, h, t, dh = 2, 3, 64, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (n, h, t, dh), jnp.float32) for kk in ks)
+
+    ref = attention_xla(q, k, v)
+    out = jax.jit(lambda *a: ring_attention(*a, mesh=mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return jax.grad(lambda a, b, c: jnp.sum(jnp.tanh(fn(a, b, c))),
+                        argnums=(0, 1, 2))
+    g_ref = loss(attention_xla)(q, k, v)
+    g_ring = jax.jit(loss(lambda *a: ring_attention(*a, mesh=mesh)))(q, k, v)
+    for a, b in zip(g_ref, g_ring):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_ring_attention_rejects_bad_shapes(devices):
+    mesh = make_mesh({"data": 8})
+    x = jnp.zeros((2, 3, 62, 16))  # 62 % 8 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        ring_attention(x, x, x, mesh=mesh)
+    with pytest.raises(ValueError, match="N, H, T, Dh"):
+        ring_attention(x[0], x[0], x[0], mesh=mesh)
 
 
 def test_dp_heuristic():
