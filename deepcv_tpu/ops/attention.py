@@ -524,7 +524,8 @@ class TransformerEncoderBlock(fnn.Module):
     attn_impl: str = "xla"
     dot_general: Any = None       # int8/QAT dot override for all projections
     ln_eps: float = 1e-6
-    dtype: Any = None
+    moe: Any = None               # {num_experts, k, capacity_factor, ...}:
+    dtype: Any = None             # replace the dense MLP with a V-MoE MoEMlp
 
     def _drop_path(self, v, train: bool):
         from deepcv_tpu.ops.nn import DropPath
@@ -546,9 +547,19 @@ class TransformerEncoderBlock(fnn.Module):
         x = x + self._drop_path(y, train)
         z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
                           name="ln_2")(x)
-        z = MlpBlock(mlp_dim=self.mlp_dim, dropout_prob=self.dropout_prob,
-                     dot_general=_split_dot_general(self.dot_general, "mlp"),
-                     dtype=self.dtype, name="mlp")(z, train=train)
+        if self.moe:
+            from deepcv_tpu.ops.moe import MoEMlp
+            cfg = dict(self.moe)
+            z = MoEMlp(num_experts=int(cfg["num_experts"]),
+                       mlp_dim=int(cfg.get("mlp_dim", self.mlp_dim)),
+                       k=int(cfg.get("k", 1)),
+                       capacity_factor=float(cfg.get("capacity_factor", 1.25)),
+                       router_noise=float(cfg.get("router_noise", 0.0)),
+                       dtype=self.dtype, name="moe_mlp")(z, train=train)
+        else:
+            z = MlpBlock(mlp_dim=self.mlp_dim, dropout_prob=self.dropout_prob,
+                         dot_general=_split_dot_general(self.dot_general, "mlp"),
+                         dtype=self.dtype, name="mlp")(z, train=train)
         return x + self._drop_path(z, train)
 
 

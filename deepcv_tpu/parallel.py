@@ -40,7 +40,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "tensor_parallel_rules", "shard_params",
            "cross_replica_mean", "spatial_sharding", "pipeline_parallel_apply",
-           "ring_attention", "data_parallelism_usefulness_heuristic"]
+           "ring_attention", "expert_parallel_rules",
+           "data_parallelism_usefulness_heuristic"]
+
+
+def __getattr__(name):
+    # EP rules live with the MoE block (ops/moe.py) but belong to this
+    # toolbox's namespace; lazy re-export avoids an import cycle.
+    if name == "expert_parallel_rules":
+        from deepcv_tpu.ops.moe import expert_parallel_rules
+        return expert_parallel_rules
+    raise AttributeError(name)
 
 
 def make_mesh(axis_sizes: Mapping[str, int],

@@ -784,13 +784,19 @@ def _patch_embed(params, ctx: CreatorContext, name: str) -> fnn.Module:
 @submodule_creator("transformer_block", aliases=("encoder_block",),
                    allowed=("num_heads", "mlp_dim", "dropout_prob",
                             "attn_dropout_prob", "drop_path_prob",
-                            "attn_impl", "ln_eps"),
+                            "attn_impl", "ln_eps", "moe"),
                    required=("num_heads", "mlp_dim"))
 def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
     """Pre-LN transformer encoder block (torchvision EncoderBlock wiring;
     ``attn_impl: flash`` switches to the Pallas online-softmax kernel;
-    ``drop_path_prob`` = stochastic depth on both residual branches)."""
+    ``drop_path_prob`` = stochastic depth on both residual branches;
+    ``moe: {num_experts, k, capacity_factor, router_noise}`` swaps the
+    dense MLP for a V-MoE expert mixture — see ops/moe.py)."""
     from deepcv_tpu.ops.attention import TransformerEncoderBlock
+    moe = params.get("moe") or None
+    if moe is not None and "num_experts" not in moe:
+        raise ValueError(f"{name}: moe config requires num_experts "
+                         f"(got {dict(moe)})")
     return TransformerEncoderBlock(
         num_heads=int(params["num_heads"]), mlp_dim=int(params["mlp_dim"]),
         dropout_prob=float(params.get("dropout_prob") or 0.0),
@@ -800,6 +806,7 @@ def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
         dot_general=_quantized_dot_general(
             ctx, name, subs=("attn/qkv", "attn/out", "mlp/fc1", "mlp/fc2")),
         ln_eps=float(params.get("ln_eps", 1e-6)),
+        moe=dict(moe) if moe else None,
         dtype=ctx.dtype, name=name)
 
 

@@ -37,7 +37,9 @@ __all__ = ["DeepcvModule", "DeepcvModuleDescriptor", "SharedImageEmbedding",
 
 _logger = logging.getLogger(__name__)
 
-_STATE_COLLECTIONS = ("batch_stats",)
+#: collections auto-made mutable in train-mode apply when the init
+#: variables carry them (batch stats; MoE load-balance aux — ops/moe.py)
+_STATE_COLLECTIONS = ("batch_stats", "moe_losses")
 
 
 def _rebuild_model(cls, input_shape, hp, options):

@@ -408,7 +408,10 @@ VIT_SETTINGS = {
 def vit_spec(variant: str = "b_16", num_classes: int = 1000,
              dropout: float = 0.0, attn_dropout: float = 0.0,
              stochastic_depth: float = 0.0,
-             attn_impl: str = "xla") -> Dict[str, Any]:
+             attn_impl: str = "xla",
+             moe_experts: int = 0, moe_every: int = 2, moe_k: int = 1,
+             moe_capacity_factor: float = 1.25,
+             moe_router_noise: float = 0.0) -> Dict[str, Any]:
     """Vision Transformer through the spec language — the attention-family
     counterpart to the CNN zoo (the reference is CNN-only, SURVEY §5.7).
 
@@ -426,6 +429,13 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
     ``attn_impl='flash'`` routes every block through the Pallas
     online-softmax kernel (ops/attention.py:flash_attention) — measured
     against the XLA path in ``bench.py --config 11``.
+
+    ``moe_experts=E`` (E > 0) builds **V-MoE** (Riquelme et al.,
+    arXiv:2106.05974): every ``moe_every``-th block's dense MLP becomes a
+    top-``moe_k`` mixture of E expert MLPs (ops/moe.py — static-shape
+    einsum routing, f32 router, Switch load-balance aux loss wired into
+    ``train()`` via ``hp['moe_aux_weight']``). Shard the stacked expert
+    weights with ``parallel.expert_parallel_rules`` for EP.
     """
     if variant not in VIT_SETTINGS:
         raise ValueError(f"variant must be one of {sorted(VIT_SETTINGS)}, "
@@ -439,12 +449,18 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
         # stochastic depth with the standard linear ramp: block i drops its
         # residual branches with prob p * i / (L - 1) (timm convention)
         dp = stochastic_depth * i / max(1, layers - 1)
-        arch.append({"transformer_block": [
-            f"enc{i}", {"num_heads": heads, "mlp_dim": mlp,
-                        "dropout_prob": dropout,
-                        "attn_dropout_prob": attn_dropout,
-                        "drop_path_prob": round(dp, 6),
-                        "attn_impl": attn_impl}]})
+        node = {"num_heads": heads, "mlp_dim": mlp,
+                "dropout_prob": dropout,
+                "attn_dropout_prob": attn_dropout,
+                "drop_path_prob": round(dp, 6),
+                "attn_impl": attn_impl}
+        # V-MoE placement: every moe_every-th block, counted from the back
+        # (the paper puts experts in the later blocks)
+        if moe_experts and (layers - 1 - i) % max(1, int(moe_every)) == 0:
+            node["moe"] = {"num_experts": int(moe_experts), "k": int(moe_k),
+                           "capacity_factor": float(moe_capacity_factor),
+                           "router_noise": float(moe_router_noise)}
+        arch.append({"transformer_block": [f"enc{i}", node]})
     arch.append({"norm": ["final_ln", {"layer_norm": {"eps": 1e-6}}]})
     arch.append({"take_token": {"index": 0}})
     arch.append({"fully_connected": {"out_features": num_classes,

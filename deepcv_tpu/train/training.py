@@ -103,6 +103,10 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # a fair per-step coin picks one (timm convention).
     "mixup_alpha": 0.0,
     "cutmix_alpha": 0.0,
+    # MoE models (ops/moe.py): weight on the Switch load-balance aux loss
+    # the MoE blocks sow (arXiv:2101.03961 uses 1e-2); ignored when the
+    # model has no MoE blocks
+    "moe_aux_weight": 0.01,
 }
 
 
@@ -375,11 +379,19 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     jsd_cfg = dict(hp.get("augmix_jsd") or {})
     jsd_weight = float(jsd_cfg.get("weight", 12.0)) if jsd_cfg else 0.0
 
+    # MoE blocks sow their load-balance aux into this collection (present in
+    # the init variables iff the model has MoE); making it mutable in the
+    # train-mode apply is how the sown values reach the loss
+    from deepcv_tpu.ops.moe import MOE_LOSSES_COLLECTION
+    has_moe = MOE_LOSSES_COLLECTION in variables
+    moe_aux_w = float(hp.get("moe_aux_weight", 0.01) or 0.0) if has_moe else 0.0
+
     def _apply(variables, x, key):
+        cols = [c for c in ("batch_stats", MOE_LOSSES_COLLECTION)
+                if c in variables or (c == MOE_LOSSES_COLLECTION and has_moe)]
         return model.apply(variables, x, train=True,
                            rngs={"dropout": key, "nas": jax.random.fold_in(key, 7)},
-                           mutable=["batch_stats"] if "batch_stats" in variables
-                           else False)
+                           mutable=cols or False)
 
     if hp.get("remat"):
         # rematerialize the forward in the backward pass: activations are
@@ -436,6 +448,14 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             terms["main_loss"] = main
         else:
             main, terms = losses(logits, y_t)
+        if moe_aux_w and MOE_LOSSES_COLLECTION in new_state:
+            aux_leaves = jax.tree_util.tree_leaves(
+                new_state[MOE_LOSSES_COLLECTION])
+            moe_aux = sum(jnp.mean(a) for a in aux_leaves) / len(aux_leaves)
+            main = main + moe_aux_w * moe_aux
+            terms = dict(terms)
+            terms["moe_aux"] = moe_aux
+            terms["main_loss"] = main
         if jsd_cfg:
             from deepcv_tpu.data.augmentation import augment_and_mix
             from deepcv_tpu.data.transforms import to_tensor
