@@ -555,6 +555,7 @@ class TransformerEncoderBlock(fnn.Module):
                        k=int(cfg.get("k", 1)),
                        capacity_factor=float(cfg.get("capacity_factor", 1.25)),
                        router_noise=float(cfg.get("router_noise", 0.0)),
+                       group_size=int(cfg.get("group_size", 0)),
                        dtype=self.dtype, name="moe_mlp")(z, train=train)
         else:
             z = MlpBlock(mlp_dim=self.mlp_dim, dropout_prob=self.dropout_prob,

@@ -5,9 +5,14 @@ parallelism beyond DP — SURVEY §2.9): this is the V-MoE recipe (Riquelme
 et al., arXiv:2106.05974 — MoE for vision transformers) built the TPU way:
 
 * **static shapes everywhere**: routing is expressed as one-hot dispatch /
-  combine tensors of shape (tokens, experts, capacity) contracted with
-  einsums — no gather/scatter, no dynamic shapes, so the whole block jits
-  and the MXU does the routing;
+  combine tensors of shape (groups, tokens, experts, capacity) contracted
+  with einsums — no gather/scatter, no dynamic shapes, so the whole block
+  jits and the MXU does the routing;
+* **grouped routing** (the V-MoE/Mesh-TF formulation): tokens are routed
+  within fixed-size groups, so the dispatch tensor is
+  ``G x gs x E x C`` with ``C ∝ gs`` — memory and dispatch-einsum FLOPs
+  stay LINEAR in total tokens (a single global group would be quadratic:
+  ``S x E x (S·k·cf/E)``, infeasible past a few thousand tokens);
 * **expert parallelism through GSPMD**: expert weights are stacked with a
   leading E dim; shard that dim over a mesh axis
   (:func:`expert_parallel_rules`) and XLA inserts the all-to-alls that
@@ -16,12 +21,13 @@ et al., arXiv:2106.05974 — MoE for vision transformers) built the TPU way:
 * **f32 router**: routing logits/softmax in float32 regardless of the
   compute dtype (bf16 router logits are the classic MoE instability);
 * **capacity discipline**: each expert processes a static
-  ``ceil(k * tokens / E * capacity_factor)`` slot buffer; overflow tokens
-  fall through the residual connection (their MoE output is exactly 0),
-  the standard Switch/V-MoE behavior;
+  ``ceil(k * gs / E * capacity_factor)`` slot buffer per group; overflow
+  tokens fall through the residual connection (their MoE output is exactly
+  0), the standard Switch/V-MoE behavior;
 * **load-balance aux loss** (Switch Transformer eq. 4, arXiv:2101.03961):
-  sown into the ``moe_losses`` collection; ``train()`` adds
-  ``hp['moe_aux_weight']`` x its mean to the objective.
+  computed per group and averaged, sown into the ``moe_losses``
+  collection; ``train()`` adds ``hp['moe_aux_weight']`` x its mean to the
+  objective.
 """
 from __future__ import annotations
 
@@ -46,8 +52,15 @@ class MoEMlp(fnn.Module):
     -> exact GELU -> Dense(d)).
 
     Input (N, T, D) or (S, D); output the same shape. Tokens beyond an
-    expert's capacity get a zero output (they ride the transformer
-    block's residual connection unchanged).
+    expert's per-group capacity get a zero output (they ride the
+    transformer block's residual connection unchanged).
+
+    ``group_size`` (tokens) bounds the routing-group size: a batch of
+    (N, T) tokens is split into groups of ``max(1, group_size // T)``
+    whole images (rounded down to a divisor of N so shapes stay static).
+    0 = one global group — exact but quadratic; fine for tests/small
+    inputs, set a few hundred to a few thousand for real training
+    (V-MoE routes within groups of this scale).
 
     ``router_noise`` (train only) multiplies routing logits by
     U[1-eps, 1+eps] — Switch's load-balancing jitter; draws from the
@@ -58,6 +71,7 @@ class MoEMlp(fnn.Module):
     k: int = 1
     capacity_factor: float = 1.25
     router_noise: float = 0.0
+    group_size: int = 0
     dtype: Any = None
 
     @fnn.compact
@@ -66,54 +80,71 @@ class MoEMlp(fnn.Module):
             raise ValueError(f"k={self.k} must be in [1, E={self.num_experts}]")
         orig_shape = x.shape
         d = x.shape[-1]
-        xs = x.reshape(-1, d)                              # (S, D) token view
-        s = xs.shape[0]
+        total = 1
+        for s in x.shape[:-1]:
+            total *= int(s)
+
+        # ------- group layout: (G, gs, D) --------------------------------- #
+        # groups are whole leading-dim items (images) so N, T grouping is
+        # static; group_size=0 -> one global group (the exact small case)
+        if int(self.group_size) > 0 and x.ndim >= 3:
+            n, t = int(x.shape[0]), int(total // x.shape[0])
+            per = max(1, int(self.group_size) // t)
+            per = math.gcd(n, per)            # static divisor of the batch
+            g, gs = n // per, per * t
+        elif int(self.group_size) > 0 and int(self.group_size) < total:
+            gs = math.gcd(total, int(self.group_size))
+            g = total // gs
+        else:
+            g, gs = 1, total
+        xs = x.reshape(g, gs, d)
         e, m = int(self.num_experts), int(self.mlp_dim)
         cap = max(1, int(math.ceil(
-            int(self.k) * s / e * float(self.capacity_factor))))
-        cap = min(cap, s)
+            int(self.k) * gs / e * float(self.capacity_factor))))
+        cap = min(cap, gs)
 
         # ------- router (f32 regardless of compute dtype) ------------------ #
         wr = self.param("router", fnn.initializers.lecun_normal(),
                         (d, e), jnp.float32)
-        logits = xs.astype(jnp.float32) @ wr               # (S, E)
+        logits = jnp.einsum("gsd,de->gse", xs.astype(jnp.float32), wr)
         if train and float(self.router_noise) > 0.0:
             eps = float(self.router_noise)
             u = jax.random.uniform(self.make_rng("dropout"), logits.shape,
                                    jnp.float32, 1.0 - eps, 1.0 + eps)
             logits = logits * u
-        probs = jax.nn.softmax(logits, axis=-1)            # (S, E) f32
+        probs = jax.nn.softmax(logits, axis=-1)            # (G, S, E) f32
 
         # ------- top-k dispatch with per-expert capacity -------------------- #
         # choice j's tokens claim buffer slots after choices < j (the
         # standard priority ordering: first choices never lose their slot
         # to someone's second choice)
         remaining = probs
-        counts = jnp.zeros((e,), jnp.float32)              # slots used so far
-        dispatch = jnp.zeros((s, e, cap), jnp.float32)
-        combine = jnp.zeros((s, e, cap), jnp.float32)
+        counts = jnp.zeros((g, e), jnp.float32)            # slots used so far
+        dispatch = jnp.zeros((g, gs, e, cap), jnp.float32)
+        combine = jnp.zeros((g, gs, e, cap), jnp.float32)
         first_mask = None
         for _ in range(int(self.k)):
-            ej = jnp.argmax(remaining, axis=-1)            # (S,)
-            pj = jnp.take_along_axis(probs, ej[:, None], axis=-1)[:, 0]
+            ej = jnp.argmax(remaining, axis=-1)            # (G, S)
+            pj = jnp.take_along_axis(probs, ej[..., None], axis=-1)[..., 0]
             maskj = jax.nn.one_hot(ej, e, dtype=jnp.float32)
             if first_mask is None:
                 first_mask = maskj
-            pos = (jnp.cumsum(maskj, axis=0) - 1.0) * maskj + counts * maskj
-            within = jnp.sum(pos * maskj, axis=-1)         # (S,)
+            pos = ((jnp.cumsum(maskj, axis=1) - 1.0) * maskj
+                   + counts[:, None, :] * maskj)
+            within = jnp.sum(pos, axis=-1)                 # (G, S)
             keep = (within < cap).astype(jnp.float32)
             slot = jax.nn.one_hot(within.astype(jnp.int32), cap,
-                                  dtype=jnp.float32)       # (S, C)
-            dj = jnp.einsum("se,sc->sec", maskj * keep[:, None], slot)
+                                  dtype=jnp.float32)       # (G, S, C)
+            dj = jnp.einsum("gse,gsc->gsec", maskj * keep[..., None], slot)
             dispatch = dispatch + dj
-            combine = combine + dj * pj[:, None, None]
-            counts = counts + jnp.sum(maskj * keep[:, None], axis=0)
+            combine = combine + dj * pj[..., None, None]
+            counts = counts + jnp.sum(maskj * keep[..., None], axis=1)
             remaining = remaining * (1.0 - maskj)          # mask this choice
 
         # ------- load balance aux (Switch eq. 4; 1.0 at perfect balance) --- #
-        frac_routed = jnp.mean(first_mask, axis=0)         # f_e
-        mean_prob = jnp.mean(probs, axis=0)                # P_e
-        aux = e * jnp.sum(frac_routed * mean_prob)
+        frac_routed = jnp.mean(first_mask, axis=1)         # (G, E) f_e
+        mean_prob = jnp.mean(probs, axis=1)                # (G, E) P_e
+        aux = e * jnp.mean(jnp.sum(frac_routed * mean_prob, axis=-1))
         # overwrite (not append/accumulate): each apply's aux replaces any
         # value carried in from the caller's variables, so the collection
         # holds exactly this forward's loss
@@ -136,12 +167,13 @@ class MoEMlp(fnn.Module):
         b2 = self.param("expert_b2", fnn.initializers.zeros, (e, d))
 
         cdt = self.dtype or xs.dtype
-        xe = jnp.einsum("sec,sd->ecd", dispatch.astype(cdt), xs.astype(cdt))
-        h = gelu_exact(jnp.einsum("ecd,edm->ecm", xe, w1.astype(cdt))
-                       + b1[:, None, :].astype(cdt))
-        ye = (jnp.einsum("ecm,emd->ecd", h, w2.astype(cdt))
-              + b2[:, None, :].astype(cdt))
-        y = jnp.einsum("sec,ecd->sd", combine.astype(cdt), ye)
+        xe = jnp.einsum("gsec,gsd->gecd", dispatch.astype(cdt),
+                        xs.astype(cdt))
+        h = gelu_exact(jnp.einsum("gecd,edm->gecm", xe, w1.astype(cdt))
+                       + b1[None, :, None, :].astype(cdt))
+        ye = (jnp.einsum("gecm,emd->gecd", h, w2.astype(cdt))
+              + b2[None, :, None, :].astype(cdt))
+        y = jnp.einsum("gsec,gecd->gsd", combine.astype(cdt), ye)
         return y.reshape(orig_shape).astype(x.dtype)
 
 

@@ -411,7 +411,8 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
              attn_impl: str = "xla",
              moe_experts: int = 0, moe_every: int = 2, moe_k: int = 1,
              moe_capacity_factor: float = 1.25,
-             moe_router_noise: float = 0.0) -> Dict[str, Any]:
+             moe_router_noise: float = 0.0,
+             moe_group_size: int = 0) -> Dict[str, Any]:
     """Vision Transformer through the spec language — the attention-family
     counterpart to the CNN zoo (the reference is CNN-only, SURVEY §5.7).
 
@@ -434,8 +435,10 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
     arXiv:2106.05974): every ``moe_every``-th block's dense MLP becomes a
     top-``moe_k`` mixture of E expert MLPs (ops/moe.py — static-shape
     einsum routing, f32 router, Switch load-balance aux loss wired into
-    ``train()`` via ``hp['moe_aux_weight']``). Shard the stacked expert
-    weights with ``parallel.expert_parallel_rules`` for EP.
+    ``train()`` via ``hp['moe_aux_weight']``). ``moe_group_size`` bounds
+    the routing-group size in tokens (0 = one global group — exact but
+    quadratic in memory; set a few hundred for real training). Shard the
+    stacked expert weights with ``parallel.expert_parallel_rules`` for EP.
     """
     if variant not in VIT_SETTINGS:
         raise ValueError(f"variant must be one of {sorted(VIT_SETTINGS)}, "
@@ -459,7 +462,8 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
         if moe_experts and (layers - 1 - i) % max(1, int(moe_every)) == 0:
             node["moe"] = {"num_experts": int(moe_experts), "k": int(moe_k),
                            "capacity_factor": float(moe_capacity_factor),
-                           "router_noise": float(moe_router_noise)}
+                           "router_noise": float(moe_router_noise),
+                           "group_size": int(moe_group_size)}
         arch.append({"transformer_block": [f"enc{i}", node]})
     arch.append({"norm": ["final_ln", {"layer_norm": {"eps": 1e-6}}]})
     arch.append({"take_token": {"index": 0}})

@@ -83,6 +83,26 @@ def test_moe_aux_loss_sown_and_near_one_at_balance():
     assert jnp.isfinite(y).all()
 
 
+def test_moe_grouped_routing_matches_global_when_capacity_ample():
+    """group_size splits the batch into fixed-size routing groups (the
+    V-MoE formulation — keeps dispatch memory linear in tokens). Routing
+    decisions are per-token, so with ample capacity (no drops) the grouped
+    output must be bit-comparable to the global-group exact path."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 16), jnp.float32)
+    kw = dict(num_experts=4, mlp_dim=32, k=2, capacity_factor=8.0)
+    v = MoEMlp(**kw).init(jax.random.PRNGKey(1), x)
+    y_global = MoEMlp(**kw).apply(v, x)
+    # group_size=32 tokens -> 2 images per group -> 4 groups of 32
+    y_grouped = MoEMlp(**kw, group_size=32).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_grouped), np.asarray(y_global),
+                               rtol=1e-5, atol=1e-6)
+    # and a group size that doesn't divide the batch falls back to the
+    # largest static divisor (gcd) instead of a dynamic shape
+    y_odd = MoEMlp(**kw, group_size=3 * 16).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_odd), np.asarray(y_global),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_moe_gradients_reach_router_and_experts():
     x = _tokens(s=16)
     moe = MoEMlp(num_experts=4, mlp_dim=16, k=2)
