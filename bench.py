@@ -839,6 +839,96 @@ def bench_attention(batch: int = 0):
         "data": "synthetic"}))
 
 
+def bench_moe(batch: int = 0):
+    """Config 13: V-MoE vs dense ViT training throughput (ops/moe.py).
+
+    Trains the SAME ViT-B/16 geometry twice through train() on synthetic
+    224x224 data — once dense, once with every 2nd MLP a top-1 mixture of
+    8 experts (grouped routing, ~4 images per routing group) — and reports
+    the MoE throughput plus its ratio to dense. With k=1 each token does
+    the same MLP FLOPs as dense, so the ratio isolates the cost of the
+    static einsum routing machinery (router + dispatch/combine + capacity
+    slack); the payoff it buys is ~5.6x the MLP parameters at that cost,
+    scaled out via expert parallelism (parallel.expert_parallel_rules).
+    On CPU this is a tiny-shape smoke (2 blocks, width 32)."""
+    import time as _time
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.spec.zoo import vit_spec
+    from deepcv_tpu.train import train, BackendConfig
+
+    backend = BackendConfig()
+    on_tpu = backend.is_tpu
+    experts, every, k = 8, 2, 1
+
+    def build(moe: bool):
+        if on_tpu:
+            hw, tokens = 224, (224 // 16) ** 2 + 1
+            hp_m = vit_spec("b_16", num_classes=1000,
+                            moe_experts=experts if moe else 0,
+                            moe_every=every, moe_k=k,
+                            moe_group_size=4 * tokens)
+        else:
+            hw, tokens = 32, (32 // 16) ** 2 + 1
+            hp_m = vit_spec("b_16", num_classes=1000,
+                            moe_experts=experts if moe else 0, moe_every=1,
+                            moe_k=k, moe_group_size=2 * tokens)
+            arch = list(hp_m["architecture"])
+            blocks = [n for n in arch if "transformer_block" in n]
+            hp_m["architecture"] = arch[:1] + blocks[-2:] + arch[-3:]
+            for b in hp_m["architecture"][1:3]:
+                b["transformer_block"][1].update(num_heads=2, mlp_dim=64)
+            hp_m["architecture"][0]["patch_embed"][1].update(embed_dim=32)
+        return DeepcvModule((hw, hw, 3), hp_m,
+                            dtype=jnp.bfloat16 if on_tpu else None), hw
+
+    def run(moe: bool):
+        model, hw = build(moe)
+        n = 4096 if on_tpu else 128
+        b = int(batch) or (128 if on_tpu else 32)
+        raw = load_dataset("synthetic", n=n, image_shape=(hw, hw, 3),
+                           num_classes=1000, seed=0)
+        data = preprocess({"trainset": raw},
+                          {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
+                           "transforms": ["to_tensor"]})
+        hp = {"epochs": 4 if on_tpu else 1, "batch_size": b,
+              "optimizer": "sgd",
+              "optimizer_opts": {"lr": 0.1, "momentum": 0.9},
+              "moe_aux_weight": 0.01 if moe else 0.0,
+              "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
+              "validate_every_epochs": 1000, "seed": 0,
+              "output_path": "data/04_training",
+              "device_resident_dataset": True,
+              "dtype": "bfloat16" if on_tpu else "float32",
+              "max_epochs_per_dispatch": 2, "log_grad_norm": False}
+        t0 = _time.perf_counter()
+        state, hist = train(hp, model, "cross_entropy", data,
+                            backend_conf=backend)
+        tps = hist["throughput_img_s"]
+        steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(
+            state.params))
+        return (steady / max(1, backend.n_devices), n_params,
+                _time.perf_counter() - t0)
+
+    dense_img_s, dense_params, _ = run(moe=False)
+    moe_img_s, moe_params, _ = run(moe=True)
+    tokens = (224 // 16) ** 2 + 1 if on_tpu else (32 // 16) ** 2 + 1
+    print(json.dumps({
+        "metric": "vmoe_vit_b16_train_throughput",
+        "value": round(moe_img_s, 1), "unit": "img/s/chip",
+        "vs_baseline": round(moe_img_s / BASELINE_IMG_S, 3),
+        "dense_img_s": round(dense_img_s, 1),
+        "moe_over_dense": round(moe_img_s / dense_img_s, 3),
+        "tokens_s": round(moe_img_s * tokens, 0),
+        "experts": experts, "k": k, "moe_every": every,
+        "params_m": {"dense": round(dense_params / 1e6, 2),
+                     "moe": round(moe_params / 1e6, 2)},
+        "device_kind": jax.devices()[0].device_kind,
+        "data": "synthetic"}))
+
+
 if __name__ == "__main__":
     import argparse
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
@@ -863,7 +953,7 @@ if __name__ == "__main__":
                     help="config 6 only: normalization technique of the wide "
                          "classifier (BN backward is the measured MFU wall)")
     ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12],
+                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
@@ -872,9 +962,12 @@ if __name__ == "__main__":
                          "9=ResNet-50 @224 (spec-built, --norm applies), "
                          "10=online serving latency p50/p99 (--model applies), "
                          "11=flash attention vs XLA (--batch = token budget), "
-                         "12=dense prediction (FPN detector + segmentation)")
+                         "12=dense prediction (FPN detector + segmentation), "
+                         "13=V-MoE vs dense ViT train throughput")
     args = ap.parse_args()
-    if args.config == 12:
+    if args.config == 13:
+        bench_moe(batch=args.batch)
+    elif args.config == 12:
         bench_dense_prediction()
     elif args.config == 11:
         bench_attention(batch=args.batch)

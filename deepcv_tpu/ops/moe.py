@@ -86,14 +86,18 @@ class MoEMlp(fnn.Module):
 
         # ------- group layout: (G, gs, D) --------------------------------- #
         # groups are whole leading-dim items (images) so N, T grouping is
-        # static; group_size=0 -> one global group (the exact small case)
+        # static; group_size=0 -> one global group (the exact small case).
+        # The requested size rounds DOWN to the largest static divisor so
+        # shapes never go dynamic (128 imgs @ 5-per-group -> 4-per-group).
+        def _largest_divisor_leq(n: int, cap_: int) -> int:
+            return max(d for d in range(1, min(n, cap_) + 1) if n % d == 0)
+
         if int(self.group_size) > 0 and x.ndim >= 3:
             n, t = int(x.shape[0]), int(total // x.shape[0])
-            per = max(1, int(self.group_size) // t)
-            per = math.gcd(n, per)            # static divisor of the batch
+            per = _largest_divisor_leq(n, max(1, int(self.group_size) // t))
             g, gs = n // per, per * t
         elif int(self.group_size) > 0 and int(self.group_size) < total:
-            gs = math.gcd(total, int(self.group_size))
+            gs = _largest_divisor_leq(total, int(self.group_size))
             g = total // gs
         else:
             g, gs = 1, total
