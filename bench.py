@@ -892,7 +892,10 @@ def bench_moe(batch: int = 0):
         data = preprocess({"trainset": raw},
                           {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
                            "transforms": ["to_tensor"]})
-        hp = {"epochs": 4 if on_tpu else 1, "batch_size": b,
+        # 6 epochs = 3 two-epoch dispatches: entry 1 is compile, steady is
+        # the max of the two warm dispatches (4 epochs left ONE warm entry
+        # and a noisy tunnel draw once understated dense by 2x)
+        hp = {"epochs": 6 if on_tpu else 1, "batch_size": b,
               "optimizer": "sgd",
               "optimizer_opts": {"lr": 0.1, "momentum": 0.9},
               "moe_aux_weight": 0.01 if moe else 0.0,

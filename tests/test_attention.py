@@ -293,6 +293,37 @@ def test_stochastic_depth_drop_path():
     assert all(b >= a for a, b in zip(rows, rows[1:]))
 
 
+def test_mlp_act_gelu_tanh_option():
+    """mlp_act='gelu_tanh' (the measured-faster approximate GELU) swaps the
+    MLP activation: same params/shapes, slightly different values (the
+    erf-vs-tanh gap), bad names rejected; vit_spec threads it through and
+    omits the key at the parity default."""
+    import pytest
+    from deepcv_tpu.ops.attention import TransformerEncoderBlock
+    from deepcv_tpu.spec.zoo import vit_spec
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    exact = TransformerEncoderBlock(num_heads=4, mlp_dim=32)
+    tanh = TransformerEncoderBlock(num_heads=4, mlp_dim=32,
+                                   mlp_act="gelu_tanh")
+    v = exact.init(jax.random.PRNGKey(1), x)
+    y0, y1 = exact.apply(v, x), tanh.apply(v, x)
+    assert y0.shape == y1.shape
+    d = float(jnp.abs(y0 - y1).max())
+    assert 0.0 < d < 1e-2  # erf-vs-tanh gap: tiny but nonzero
+    with pytest.raises(ValueError, match="mlp_act"):
+        TransformerEncoderBlock(num_heads=4, mlp_dim=32,
+                                mlp_act="swish").apply(v, x)
+    hp = vit_spec("b_16", mlp_act="gelu_tanh")
+    nodes = [r["transformer_block"][1] for r in hp["architecture"]
+             if "transformer_block" in r]
+    assert all(n["mlp_act"] == "gelu_tanh" for n in nodes)
+    assert all("mlp_act" not in n for n in
+               (r["transformer_block"][1] for r in
+                vit_spec("b_16")["architecture"]
+                if "transformer_block" in r))
+
+
 def test_drop_path_model_requires_fresh_rng():
     """A model whose ONLY stochastic piece is drop_path must hit the same
     rng guard as dropout — a silent constant key would drop the same
