@@ -200,8 +200,30 @@ def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any
                           trust_coefficient=float(
                               opts.pop("trust_coefficient", 0.001)),
                           nesterov=bool(opts.pop("nesterov", False)))
+    # TPU-era staples beyond the torch reference's AdamW default:
+    if name in ("adafactor",):
+        # Shazeer & Stern arXiv:1804.04235 — the T5/ViT-at-scale optimizer:
+        # factored second moments give SUB-LINEAR optimizer memory (rows +
+        # cols instead of a full f32 moment per param), the lever that lets
+        # the biggest models fit HBM. optax's defaults already implement
+        # the paper's update-clipping/decay schedule.
+        return optax.adafactor(
+            lr, min_dim_size_to_factor=int(opts.pop(
+                "min_dim_size_to_factor", 128)),
+            decay_rate=float(opts.pop("decay_rate", 0.8)),
+            weight_decay_rate=float(opts.pop("weight_decay", 0.0)) or None,
+            momentum=opts.pop("momentum", None))
+    if name in ("lion",):
+        # Chen et al. arXiv:2302.06675 (symbolic-search "EvoLved sign
+        # momentum"): sign updates, ONE moment instead of Adam's two —
+        # half the optimizer memory — and strong vision-training results;
+        # paper recipe: lr ~3-10x smaller than AdamW, wd ~3-10x larger.
+        b1, b2 = opts.pop("betas", (0.9, 0.99))
+        return optax.lion(lr, b1=float(b1), b2=float(b2),
+                          weight_decay=float(opts.pop("weight_decay", 0.0)))
     raise ValueError(f"Unknown optimizer '{name}' (known: adamw, adam, sgd, "
-                     f"rmsprop, lamb, lars, or pass a factory)")
+                     f"rmsprop, lamb, lars, adafactor, lion, or pass a "
+                     f"factory)")
 
 
 # --------------------------------------------------------------------------- #

@@ -148,6 +148,32 @@ def test_build_optimizer_reference_opts():
         build_optimizer("adagrad_nope", {"lr": 1.0})
 
 
+def test_build_optimizer_adafactor_and_lion():
+    """TPU-era additions: adafactor's factored second moments hold
+    SUB-LINEAR optimizer memory (rows+cols, not a full moment matrix);
+    lion keeps exactly one moment and its update is pure sign (every
+    entry +-lr modulo weight decay)."""
+    import numpy as np
+    import optax
+    params = {"w": jnp.ones((256, 512)) * 0.1}
+    tx = build_optimizer("adafactor", {"lr": 1e-2})
+    st = tx.init(params)
+    g = {"w": jnp.ones((256, 512)) * 0.3}
+    up, st = tx.update(g, st, params)
+    assert up["w"].shape == (256, 512)
+    moments = sum(x.size for x in jax.tree_util.tree_leaves(st)
+                  if hasattr(x, "size"))
+    assert moments < 256 * 512  # factored: far under one full moment
+
+    tx = build_optimizer("lion", {"lr": 3e-4, "weight_decay": 0.0})
+    st = tx.init(params)
+    up, _ = tx.update(g, st, params)
+    np.testing.assert_allclose(np.abs(np.asarray(up["w"])), 3e-4, rtol=1e-5)
+    n_state = sum(x.size for x in jax.tree_util.tree_leaves(st)
+                  if hasattr(x, "size"))
+    assert n_state <= 256 * 512 + 2  # one moment (Adam keeps two)
+
+
 # ------------------------------------------------------------------ backend --
 
 def test_backend_mesh(devices):
