@@ -31,10 +31,10 @@ def timed(fn, *args, reps=5):
     return sorted(draws)[len(draws) // 2]
 
 
-def probe(batch, attn, moe, remat=False):
+def probe(batch, attn, moe, remat=False, norm="layer_norm", mlp_act="gelu"):
     hp = vit_spec("b_16", num_classes=1000, attn_impl=attn,
                   moe_experts=8 if moe else 0, moe_every=2,
-                  moe_group_size=4 * 197)
+                  moe_group_size=4 * 197, norm=norm, mlp_act=mlp_act)
     m = DeepcvModule((224, 224, 3), hp, dtype=jnp.bfloat16)
     v = m.init(jax.random.PRNGKey(0))
     params = v["params"]
@@ -66,13 +66,21 @@ def probe(batch, attn, moe, remat=False):
     t_s = timed(lambda p, o: step(p, o, x, y)[0], params, opt)
     img_s = batch / t_s
     mfu = img_s * 3 * FWD_GFLOPS * 1e9 / PEAK
-    print(f"b={batch:4d} attn={attn:5s} moe={int(moe)} remat={int(remat)}: "
+    print(f"b={batch:4d} attn={attn:5s} moe={int(moe)} remat={int(remat)} "
+          f"norm={norm:10s} act={mlp_act:9s}: "
           f"fwd {t_f*1e3:7.2f} ms  step {t_s*1e3:7.2f} ms "
           f"(bwd/fwd {t_s/t_f - 1:.2f})  {img_s:7.1f} img/s  ~{mfu*100:.1f}% MFU",
           flush=True)
 
 
 if __name__ == "__main__":
+    if "--norms" in sys.argv:
+        # the activation-norm lever (design.md §5.13): LN vs RMS, and the
+        # combined fast config (rms + tanh GELU)
+        probe(256, "xla", moe=False)
+        probe(256, "xla", moe=False, norm="rms_norm")
+        probe(256, "xla", moe=False, norm="rms_norm", mlp_act="gelu_tanh")
+        raise SystemExit(0)
     for batch in (128, 256):
         for attn in ("xla", "flash"):
             probe(batch, attn, moe=False)

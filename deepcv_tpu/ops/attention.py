@@ -524,6 +524,9 @@ class TransformerEncoderBlock(fnn.Module):
     attn_impl: str = "xla"
     dot_general: Any = None       # int8/QAT dot override for all projections
     ln_eps: float = 1e-6
+    norm: str = "layer_norm"      # or 'rms_norm' (scale-only, single
+                                  # reduction — the cheaper TPU norm;
+                                  # LayerNorm stays default for torch parity)
     moe: Any = None               # {num_experts, k, capacity_factor, ...}:
     mlp_act: str = "gelu"         # 'gelu' (exact erf — torch parity) or
                                   # 'gelu_tanh' (measured ~23% faster MLP
@@ -534,10 +537,21 @@ class TransformerEncoderBlock(fnn.Module):
         from deepcv_tpu.ops.nn import DropPath
         return DropPath(rate=float(self.drop_path_prob))(v, train=train)
 
+    def _norm(self, name: str):
+        if self.norm == "layer_norm":
+            return fnn.LayerNorm(epsilon=float(self.ln_eps),
+                                 dtype=self.dtype, name=name)
+        if self.norm == "rms_norm":
+            # same param path names (ln_1/ln_2) so int8 calibration subpaths
+            # and sharding rules apply unchanged; scale-only (no bias)
+            return fnn.RMSNorm(epsilon=float(self.ln_eps),
+                               dtype=self.dtype, name=name)
+        raise ValueError(f"norm must be 'layer_norm' or 'rms_norm', "
+                         f"got {self.norm!r}")
+
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
-        y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
-                          name="ln_1")(x)
+        y = self._norm("ln_1")(x)
         y = MultiHeadSelfAttention(num_heads=self.num_heads,
                                    dropout_prob=self.attn_dropout_prob,
                                    attn_impl=self.attn_impl,
@@ -548,8 +562,7 @@ class TransformerEncoderBlock(fnn.Module):
             y = fnn.Dropout(rate=float(self.dropout_prob),
                             deterministic=not train)(y)
         x = x + self._drop_path(y, train)
-        z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
-                          name="ln_2")(x)
+        z = self._norm("ln_2")(x)
         if self.moe:
             from deepcv_tpu.ops.moe import MoEMlp
             cfg = dict(self.moe)

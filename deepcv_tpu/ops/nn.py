@@ -240,9 +240,15 @@ class NormTechnique:
     LOCAL_RESPONSE_NORM = "local_response_norm"
     # LayerNorm with mean-only BatchNorm (reference 'layer_nrm_and_mean_batch_nrm')
     LAYER_NRM_AND_MEAN_BATCH_NRM = "layer_nrm_and_mean_batch_nrm"
+    # TPU-era addition beyond the reference enum: RMSNorm (Zhang & Sennrich,
+    # arXiv:1910.07467) — scale-only, no mean subtraction, so one reduction
+    # pass instead of LayerNorm's two. Activation norms are pure HBM traffic
+    # on TPU (design.md §5.13: 24 LNs = 49 ms/step in ViT-B training), which
+    # makes the cheaper formula a throughput lever, not just a param saving.
+    RMS_NORM = "rms_norm"
 
     ALL = (BATCH_NORM, LAYER_NORM, INSTANCE_NORM, GROUP_NORM,
-           LOCAL_RESPONSE_NORM, LAYER_NRM_AND_MEAN_BATCH_NRM)
+           LOCAL_RESPONSE_NORM, LAYER_NRM_AND_MEAN_BATCH_NRM, RMS_NORM)
 
 
 class LocalResponseNorm(fnn.Module):
@@ -419,6 +425,11 @@ def normalization_techniques(norm_specs: Mapping[str, Optional[Mapping[str, Any]
                 epsilon=float(spec.get("eps", 1e-5)),
                 use_bias=bool(spec.get("affine", True)),
                 use_scale=bool(spec.get("affine", True)),
+                dtype=dtype))
+        elif tech == NormTechnique.RMS_NORM:
+            mods.append(fnn.RMSNorm(
+                epsilon=float(spec.get("eps", 1e-6)),
+                use_scale=bool(spec.get("elementwise_affine", True)),
                 dtype=dtype))
         elif tech == NormTechnique.LOCAL_RESPONSE_NORM:
             mods.append(LocalResponseNorm(

@@ -784,7 +784,7 @@ def _patch_embed(params, ctx: CreatorContext, name: str) -> fnn.Module:
 @submodule_creator("transformer_block", aliases=("encoder_block",),
                    allowed=("num_heads", "mlp_dim", "dropout_prob",
                             "attn_dropout_prob", "drop_path_prob",
-                            "attn_impl", "ln_eps", "moe", "mlp_act"),
+                            "attn_impl", "ln_eps", "moe", "mlp_act", "norm"),
                    required=("num_heads", "mlp_dim"))
 def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
     """Pre-LN transformer encoder block (torchvision EncoderBlock wiring;
@@ -806,6 +806,7 @@ def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
         dot_general=_quantized_dot_general(
             ctx, name, subs=("attn/qkv", "attn/out", "mlp/fc1", "mlp/fc2")),
         ln_eps=float(params.get("ln_eps", 1e-6)),
+        norm=str(params.get("norm", "layer_norm")),
         moe=dict(moe) if moe else None,
         mlp_act=str(params.get("mlp_act", "gelu")),
         dtype=ctx.dtype, name=name)

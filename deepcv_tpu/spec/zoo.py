@@ -413,7 +413,8 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
              moe_capacity_factor: float = 1.25,
              moe_router_noise: float = 0.0,
              moe_group_size: int = 0,
-             mlp_act: str = "gelu") -> Dict[str, Any]:
+             mlp_act: str = "gelu",
+             norm: str = "layer_norm") -> Dict[str, Any]:
     """Vision Transformer through the spec language — the attention-family
     counterpart to the CNN zoo (the reference is CNN-only, SURVEY §5.7).
 
@@ -463,6 +464,11 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
             # MLP stack on v5e (benchmarks/_vit_ablate.py); exact erf GELU
             # stays the default for torchvision parity
             node["mlp_act"] = mlp_act
+        if norm != "layer_norm":
+            # 'rms_norm': scale-only, single-reduction norm — the cheap
+            # TPU form (design.md §5.13: activation norms are pure HBM
+            # traffic). LayerNorm stays default for torchvision parity.
+            node["norm"] = norm
         # V-MoE placement: every moe_every-th block, counted from the back
         # (the paper puts experts in the later blocks)
         if moe_experts and (layers - 1 - i) % max(1, int(moe_every)) == 0:
@@ -471,7 +477,7 @@ def vit_spec(variant: str = "b_16", num_classes: int = 1000,
                            "router_noise": float(moe_router_noise),
                            "group_size": int(moe_group_size)}
         arch.append({"transformer_block": [f"enc{i}", node]})
-    arch.append({"norm": ["final_ln", {"layer_norm": {"eps": 1e-6}}]})
+    arch.append({"norm": ["final_ln", {norm: {"eps": 1e-6}}]})
     arch.append({"take_token": {"index": 0}})
     arch.append({"fully_connected": {"out_features": num_classes,
                                      "act_fn": None, "batch_norm": None,

@@ -293,6 +293,52 @@ def test_stochastic_depth_drop_path():
     assert all(b >= a for a, b in zip(rows, rows[1:]))
 
 
+def test_rms_norm_technique_and_transformer_block():
+    """rms_norm (TPU-era addition beyond the reference's norm enum):
+    technique-registry output matches an executing torch.nn.RMSNorm; in the
+    transformer block it is scale-only (no bias) under the SAME path names
+    (ln_1/ln_2) so calibration/sharding rules apply unchanged; gradients
+    are finite; vit_spec threads it through every block AND the final norm
+    node, and omits the key at the LayerNorm parity default."""
+    import torch
+    from deepcv_tpu.ops.attention import TransformerEncoderBlock
+    from deepcv_tpu.ops.nn import normalization_techniques
+    from deepcv_tpu.spec.zoo import vit_spec
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 7, 16), jnp.float32)
+    (mod,) = normalization_techniques({"rms_norm": {"eps": 1e-6}})
+    v = mod.init(jax.random.PRNGKey(1), x)
+    y = mod.apply(v, x)
+    with torch.no_grad():
+        ty = torch.nn.RMSNorm(16, eps=1e-6)(torch.from_numpy(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(y), ty.numpy(), atol=1e-5)
+
+    blk = TransformerEncoderBlock(num_heads=4, mlp_dim=32, norm="rms_norm")
+    vb = blk.init(jax.random.PRNGKey(2), x)
+    assert set(vb["params"]["ln_1"]) == {"scale"}  # scale-only: no bias
+    vl = TransformerEncoderBlock(num_heads=4, mlp_dim=32).init(
+        jax.random.PRNGKey(2), x)
+    assert set(vl["params"]["ln_1"]) == {"scale", "bias"}
+    g = jax.grad(lambda p: jnp.sum(blk.apply({"params": p}, x)))(
+        vb["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+    with pytest.raises(ValueError, match="norm"):
+        TransformerEncoderBlock(num_heads=4, mlp_dim=32,
+                                norm="batchnorm").apply(vb, x)
+
+    hp = vit_spec("b_16", norm="rms_norm")
+    nodes = [r["transformer_block"][1] for r in hp["architecture"]
+             if "transformer_block" in r]
+    assert all(n["norm"] == "rms_norm" for n in nodes)
+    (final,) = [r["norm"] for r in hp["architecture"] if "norm" in r]
+    assert "rms_norm" in final[1]
+    default_nodes = [r["transformer_block"][1] for r in
+                     vit_spec("b_16")["architecture"]
+                     if "transformer_block" in r]
+    assert all("norm" not in n for n in default_nodes)
+
+
 def test_mlp_act_gelu_tanh_option():
     """mlp_act='gelu_tanh' (the measured-faster approximate GELU) swaps the
     MLP activation: same params/shapes, slightly different values (the
