@@ -584,7 +584,7 @@ def bench_serving_latency(model: str = "wide"):
 
 
 def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
-                   arch: str = "resnet50"):
+                   arch: str = "resnet50", mlp_act: str = "gelu"):
     """Config 9: canonical-architecture benchmark — ResNet-50 built from the
     SPEC LANGUAGE (torchvision-exact 25.557M params modulo the inert
     channel-padded stem rows, spec/zoo.py) training at 224x224, batch 256,
@@ -624,8 +624,14 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                                  norm=zoo_norm)
     elif arch.startswith("vit_"):
         from deepcv_tpu.spec.zoo import vit_spec
-        # pure-matmul regime (no BN anywhere): --norm does not apply
-        hp_m = vit_spec(variant=arch[len("vit_"):], num_classes=1000)
+        # pure-matmul regime (no BN anywhere). --norm rms_norm +
+        # --mlp-act gelu_tanh = the measured fast config (design.md §5.13:
+        # 746 img/s = 40% MFU vs 690 = 37% parity at batch 256); any other
+        # --norm keeps the torchvision-parity LayerNorm.
+        hp_m = vit_spec(variant=arch[len("vit_"):], num_classes=1000,
+                        norm="rms_norm" if norm == "rms_norm"
+                        else "layer_norm",
+                        mlp_act=mlp_act)
     elif arch.startswith("convnext_"):
         from deepcv_tpu.spec.zoo import convnext_spec
         # LN-normalized family: --norm does not apply
@@ -670,7 +676,13 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "value": round(per_chip, 1), "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
         "mfu_pct": round(mfu * 100, 2) if peak else None,
-        "norm": norm,
+        # report the norm the MODEL actually uses (the transformer families
+        # ignore the CNN --norm default; swin/convnext are LN-only)
+        "norm": ("rms_norm" if arch.startswith("vit_") and norm == "rms_norm"
+                 else "layer_norm" if arch.startswith(("vit_", "swin_",
+                                                       "convnext_"))
+                 else norm),
+        **({"mlp_act": mlp_act} if arch.startswith("vit_") else {}),
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
         "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
                      "efficientnet_b0": 5.29, "mobilenet_v3_large": 5.48,
@@ -952,9 +964,15 @@ if __name__ == "__main__":
                          "4096/4096/256; the design.md 5.9 sweep found the "
                          "config-6 peak at 256)")
     ap.add_argument("--norm", default="batch_norm",
-                    choices=["batch_norm", "group_norm", "layer_norm", "weight_norm", "none"],
-                    help="config 6 only: normalization technique of the wide "
-                         "classifier (BN backward is the measured MFU wall)")
+                    choices=["batch_norm", "group_norm", "layer_norm",
+                             "weight_norm", "rms_norm", "none"],
+                    help="configs 6/9: normalization technique (config 6 wide "
+                         "classifier; config 9 CNN families, or rms_norm for "
+                         "the ViT family's fast config)")
+    ap.add_argument("--mlp-act", default="gelu",
+                    choices=["gelu", "gelu_tanh"],
+                    help="config 9 ViT family only: MLP activation "
+                         "(gelu_tanh = the measured ~23%% faster stack)")
     ap.add_argument("--config", type=int, default=1,
                     choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
@@ -977,7 +995,8 @@ if __name__ == "__main__":
     elif args.config == 6:
         bench_mfu(norm=args.norm, batch=args.batch)
     elif args.config == 9:
-        bench_resnet50(norm=args.norm, batch=args.batch, arch=args.arch)
+        bench_resnet50(norm=args.norm, batch=args.batch, arch=args.arch,
+                       mlp_act=args.mlp_act)
     elif args.config == 8:
         bench_serving_int8(model=args.model)
     elif args.config == 10:
