@@ -634,9 +634,11 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                         mlp_act=mlp_act)
     elif arch.startswith("convnext_"):
         from deepcv_tpu.spec.zoo import convnext_spec
-        # LN-normalized family: --norm does not apply
+        # LN family; --norm rms_norm swaps the block norms (§5.13 lever)
         hp_m = convnext_spec(variant=arch[len("convnext_"):],
-                             num_classes=1000, pool_kernel=hw // 32)
+                             num_classes=1000, pool_kernel=hw // 32,
+                             norm="rms_norm" if norm == "rms_norm"
+                             else "layer_norm")
     elif arch.startswith("densenet"):
         from deepcv_tpu.spec.zoo import densenet_spec
         hp_m = densenet_spec(depth=int(arch[len("densenet"):]),
@@ -647,7 +649,9 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         # window must divide every stage's map: 7 at 224; 2 on the CPU smoke
         hp_m = swin_spec(variant=arch[len("swin_"):], num_classes=1000,
                          window=7 if hw == 224 else 2,
-                         pool_kernel=hw // 32)
+                         pool_kernel=hw // 32,
+                         norm="rms_norm" if norm == "rms_norm"
+                         else "layer_norm")
     else:
         hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
                            norm=zoo_norm)
@@ -678,7 +682,8 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "mfu_pct": round(mfu * 100, 2) if peak else None,
         # report the norm the MODEL actually uses (the transformer families
         # ignore the CNN --norm default; swin/convnext are LN-only)
-        "norm": ("rms_norm" if arch.startswith("vit_") and norm == "rms_norm"
+        "norm": ("rms_norm" if norm == "rms_norm"
+                 and arch.startswith(("vit_", "swin_", "convnext_"))
                  else "layer_norm" if arch.startswith(("vit_", "swin_",
                                                        "convnext_"))
                  else norm),

@@ -538,16 +538,10 @@ class TransformerEncoderBlock(fnn.Module):
         return DropPath(rate=float(self.drop_path_prob))(v, train=train)
 
     def _norm(self, name: str):
-        if self.norm == "layer_norm":
-            return fnn.LayerNorm(epsilon=float(self.ln_eps),
-                                 dtype=self.dtype, name=name)
-        if self.norm == "rms_norm":
-            # same param path names (ln_1/ln_2) so int8 calibration subpaths
-            # and sharding rules apply unchanged; scale-only (no bias)
-            return fnn.RMSNorm(epsilon=float(self.ln_eps),
-                               dtype=self.dtype, name=name)
-        raise ValueError(f"norm must be 'layer_norm' or 'rms_norm', "
-                         f"got {self.norm!r}")
+        # same param path names (ln_1/ln_2) whichever norm, so int8
+        # calibration subpaths and sharding rules apply unchanged
+        from deepcv_tpu.ops.nn import make_token_norm
+        return make_token_norm(self.norm, self.ln_eps, self.dtype, name)
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
@@ -817,22 +811,21 @@ class SwinBlock(fnn.Module):
     drop_path_prob: float = 0.0
     dot_general: Any = None       # int8/QAT dot override for all projections
     ln_eps: float = 1e-5
+    norm: str = "layer_norm"      # or 'rms_norm' (same ln_1/ln_2 paths)
     dtype: Any = None
 
     @fnn.compact
     def __call__(self, x, *, train: bool = False):
-        from deepcv_tpu.ops.nn import DropPath
+        from deepcv_tpu.ops.nn import DropPath, make_token_norm
         dp = DropPath(rate=float(self.drop_path_prob))
 
-        y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
-                          name="ln_1")(x)
+        y = make_token_norm(self.norm, self.ln_eps, self.dtype, "ln_1")(x)
         y = WindowAttention(num_heads=self.num_heads, window=self.window,
                             shift=self.shift, dot_general=_split_dot_general(self.dot_general, "attn"),
                             dtype=self.dtype,
                             name="attn")(y, train=train)
         x = x + dp(y, train=train)
-        z = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
-                          name="ln_2")(x)
+        z = make_token_norm(self.norm, self.ln_eps, self.dtype, "ln_2")(x)
         z = MlpBlock(mlp_dim=int(round(x.shape[-1] * float(self.mlp_ratio))),
                      dot_general=_split_dot_general(self.dot_general, "mlp"),
                      dtype=self.dtype, name="mlp")(z, train=train)

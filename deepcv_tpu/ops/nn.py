@@ -251,6 +251,19 @@ class NormTechnique:
            LOCAL_RESPONSE_NORM, LAYER_NRM_AND_MEAN_BATCH_NRM, RMS_NORM)
 
 
+def make_token_norm(norm: str, eps: float, dtype, name: str) -> fnn.Module:
+    """The transformer/modern-CNN families' last-axis norm: 'layer_norm'
+    (parity default) or 'rms_norm' (scale-only, single reduction — the
+    cheaper TPU form, design.md §5.13). Shared by the ViT/Swin blocks and
+    ConvNeXt so the lever is spelled the same everywhere."""
+    if norm == "layer_norm":
+        return fnn.LayerNorm(epsilon=float(eps), dtype=dtype, name=name)
+    if norm == "rms_norm":
+        return fnn.RMSNorm(epsilon=float(eps), dtype=dtype, name=name)
+    raise ValueError(f"norm must be 'layer_norm' or 'rms_norm', "
+                     f"got {norm!r}")
+
+
 class LocalResponseNorm(fnn.Module):
     """AlexNet-style local response normalization across channels (last axis).
 
@@ -701,6 +714,7 @@ class ConvNeXtBlock(fnn.Module):
     drop_path_prob: float = 0.0
     layer_scale_init: float = 1e-6
     ln_eps: float = 1e-6
+    norm: str = "layer_norm"      # or 'rms_norm' (same 'ln' param path)
     dtype: Any = None
 
     @fnn.compact
@@ -710,8 +724,7 @@ class ConvNeXtBlock(fnn.Module):
                      dtype=self.dtype,
                      kernel_init=xavier_uniform_with_gain(1.0),
                      name="dwconv")(x)
-        y = fnn.LayerNorm(epsilon=float(self.ln_eps), dtype=self.dtype,
-                          name="ln")(y)
+        y = make_token_norm(self.norm, self.ln_eps, self.dtype, "ln")(y)
         y = fnn.Dense(4 * c, dtype=self.dtype,
                       kernel_init=xavier_uniform_with_gain(1.0),
                       name="fc1")(y)

@@ -455,14 +455,16 @@ def _convnext_downsample(params, ctx: CreatorContext, name: str) -> fnn.Module:
 
 
 @submodule_creator("convnext_block",
-                   allowed=("drop_path_prob", "layer_scale_init", "ln_eps"))
+                   allowed=("drop_path_prob", "layer_scale_init", "ln_eps",
+                            "norm"))
 def _convnext_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
-    """ConvNeXt block: dw7x7 -> LN -> 4C MLP (exact GELU) -> layer scale ->
-    drop path -> residual."""
+    """ConvNeXt block: dw7x7 -> LN (or rms_norm) -> 4C MLP (exact GELU) ->
+    layer scale -> drop path -> residual."""
     return dnn.ConvNeXtBlock(
         drop_path_prob=float(params.get("drop_path_prob") or 0.0),
         layer_scale_init=float(params.get("layer_scale_init", 1e-6)),
         ln_eps=float(params.get("ln_eps", 1e-6)),
+        norm=str(params.get("norm", "layer_norm")),
         dtype=ctx.dtype, name=name)
 
 
@@ -814,7 +816,7 @@ def _transformer_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
 
 @submodule_creator("swin_block",
                    allowed=("num_heads", "window", "shift", "mlp_ratio",
-                            "drop_path_prob", "ln_eps"),
+                            "drop_path_prob", "ln_eps", "norm"),
                    required=("num_heads",))
 def _swin_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
     """Swin transformer block on a spatial map (arXiv:2103.14030):
@@ -830,6 +832,7 @@ def _swin_block(params, ctx: CreatorContext, name: str) -> fnn.Module:
                          ctx, name,
                          subs=("attn/qkv", "attn/out", "mlp/fc1", "mlp/fc2")),
                      ln_eps=float(params.get("ln_eps", 1e-5)),
+                     norm=str(params.get("norm", "layer_norm")),
                      dtype=ctx.dtype, name=name)
 
 

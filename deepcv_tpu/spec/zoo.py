@@ -499,7 +499,8 @@ CONVNEXT_SETTINGS = {
 
 def convnext_spec(variant: str = "tiny", num_classes: int = 1000,
                   stochastic_depth: float = 0.1,
-                  pool_kernel: int = 7) -> Dict[str, Any]:
+                  pool_kernel: int = 7,
+                  norm: str = "layer_norm") -> Dict[str, Any]:
     """ConvNeXt through the spec language — the modern-CNN zoo family
     (depthwise 7x7 + LayerNorm + inverted 4x MLP + layer scale + drop
     path). The patchify stem is a reshape + Dense (ops/nn.ConvNeXtStem) so
@@ -522,8 +523,12 @@ def convnext_spec(variant: str = "tiny", num_classes: int = 1000,
             arch.append({"convnext_downsample": [f"down{s}", {"dim": dim}]})
         for b in range(n_blocks):
             dp = stochastic_depth * bi / max(1, total - 1)
-            arch.append({"convnext_block": [
-                f"s{s}b{b}", {"drop_path_prob": round(dp, 6)}]})
+            node: Dict[str, Any] = {"drop_path_prob": round(dp, 6)}
+            if norm != "layer_norm":
+                # 'rms_norm' block norms (§5.13 lever); stem/downsample/head
+                # norms stay LN (5 tensors vs the blocks' one-per-block)
+                node["norm"] = norm
+            arch.append({"convnext_block": [f"s{s}b{b}", node]})
             bi += 1
     arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],
                                      "stride": [pool_kernel, pool_kernel]}})
@@ -547,7 +552,8 @@ SWIN_SETTINGS = {
 
 def swin_spec(variant: str = "t", num_classes: int = 1000,
               window: int = 7, stochastic_depth: float = 0.2,
-              pool_kernel: int = 7) -> Dict[str, Any]:
+              pool_kernel: int = 7,
+              norm: str = "layer_norm") -> Dict[str, Any]:
     """Swin Transformer through the spec language — hierarchical windowed
     attention (the seventh zoo family; the attention counterpart of the
     CNN pyramids). Patchify stem (reshape + Dense + LN — the ConvNeXt stem
@@ -576,10 +582,14 @@ def swin_spec(variant: str = "t", num_classes: int = 1000,
             arch.append({"patch_merging": [f"merge{s}", {}]})
         for b in range(n_blocks):
             dp = stochastic_depth * bi / max(1, total - 1)
-            arch.append({"swin_block": [
-                f"s{s}b{b}", {"num_heads": nh, "window": window,
-                              "shift": 0 if b % 2 == 0 else window // 2,
-                              "drop_path_prob": round(dp, 6)}]})
+            node = {"num_heads": nh, "window": window,
+                    "shift": 0 if b % 2 == 0 else window // 2,
+                    "drop_path_prob": round(dp, 6)}
+            if norm != "layer_norm":
+                # 'rms_norm' block norms (the §5.13 lever); stem/merge/head
+                # norms stay LN (4 tensors vs the blocks' 2*depth)
+                node["norm"] = norm
+            arch.append({"swin_block": [f"s{s}b{b}", node]})
             bi += 1
     arch.append({"norm": ["head_ln", {"layer_norm": {"eps": 1e-5}}]})
     arch.append({"average_pooling": {"kernel_size": [pool_kernel, pool_kernel],

@@ -338,6 +338,22 @@ def test_rms_norm_technique_and_transformer_block():
                      if "transformer_block" in r]
     assert all("norm" not in n for n in default_nodes)
 
+    # the same lever on the other LN-heavy families: Swin + ConvNeXt blocks
+    from deepcv_tpu.ops.attention import SwinBlock
+    from deepcv_tpu.ops.nn import ConvNeXtBlock
+    from deepcv_tpu.spec.zoo import convnext_spec, swin_spec
+    xs = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 16))
+    vs = SwinBlock(num_heads=4, window=2, norm="rms_norm").init(
+        jax.random.PRNGKey(4), xs)
+    assert set(vs["params"]["ln_1"]) == {"scale"}
+    vc = ConvNeXtBlock(norm="rms_norm").init(jax.random.PRNGKey(5), xs)
+    assert set(vc["params"]["ln"]) == {"scale"}
+    for spec, key in ((swin_spec("t", norm="rms_norm"), "swin_block"),
+                      (convnext_spec("tiny", norm="rms_norm"),
+                       "convnext_block")):
+        blocks = [r[key][1] for r in spec["architecture"] if key in r]
+        assert blocks and all(b["norm"] == "rms_norm" for b in blocks)
+
 
 def test_mlp_act_gelu_tanh_option():
     """mlp_act='gelu_tanh' (the measured-faster approximate GELU) swaps the
