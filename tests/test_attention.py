@@ -355,6 +355,51 @@ def test_rms_norm_technique_and_transformer_block():
         assert blocks and all(b["norm"] == "rms_norm" for b in blocks)
 
 
+def test_fast_config_trains_comparably(tmp_path):
+    """The ViT fast config (rms_norm + gelu_tanh) is a THROUGHPUT lever,
+    not a different model family: on a seeded tiny transformer both
+    configs' losses decrease and land close after the same number of
+    steps — guarding against a silently-inert or destabilizing norm swap."""
+    from deepcv_tpu.data.datasets import ArrayDataset
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train import BackendConfig, train
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(64, 16, 16, 3)).astype(np.float32)
+    Y = (X.mean(axis=(1, 2, 3)) > 0).astype(np.int32)  # learnable signal
+
+    def run(norm, mlp_act):
+        arch = [{"patch_embed": ["embed", {"patch_size": 8,
+                                           "embed_dim": 32}]}]
+        for i in range(2):
+            node = {"num_heads": 4, "mlp_dim": 64,
+                    "norm": norm, "mlp_act": mlp_act}
+            arch.append({"transformer_block": [f"enc{i}", node]})
+        arch += [{"norm": ["final", {norm: {"eps": 1e-6}}]},
+                 {"take_token": {"index": 0}},
+                 {"fully_connected": {"out_features": 2, "act_fn": None}}]
+        m = DeepcvModule((16, 16, 3), {"act_fn": "gelu",
+                                       "architecture": arch})
+        hp = {"epochs": 4, "batch_size": 16,
+              "optimizer_opts": {"lr": 3e-3},
+              "save_every_iters": 0, "log_progress_every_iters": 1,
+              "validate_every_epochs": 100, "seed": 7,
+              "output_path": str(tmp_path / f"{norm}_{mlp_act}")}
+        _, hist = train(hp, m, "cross_entropy",
+                        {"trainset": ArrayDataset(X, Y)},
+                        backend_conf=BackendConfig(n_devices=1))
+        losses = [float(r["main_loss"]) for r in hist["train"]]
+        return losses[0], float(np.mean(losses[-4:]))
+
+    first_ln, final_ln = run("layer_norm", "gelu")
+    first_rms, final_rms = run("rms_norm", "gelu_tanh")
+    assert final_ln < first_ln and final_rms < first_rms
+    # both regimes LEARN the task (loss collapses from ~ln(2)) and land in
+    # the same converged ballpark — near zero a relative gap is meaningless
+    assert final_ln < 0.25 and final_rms < 0.25, (final_ln, final_rms)
+    assert abs(final_rms - final_ln) < 0.15, (final_ln, final_rms)
+
+
 def test_mlp_act_gelu_tanh_option():
     """mlp_act='gelu_tanh' (the measured-faster approximate GELU) swaps the
     MLP activation: same params/shapes, slightly different values (the
