@@ -221,9 +221,23 @@ def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any
         b1, b2 = opts.pop("betas", (0.9, 0.99))
         return optax.lion(lr, b1=float(b1), b2=float(b2),
                           weight_decay=float(opts.pop("weight_decay", 0.0)))
+    if name in ("muon",):
+        # Jordan et al. 2024 (kellerjordan.github.io/posts/muon): momentum
+        # orthogonalized by Newton-Schulz iteration. The NS step is 5 small
+        # MATMULS per 2-D weight — it runs on the MXU, making this the most
+        # TPU-native of the modern optimizers. Non-2-D params (biases,
+        # norms, embeddings) fall through to AdamW inside optax's impl.
+        from optax import contrib as _contrib
+        return _contrib.muon(
+            lr, beta=float(opts.pop("beta", 0.95)),
+            ns_steps=int(opts.pop("ns_steps", 5)),
+            weight_decay=float(opts.pop("weight_decay", 0.0)),
+            nesterov=bool(opts.pop("nesterov", True)),
+            adam_b1=float(opts.pop("adam_b1", 0.9)),
+            adam_b2=float(opts.pop("adam_b2", 0.999)))
     raise ValueError(f"Unknown optimizer '{name}' (known: adamw, adam, sgd, "
-                     f"rmsprop, lamb, lars, adafactor, lion, or pass a "
-                     f"factory)")
+                     f"rmsprop, lamb, lars, adafactor, lion, muon, or pass "
+                     f"a factory)")
 
 
 # --------------------------------------------------------------------------- #

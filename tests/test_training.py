@@ -174,6 +174,26 @@ def test_build_optimizer_adafactor_and_lion():
     assert n_state <= 256 * 512 + 2  # one moment (Adam keeps two)
 
 
+def test_build_optimizer_muon():
+    """Muon orthogonalizes the 2-D momentum: the update of a matrix param
+    is ~orthogonal (U @ U.T ~ c*I — Newton-Schulz drives singular values
+    to 1), while non-2-D params take the internal AdamW path."""
+    import numpy as np
+    params = {"w": jnp.ones((64, 32)) * 0.1, "b": jnp.zeros((32,))}
+    g = {"w": jax.random.normal(jax.random.PRNGKey(0), (64, 32)),
+         "b": jnp.ones((32,)) * 0.1}
+    tx = build_optimizer("muon", {"lr": 1e-2})
+    st = tx.init(params)
+    up, _ = tx.update(g, st, params)
+    u = np.asarray(up["w"], np.float64) / 1e-2  # undo lr scale
+    gram = u.T @ u
+    off = gram - np.diag(np.diag(gram))
+    # near-orthogonal columns: off-diagonal mass far below diagonal mass
+    assert np.abs(off).max() < 0.35 * np.abs(np.diag(gram)).mean(), (
+        np.abs(off).max(), np.abs(np.diag(gram)).mean())
+    assert up["b"].shape == (32,) and np.all(np.isfinite(np.asarray(up["b"])))
+
+
 # ------------------------------------------------------------------ backend --
 
 def test_backend_mesh(devices):
