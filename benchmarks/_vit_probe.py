@@ -31,7 +31,8 @@ def timed(fn, *args, reps=5):
     return sorted(draws)[len(draws) // 2]
 
 
-def probe(batch, attn, moe, remat=False, norm="layer_norm", mlp_act="gelu"):
+def probe(batch, attn, moe, remat=False, norm="layer_norm", mlp_act="gelu",
+          opt="sgd"):
     hp = vit_spec("b_16", num_classes=1000, attn_impl=attn,
                   moe_experts=8 if moe else 0, moe_every=2,
                   moe_group_size=4 * 197, norm=norm, mlp_act=mlp_act)
@@ -41,8 +42,10 @@ def probe(batch, attn, moe, remat=False, norm="layer_norm", mlp_act="gelu"):
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3),
                           jnp.bfloat16)
     y = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 1000)
-    tx = optax.sgd(0.1, momentum=0.9)
-    opt = tx.init(params)
+    from deepcv_tpu.train.training import build_optimizer
+    tx = build_optimizer(opt, {"lr": 0.1, "momentum": 0.9}
+                         if opt == "sgd" else {"lr": 1e-3})
+    opt_state = tx.init(params)
 
     def loss_fn(p, x, y):
         out = m.apply({"params": p}, x, train=True,
@@ -63,17 +66,24 @@ def probe(batch, attn, moe, remat=False, norm="layer_norm", mlp_act="gelu"):
         return optax.apply_updates(p, u), o
 
     t_f = timed(fwd, params, x, y)
-    t_s = timed(lambda p, o: step(p, o, x, y)[0], params, opt)
+    t_s = timed(lambda p, o: step(p, o, x, y)[0], params, opt_state)
     img_s = batch / t_s
     mfu = img_s * 3 * FWD_GFLOPS * 1e9 / PEAK
     print(f"b={batch:4d} attn={attn:5s} moe={int(moe)} remat={int(remat)} "
-          f"norm={norm:10s} act={mlp_act:9s}: "
+          f"norm={norm:10s} act={mlp_act:9s} opt={opt:9s}: "
           f"fwd {t_f*1e3:7.2f} ms  step {t_s*1e3:7.2f} ms "
           f"(bwd/fwd {t_s/t_f - 1:.2f})  {img_s:7.1f} img/s  ~{mfu*100:.1f}% MFU",
           flush=True)
 
 
 if __name__ == "__main__":
+    if "--opts" in sys.argv:
+        # optimizer step cost on the full model (same fwd/bwd program):
+        # muon adds 5 NS matmuls per 2-D weight; adafactor/lion trade
+        # state memory for (negligible) elementwise work
+        for o in ("sgd", "adamw", "muon", "adafactor", "lion"):
+            probe(256, "xla", moe=False, opt=o)
+        raise SystemExit(0)
     if "--norms" in sys.argv:
         # the activation-norm lever (design.md §5.13): LN vs RMS, and the
         # combined fast config (rms + tanh GELU)
