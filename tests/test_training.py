@@ -691,6 +691,26 @@ def test_zero1_optimizer_state_sharding(tiny_setup, tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_zero1_composes_with_modern_optimizer_states(tiny_setup, tmp_path):
+    """ZeRO-1's rule is tree-generic (any opt_state leaf with a divisible
+    dim 0), not Adam-specific: muon's momentum matrices and adafactor's
+    factored row/col vectors shard over 'data' too, and the loss still
+    decreases through the 8-device mesh."""
+    model, data = tiny_setup
+    for opt, lr in (("muon", 3e-3), ("adafactor", 1e-2)):
+        hp = {"epochs": 2, "batch_size": 64, "optimizer": opt,
+              "optimizer_opts": {"lr": lr}, "save_every_iters": 0,
+              "log_progress_every_iters": 1,
+              "output_path": str(tmp_path / opt), "seed": 7}
+        state, hist = train(dict(hp), model, cross_entropy_loss, data,
+                            backend_conf=BackendConfig(zero=True))
+        opt_specs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda l: str(getattr(l.sharding, "spec", "")), state.opt_state))
+        assert any("'data'" in s for s in opt_specs), (opt, opt_specs)
+        assert (hist["train"][-1]["main_loss"]
+                < hist["train"][0]["main_loss"]), opt
+
+
 def test_large_batch_optimizers(tiny_setup, tmp_path):
     """LAMB and LARS (the large-batch TPU staples) train through the
     standard loop and decrease the loss; unknown names list them."""
