@@ -311,6 +311,8 @@ def _wide_classifier_hp(out_features: int = 10, norm: str = "batch_norm"):
             hp["group_norm"] = {"num_groups": 32, "eps": 1e-5}
         elif norm == "layer_norm":
             hp["layer_norm"] = {"eps": 1e-5}
+        elif norm == "rms_norm":
+            hp["rms_norm"] = {"eps": 1e-5}
         elif norm == "weight_norm":
             # normalization in WEIGHT space (per-filter reparameterization,
             # KB-scale tensors): keeps a normalization mechanism without the
@@ -607,6 +609,10 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                       {"seed": 0, "split_dataset": {"validset_ratio": 0.03},
                        "transforms": ["to_tensor"]})
     zoo_norm = None if norm in ("none", "weight_norm") else norm
+    # the transformer families' block norm: only the rms_norm swap applies
+    # (their other technique is always LayerNorm; weight_norm still attaches
+    # globally below and is reported as such)
+    token_norm = "rms_norm" if norm == "rms_norm" else "layer_norm"
     if arch == "efficientnet_b0":
         from deepcv_tpu.spec.zoo import efficientnet_b0_spec
         hp_m = efficientnet_b0_spec(num_classes=1000, pool_kernel=hw // 32,
@@ -629,16 +635,13 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         # 746 img/s = 40% MFU vs 690 = 37% parity at batch 256); any other
         # --norm keeps the torchvision-parity LayerNorm.
         hp_m = vit_spec(variant=arch[len("vit_"):], num_classes=1000,
-                        norm="rms_norm" if norm == "rms_norm"
-                        else "layer_norm",
-                        mlp_act=mlp_act)
+                        norm=token_norm, mlp_act=mlp_act)
     elif arch.startswith("convnext_"):
         from deepcv_tpu.spec.zoo import convnext_spec
         # LN family; --norm rms_norm swaps the block norms (§5.13 lever)
         hp_m = convnext_spec(variant=arch[len("convnext_"):],
                              num_classes=1000, pool_kernel=hw // 32,
-                             norm="rms_norm" if norm == "rms_norm"
-                             else "layer_norm")
+                             norm=token_norm)
     elif arch.startswith("densenet"):
         from deepcv_tpu.spec.zoo import densenet_spec
         hp_m = densenet_spec(depth=int(arch[len("densenet"):]),
@@ -650,8 +653,7 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         hp_m = swin_spec(variant=arch[len("swin_"):], num_classes=1000,
                          window=7 if hw == 224 else 2,
                          pool_kernel=hw // 32,
-                         norm="rms_norm" if norm == "rms_norm"
-                         else "layer_norm")
+                         norm=token_norm)
     else:
         hp_m = resnet_spec(50, num_classes=1000, pool_kernel=hw // 32,
                            norm=zoo_norm)
@@ -680,12 +682,12 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         "value": round(per_chip, 1), "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
         "mfu_pct": round(mfu * 100, 2) if peak else None,
-        # report the norm the MODEL actually uses (the transformer families
-        # ignore the CNN --norm default; swin/convnext are LN-only)
-        "norm": ("rms_norm" if norm == "rms_norm"
-                 and arch.startswith(("vit_", "swin_", "convnext_"))
-                 else "layer_norm" if arch.startswith(("vit_", "swin_",
-                                                       "convnext_"))
+        # report the norm the MODEL actually uses: transformer families run
+        # their token_norm (they ignore the CNN --norm default), except
+        # weight_norm, which attaches globally and is reported as the flag
+        "norm": (norm if norm == "weight_norm"
+                 else token_norm if arch.startswith(("vit_", "swin_",
+                                                     "convnext_"))
                  else norm),
         **({"mlp_act": mlp_act} if arch.startswith("vit_") else {}),
         "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),

@@ -400,7 +400,8 @@ def normalization_techniques(norm_specs: Mapping[str, Optional[Mapping[str, Any]
 
     Reference ``normalization_techniques(_impl)`` (nn.py:433-516): accepts any
     subset of {batch_norm, layer_norm, instance_norm, group_norm,
-    local_response_norm, layer_nrm_and_mean_batch_nrm} with torch-style kwargs;
+    local_response_norm, layer_nrm_and_mean_batch_nrm, rms_norm} with
+    torch-style kwargs;
     feature counts are inferred lazily by flax (the reference inferred them via
     dummy forwards). ``axis_name`` wires cross-replica (Sync) BatchNorm stats
     through ``lax.pmean`` — the TPU-native SyncBatchNorm

@@ -228,13 +228,19 @@ def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any
         # TPU-native of the modern optimizers. Non-2-D params (biases,
         # norms, embeddings) fall through to AdamW inside optax's impl.
         from optax import contrib as _contrib
+        # optax partitions params: 2-D kernels take the muon chain, the
+        # rest (biases/norms/embeddings/conv kernels) an internal AdamW —
+        # `weight_decay` must reach BOTH or a CNN would silently lose
+        # nearly all decay (override the fallback's via adam_weight_decay)
+        wd = float(opts.pop("weight_decay", 0.0))
         return _contrib.muon(
             lr, beta=float(opts.pop("beta", 0.95)),
             ns_steps=int(opts.pop("ns_steps", 5)),
-            weight_decay=float(opts.pop("weight_decay", 0.0)),
+            weight_decay=wd,
             nesterov=bool(opts.pop("nesterov", True)),
             adam_b1=float(opts.pop("adam_b1", 0.9)),
-            adam_b2=float(opts.pop("adam_b2", 0.999)))
+            adam_b2=float(opts.pop("adam_b2", 0.999)),
+            adam_weight_decay=float(opts.pop("adam_weight_decay", wd)))
     raise ValueError(f"Unknown optimizer '{name}' (known: adamw, adam, sgd, "
                      f"rmsprop, lamb, lars, adafactor, lion, muon, or pass "
                      f"a factory)")

@@ -193,6 +193,15 @@ def test_build_optimizer_muon():
         np.abs(off).max(), np.abs(np.diag(gram)).mean())
     assert up["b"].shape == (32,) and np.all(np.isfinite(np.asarray(up["b"])))
 
+    # weight_decay must reach BOTH partitions (optax routes non-2-D params
+    # through an internal AdamW whose decay defaults to 0): zero grads ->
+    # the update is pure decay, nonzero on matrix AND bias
+    params_wd = {"w": jnp.ones((8, 8)), "b": jnp.ones((8,))}
+    g0 = {"w": jnp.zeros((8, 8)), "b": jnp.zeros((8,))}
+    txd = build_optimizer("muon", {"lr": 1.0, "weight_decay": 0.1})
+    upd, _ = txd.update(g0, txd.init(params_wd), params_wd)
+    assert float(upd["w"][0, 0]) != 0.0 and float(upd["b"][0]) != 0.0
+
 
 # ------------------------------------------------------------------ backend --
 
