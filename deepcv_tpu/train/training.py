@@ -241,9 +241,28 @@ def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any
             adam_b1=float(opts.pop("adam_b1", 0.9)),
             adam_b2=float(opts.pop("adam_b2", 0.999)),
             adam_weight_decay=float(opts.pop("adam_weight_decay", wd)))
+    if name in ("schedule_free_adamw",):
+        # Defazio et al. arXiv:2405.15682 ("The Road Less Scheduled"):
+        # interpolation/averaging replaces the LR schedule entirely — no
+        # horizon needed up front, so open-ended/preemptible training needs
+        # no schedule re-tuning. Gradients are taken at an interpolated
+        # point y while the AVERAGED iterate x is what you evaluate:
+        # train() detects this optimizer and routes validation/serving
+        # through optax's schedule_free_eval_params automatically.
+        from optax import contrib as _contrib
+        if callable(lr):
+            raise ValueError(
+                "schedule_free_adamw REPLACES the LR schedule (that is the "
+                "point) — set scheduler: null and pass a flat lr (+ optional "
+                "optimizer_opts warmup_steps)")
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        return _contrib.schedule_free_adamw(
+            lr, warmup_steps=int(opts.pop("warmup_steps", 0)) or None,
+            b1=float(b1), b2=float(b2),
+            weight_decay=float(opts.pop("weight_decay", 0.0)))
     raise ValueError(f"Unknown optimizer '{name}' (known: adamw, adam, sgd, "
-                     f"rmsprop, lamb, lars, adafactor, lion, muon, or pass "
-                     f"a factory)")
+                     f"rmsprop, lamb, lars, adafactor, lion, muon, "
+                     f"schedule_free_adamw, or pass a factory)")
 
 
 # --------------------------------------------------------------------------- #
@@ -645,6 +664,19 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                             out_shardings=(state_shd, None))
 
     eval_with_ema = ema_decay is not None and bool(hp.get("ema_eval", True))
+    # schedule-free optimizers evaluate at the AVERAGED iterate x, not the
+    # gradient point the param tree holds (arXiv:2405.15682) — route every
+    # validation forward through optax's eval-params transform
+    sf_eval = (isinstance(hp.get("optimizer"), str)
+               and str(hp["optimizer"]).startswith("schedule_free"))
+
+    def _eval_variables(state: TrainState):
+        v = state.variables(ema=eval_with_ema)
+        if sf_eval and not eval_with_ema:
+            from optax import contrib as _contrib
+            v = dict(v, params=_contrib.schedule_free_eval_params(
+                state.opt_state, state.params))
+        return v
 
     def eval_step(state: TrainState, raw_x, y, n_valid: Tuple[int, ...]):
         """Eval on a batch where host i's block holds ``n_valid[i]`` real
@@ -667,7 +699,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         x = validset.batch_transform(raw_x, augment=False)
         if dtype is not None:
             x = x.astype(dtype)
-        logits = model.apply(state.variables(ema=eval_with_ema), x, train=False)
+        logits = model.apply(_eval_variables(state), x, train=False)
         y_t = x if self_target else validset.transform_targets(y)
         k = backend.process_count
         block = x.shape[0] // k
@@ -926,6 +958,13 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     history["total_time_s"] = time.perf_counter() - t_start
     history["steps"] = step
     history["output_path"] = str(out_dir)
+    if sf_eval and state.ema_params is None:
+        # park the schedule-free AVERAGED iterate in the EMA slot so the
+        # serving path (`state.variables(ema=True)`, run --export) ships
+        # eval weights; params/opt_state stay raw so resume keeps training
+        from optax import contrib as _contrib
+        state = state.replace(ema_params=_contrib.schedule_free_eval_params(
+            state.opt_state, state.params))
     events.fire(TrainingEvents.COMPLETED, count=1, state=state, history=history)
     return state, history
 

@@ -700,6 +700,35 @@ def test_zero1_optimizer_state_sharding(tiny_setup, tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_schedule_free_adamw(tiny_setup, tmp_path):
+    """schedule_free_adamw (arXiv:2405.15682): trains without a schedule,
+    validation and the served bundle use the AVERAGED iterate (different
+    tree from the raw gradient-point params), and combining it with an LR
+    scheduler is rejected loudly."""
+    from deepcv_tpu.train.training import build_optimizer
+
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer": "schedule_free_adamw",
+          "optimizer_opts": {"lr": 3e-3, "warmup_steps": 2},
+          "scheduler": None, "save_every_iters": 0,
+          "log_progress_every_iters": 1, "validate_every_epochs": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    state, hist = train(dict(hp), model, cross_entropy_loss, data,
+                        backend_conf=BackendConfig(n_devices=1))
+    assert hist["train"][-1]["main_loss"] < hist["train"][0]["main_loss"]
+    assert hist["valid"]  # validation executed through the sf eval path
+    # the serving slot holds the averaged iterate, distinct from raw params
+    assert state.ema_params is not None
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params,
+        state.ema_params)
+    assert any(d > 0 for d in jax.tree_util.tree_leaves(diffs))
+
+    with pytest.raises(ValueError, match="scheduler"):
+        build_optimizer("schedule_free_adamw", {"lr": 1e-3},
+                        schedule=lambda s: 1e-3)
+
+
 def test_zero1_composes_with_modern_optimizer_states(tiny_setup, tmp_path):
     """ZeRO-1's rule is tree-generic (any opt_state leaf with a divisible
     dim 0), not Adam-specific: muon's momentum matrices and adafactor's
