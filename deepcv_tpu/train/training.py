@@ -457,8 +457,20 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     if hp.get("remat"):
         # rematerialize the forward in the backward pass: activations are
         # recomputed instead of held in HBM — the standard TPU memory/FLOP
-        # trade for deep models or big images
-        _apply = jax.checkpoint(_apply)
+        # trade for deep models or big images. remat: true recomputes
+        # everything; remat: 'dots' keeps matmul/conv OUTPUTS resident and
+        # recomputes only the cheap elementwise tail (XLA's
+        # dots_with_no_batch_dims_saveable — the usual transformer policy:
+        # most of the memory saving at a fraction of the recompute FLOPs).
+        remat = hp["remat"]
+        if remat in (True, 1, "all", "full"):
+            _apply = jax.checkpoint(_apply)
+        elif remat in ("dots", "dots_saveable"):
+            _apply = jax.checkpoint(
+                _apply,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        else:
+            raise ValueError(f"remat must be true|'all'|'dots', got {remat!r}")
 
     def _forward(params, batch_stats, x, key):
         variables = {"params": params}

@@ -275,6 +275,16 @@ def test_grad_accumulation_and_remat(tiny_setup, tmp_path):
     np.testing.assert_allclose(
         [r["main_loss"] for r in h_remat["train"]],
         [r["main_loss"] for r in h_plain["train"]], rtol=1e-6)
+    # remat='dots' (keep matmul outputs, recompute the elementwise tail) is
+    # equally math-free; unknown policies fail loudly
+    _, h_dots = train(dict(hp, remat="dots"), model, cross_entropy_loss,
+                      data, backend_conf=be1)
+    np.testing.assert_allclose(
+        [r["main_loss"] for r in h_dots["train"]],
+        [r["main_loss"] for r in h_plain["train"]], rtol=1e-6)
+    with pytest.raises(ValueError, match="remat"):
+        train(dict(hp, remat="everything"), model, cross_entropy_loss, data,
+              backend_conf=be1)
     # accumulation: same number of train steps, 1/k as many optimizer updates
     state, h_acc = train(dict(hp, grad_accumulation_steps=2), model,
                          cross_entropy_loss, data, backend_conf=be1)
