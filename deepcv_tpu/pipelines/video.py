@@ -7,7 +7,10 @@ Reference parity: /root/reference/src/deepcv/video/ —
     implemented and the warp is a real bilinear flow-warp; the flow network
     itself remains pluggable (reference ``FlowNetV2`` placeholder,
     optical_flow.py:15-21).
-  * tracking: empty in the reference — registry entry kept empty.
+  * tracking: empty in the reference (tracking.py, ``__all__ = []``) —
+    implemented here as a real jit-safe SORT tracker in
+    ``pipelines/tracking.py`` (fixed-capacity track table, vmapped Kalman,
+    lax.scan over frames).
 """
 from __future__ import annotations
 
