@@ -527,11 +527,13 @@ class TransformerEncoderBlock(fnn.Module):
     norm: str = "layer_norm"      # or 'rms_norm' (scale-only, single
                                   # reduction — the cheaper TPU norm;
                                   # LayerNorm stays default for torch parity)
-    moe: Any = None               # {num_experts, k, capacity_factor, ...}:
+    moe: Any = None               # replace the dense MLP with a V-MoE
+                                  # MoEMlp: {num_experts, k,
+                                  # capacity_factor, ...}
     mlp_act: str = "gelu"         # 'gelu' (exact erf — torch parity) or
                                   # 'gelu_tanh' (measured ~23% faster MLP
                                   # stack on v5e; timm's approximate mode)
-    dtype: Any = None             # replace the dense MLP with a V-MoE MoEMlp
+    dtype: Any = None             # compute dtype (None = input dtype)
 
     def _drop_path(self, v, train: bool):
         from deepcv_tpu.ops.nn import DropPath
@@ -566,6 +568,7 @@ class TransformerEncoderBlock(fnn.Module):
                        capacity_factor=float(cfg.get("capacity_factor", 1.25)),
                        router_noise=float(cfg.get("router_noise", 0.0)),
                        group_size=int(cfg.get("group_size", 0)),
+                       mlp_act=self.mlp_act,
                        dtype=self.dtype, name="moe_mlp")(z, train=train)
         else:
             if self.mlp_act == "gelu":

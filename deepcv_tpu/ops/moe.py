@@ -49,7 +49,8 @@ MOE_LOSSES_COLLECTION = "moe_losses"
 class MoEMlp(fnn.Module):
     """Token-routed MLP: each token is processed by its top-k of E expert
     MLPs (same geometry as the dense ``MlpBlock`` it replaces: Dense(mlp)
-    -> exact GELU -> Dense(d)).
+    -> GELU (exact by default; ``mlp_act='gelu_tanh'`` for the measured
+    fast form) -> Dense(d)).
 
     Input (N, T, D) or (S, D); output the same shape. Tokens beyond an
     expert's per-group capacity get a zero output (they ride the
@@ -72,6 +73,8 @@ class MoEMlp(fnn.Module):
     capacity_factor: float = 1.25
     router_noise: float = 0.0
     group_size: int = 0
+    mlp_act: str = "gelu"         # 'gelu' (exact erf) or 'gelu_tanh' — the
+                                  # same lever as the dense MlpBlock's
     dtype: Any = None
 
     @fnn.compact
@@ -173,8 +176,15 @@ class MoEMlp(fnn.Module):
         cdt = self.dtype or xs.dtype
         xe = jnp.einsum("gsec,gsd->gecd", dispatch.astype(cdt),
                         xs.astype(cdt))
-        h = gelu_exact(jnp.einsum("gecd,edm->gecm", xe, w1.astype(cdt))
-                       + b1[None, :, None, :].astype(cdt))
+        if self.mlp_act == "gelu":
+            act = gelu_exact
+        elif self.mlp_act == "gelu_tanh":
+            act = jax.nn.gelu          # approximate=True: tanh form
+        else:
+            raise ValueError(f"MoEMlp: unknown mlp_act {self.mlp_act!r} "
+                             f"(gelu|gelu_tanh)")
+        h = act(jnp.einsum("gecd,edm->gecm", xe, w1.astype(cdt))
+                + b1[None, :, None, :].astype(cdt))
         ye = (jnp.einsum("gecm,emd->gecd", h, w2.astype(cdt))
               + b2[None, :, None, :].astype(cdt))
         y = jnp.einsum("gsec,gecd->gsd", combine.astype(cdt), ye)

@@ -223,8 +223,8 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     def local(q, k, v):                                # (N, H, T/P, Dh)
         qf = q.astype(jnp.float32) * scale
 
-        def step(carry, _):
-            m, l, acc, kc, vc = carry
+        def accumulate(stats, kc, vc):
+            m, l, acc = stats
             s = jnp.einsum("nhqd,nhkd->nhqk", qf, kc.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -233,15 +233,25 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * corr + jnp.einsum(
                 "nhqk,nhkd->nhqd", p, vc.astype(jnp.float32))
+            return m_new, l, acc
+
+        def step(carry, _):
+            stats, kc, vc = carry
+            # rotate FIRST: the resident shard was folded in before the
+            # scan, so exactly P-1 hops move each K/V shard around the ring
+            # (a trailing P-th rotation would be dead ICI traffic XLA
+            # cannot eliminate from the fixed-trip scan body)
             kc = jax.lax.ppermute(kc, axis_name, fwd)
             vc = jax.lax.ppermute(vc, axis_name, fwd)
-            return (m_new, l, acc, kc, vc), None
+            return (accumulate(stats, kc, vc), kc, vc), None
 
         stat = (*qf.shape[:3], 1)
         init = (jnp.full(stat, -jnp.inf, jnp.float32),
                 jnp.zeros(stat, jnp.float32),
-                jnp.zeros(qf.shape, jnp.float32), k, v)
-        (m, l, acc, _, _), _ = jax.lax.scan(step, init, None, length=P_)
+                jnp.zeros(qf.shape, jnp.float32))
+        stats0 = accumulate(init, k, v)                # resident block
+        ((m, l, acc), _, _), _ = jax.lax.scan(step, (stats0, k, v), None,
+                                              length=P_ - 1)
         return (acc / l).astype(q.dtype)
 
     spec = P(None, None, axis_name, None)

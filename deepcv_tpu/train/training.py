@@ -265,6 +265,30 @@ def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any
                      f"schedule_free_adamw, or pass a factory)")
 
 
+def _schedule_free_eval_params(opt_state, params):
+    """optax's ``schedule_free_eval_params`` requires the ScheduleFreeState
+    itself, but gradient clipping / accumulation wrap it in chain/MultiSteps
+    tuples — locate it wherever it sits in the (possibly nested) state."""
+    from optax.contrib import ScheduleFreeState, schedule_free_eval_params
+
+    def find(s):
+        if isinstance(s, ScheduleFreeState):
+            return s
+        if isinstance(s, (tuple, list)):       # chains + NamedTuple states
+            for c in s:
+                r = find(c)
+                if r is not None:
+                    return r
+        inner = getattr(s, "inner_opt_state", None)  # MultiSteps et al.
+        return find(inner) if inner is not None else None
+
+    sf = find(opt_state)
+    if sf is None:
+        raise ValueError("schedule_free optimizer requested but no "
+                         "ScheduleFreeState found in opt_state")
+    return schedule_free_eval_params(sf, params)
+
+
 # --------------------------------------------------------------------------- #
 # The training procedure
 # --------------------------------------------------------------------------- #
@@ -444,7 +468,18 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     # the init variables iff the model has MoE); making it mutable in the
     # train-mode apply is how the sown values reach the loss
     from deepcv_tpu.ops.moe import MOE_LOSSES_COLLECTION
-    has_moe = MOE_LOSSES_COLLECTION in variables
+
+    def _params_have_moe(tree) -> bool:
+        # warm starts (init_variables) usually carry only params/batch_stats
+        # — detect MoE from the param tree too, or a fine-tune would
+        # silently train with zero load-balance pressure
+        if not hasattr(tree, "items"):
+            return False
+        return any(k == "moe_mlp" or _params_have_moe(v)
+                   for k, v in tree.items())
+
+    has_moe = (MOE_LOSSES_COLLECTION in variables
+               or _params_have_moe(variables.get("params")))
     moe_aux_w = float(hp.get("moe_aux_weight", 0.01) or 0.0) if has_moe else 0.0
 
     def _apply(variables, x, key):
@@ -678,15 +713,23 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     eval_with_ema = ema_decay is not None and bool(hp.get("ema_eval", True))
     # schedule-free optimizers evaluate at the AVERAGED iterate x, not the
     # gradient point the param tree holds (arXiv:2405.15682) — route every
-    # validation forward through optax's eval-params transform
+    # validation forward through optax's eval-params transform. Detect with
+    # the same identifier normalization build_optimizer applies, so dotted
+    # or cased spellings can't train schedule-free but eval raw weights.
     sf_eval = (isinstance(hp.get("optimizer"), str)
-               and str(hp["optimizer"]).startswith("schedule_free"))
+               and str(hp["optimizer"]).rsplit(".", 1)[-1].lower()
+                      .startswith("schedule_free"))
+    if sf_eval and ema_decay is not None:
+        raise ValueError(
+            "schedule_free_adamw already evaluates/serves an averaged "
+            "iterate (arXiv:2405.15682) — combining it with ema_decay "
+            "would average the raw gradient-point iterates instead; set "
+            "ema_decay: null")
 
     def _eval_variables(state: TrainState):
         v = state.variables(ema=eval_with_ema)
-        if sf_eval and not eval_with_ema:
-            from optax import contrib as _contrib
-            v = dict(v, params=_contrib.schedule_free_eval_params(
+        if sf_eval:
+            v = dict(v, params=_schedule_free_eval_params(
                 state.opt_state, state.params))
         return v
 
@@ -974,8 +1017,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         # park the schedule-free AVERAGED iterate in the EMA slot so the
         # serving path (`state.variables(ema=True)`, run --export) ships
         # eval weights; params/opt_state stay raw so resume keeps training
-        from optax import contrib as _contrib
-        state = state.replace(ema_params=_contrib.schedule_free_eval_params(
+        state = state.replace(ema_params=_schedule_free_eval_params(
             state.opt_state, state.params))
     events.fire(TrainingEvents.COMPLETED, count=1, state=state, history=history)
     return state, history

@@ -181,3 +181,30 @@ def test_vmoe_spec_builds_and_trains(tmp_path):
     last = hist["train"][-1]
     assert np.isfinite(last["main_loss"])
     assert "moe_aux" in last and float(last["moe_aux"]) > 0.5
+
+    # warm start from params-only variables (the usual fine-tune shape —
+    # no moe_losses collection): the aux loss must still engage
+    _, hist_ws = train(
+        {"epochs": 1, "batch_size": 16, "optimizer_opts": {"lr": 1e-3},
+         "moe_aux_weight": 0.02, "output_path": str(tmp_path / "ws"),
+         "save_every_iters": 0, "log_progress_every_iters": 1, "seed": 8},
+        m, cross_entropy_loss, data, backend_conf=BackendConfig(),
+        init_variables={"params": v["params"]})
+    assert "moe_aux" in hist_ws["train"][-1]
+    assert float(hist_ws["train"][-1]["moe_aux"]) > 0.5
+
+
+def test_moe_mlp_act_lever_reaches_experts():
+    """mlp_act='gelu_tanh' must change the expert compute (it silently
+    didn't, pre-fix) — same params, different activation, different out."""
+    from deepcv_tpu.ops.moe import MoEMlp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 12)) * 3.0
+    a = MoEMlp(num_experts=2, mlp_dim=16, mlp_act="gelu")
+    b = MoEMlp(num_experts=2, mlp_dim=16, mlp_act="gelu_tanh")
+    v = a.init(jax.random.PRNGKey(1), x)
+    ya = a.apply(v, x)
+    yb = b.apply(v, x)
+    assert not np.allclose(np.asarray(ya), np.asarray(yb))
+    # and the tanh form stays close to exact erf (it is an approximation)
+    assert float(jnp.abs(ya - yb).max()) < 0.1

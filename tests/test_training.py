@@ -720,6 +720,9 @@ def test_schedule_free_adamw(tiny_setup, tmp_path):
     model, data = tiny_setup
     hp = {"epochs": 2, "batch_size": 64, "optimizer": "schedule_free_adamw",
           "optimizer_opts": {"lr": 3e-3, "warmup_steps": 2},
+          # clipping wraps the opt_state in an optax.chain tuple: the sf
+          # eval path must find the ScheduleFreeState inside the nesting
+          "gradient_clip_norm": 1.0,
           "scheduler": None, "save_every_iters": 0,
           "log_progress_every_iters": 1, "validate_every_epochs": 1,
           "output_path": str(tmp_path), "seed": 7}
@@ -737,6 +740,19 @@ def test_schedule_free_adamw(tiny_setup, tmp_path):
     with pytest.raises(ValueError, match="scheduler"):
         build_optimizer("schedule_free_adamw", {"lr": 1e-3},
                         schedule=lambda s: 1e-3)
+
+    # ema_decay would average the RAW gradient-point iterates — rejected
+    with pytest.raises(ValueError, match="ema_decay"):
+        train(dict(hp, ema_decay=0.99), model, cross_entropy_loss, data,
+              backend_conf=BackendConfig(n_devices=1))
+
+    # dotted/cased spellings normalize like build_optimizer's, so the sf
+    # eval path still engages (averaged iterate parked for serving)
+    hp2 = dict(hp, optimizer="optax.contrib.Schedule_Free_AdamW", epochs=1,
+               validate_every_epochs=1000)
+    state2, _ = train(hp2, model, cross_entropy_loss, data,
+                      backend_conf=BackendConfig(n_devices=1))
+    assert state2.ema_params is not None
 
 
 def test_zero1_composes_with_modern_optimizer_states(tiny_setup, tmp_path):
