@@ -39,7 +39,8 @@ from jax import lax
 
 from deepcv_tpu.ops.boxes import box_iou
 
-__all__ = ["TrackerState", "init_tracker", "tracker_step", "track_sequence"]
+__all__ = ["TrackerState", "init_tracker", "tracker_step", "track_sequence",
+           "mot_metrics"]
 
 
 # ---------------------------------------------------------------- Kalman ---
@@ -253,3 +254,66 @@ def track_sequence(detections: jnp.ndarray, det_masks: jnp.ndarray, *,
 
     _, ids = lax.scan(step, state, (detections, det_masks))
     return ids
+
+
+def mot_metrics(gt_boxes: jnp.ndarray, gt_ids: jnp.ndarray,
+                gt_masks: jnp.ndarray, pred_boxes: jnp.ndarray,
+                pred_ids: jnp.ndarray, pred_masks: jnp.ndarray, *,
+                iou_threshold: float = 0.5, max_gt_ids: int = 256):
+    """CLEAR-MOT evaluation (MOTA, ID switches) — jit-safe, like
+    ``ops/boxes.mean_average_precision`` for detection.
+
+    Per frame, predictions are greedily matched to ground truth by IoU
+    (>= ``iou_threshold``); unmatched GT are misses (FN), unmatched
+    predictions false positives (FP). An ID switch is counted when a GT
+    identity that was previously matched to predicted track id A is now
+    matched to a different id B (the standard CLEAR definition; the
+    last-matched id survives occlusion gaps). The per-identity memory is a
+    fixed ``(max_gt_ids,)`` table scanned over frames, so the whole clip
+    evaluates in one compiled program.
+
+    Args:
+      gt_boxes: ``(F, G, 4)`` xyxy; gt_ids ``(F, G)`` int identity labels in
+        ``[0, max_gt_ids)``; gt_masks ``(F, G)`` bool.
+      pred_boxes: ``(F, D, 4)``; pred_ids ``(F, D)`` (e.g. the output of
+        :func:`track_sequence`); pred_masks ``(F, D)`` bool — rows with
+        id < 0 are treated as invalid automatically.
+
+    Returns:
+      dict of scalars: ``mota`` = 1 - (FN + FP + IDSW) / num_gt, plus the
+      raw ``misses``, ``false_positives``, ``id_switches``, ``num_gt``,
+      ``matches`` counts.
+    """
+    pred_masks = pred_masks & (pred_ids >= 0)
+
+    def frame(carry, inp):
+        last_id, fn, fp, idsw, ngt, nmatch = carry
+        gb, gi, gm, pb, pi, pm = inp
+        iou = box_iou(gb, pb)                              # (G, D)
+        valid = gm[:, None] & pm[None, :]
+        g_match, d_match = _greedy_match(iou, valid, iou_threshold)
+        matched_g = g_match >= 0                            # (G,)
+        ngt = ngt + jnp.sum(gm)
+        fn = fn + jnp.sum(gm & ~matched_g)
+        fp = fp + jnp.sum(pm & (d_match < 0))
+        nmatch = nmatch + jnp.sum(matched_g)
+        # matched predicted id per GT row (-1 where unmatched)
+        pid = jnp.where(matched_g,
+                        pi[jnp.clip(g_match, 0, pi.shape[0] - 1)], -1)
+        gid = jnp.clip(gi, 0, max_gt_ids - 1)
+        prev = last_id[gid]                                 # (G,)
+        idsw = idsw + jnp.sum(matched_g & (prev >= 0) & (prev != pid))
+        # remember the latest matched id per GT identity
+        upd = jnp.where(matched_g, pid, -1)
+        last_id = last_id.at[jnp.where(matched_g, gid, max_gt_ids)].set(
+            upd, mode="drop")
+        return (last_id, fn, fp, idsw, ngt, nmatch), None
+
+    z = jnp.zeros((), jnp.int32)
+    init = (jnp.full((max_gt_ids,), -1, jnp.int32), z, z, z, z, z)
+    (last_id, fn, fp, idsw, ngt, nmatch), _ = lax.scan(
+        frame, init, (gt_boxes, gt_ids.astype(jnp.int32), gt_masks,
+                      pred_boxes, pred_ids.astype(jnp.int32), pred_masks))
+    mota = 1.0 - (fn + fp + idsw) / jnp.maximum(ngt, 1).astype(jnp.float32)
+    return {"mota": mota, "misses": fn, "false_positives": fp,
+            "id_switches": idsw, "num_gt": ngt, "matches": nmatch}

@@ -114,3 +114,60 @@ def test_jit_scan_matches_eager_steps():
         state, ids = tracker_step(state, boxes[t], mask[t])
         eager.append(np.asarray(ids))
     assert (jitted == np.stack(eager)).all()
+
+
+def test_mot_metrics_perfect_tracking():
+    from deepcv_tpu.pipelines.tracking import mot_metrics
+    frames = [[_box(20 + 2 * t, 20), _box(20 + 2 * t, 60)] for t in range(8)]
+    boxes, mask = _clip(frames)
+    gt_ids = jnp.tile(jnp.array([[3, 7]], jnp.int32), (8, 1))
+    m = mot_metrics(boxes, gt_ids, mask, boxes, gt_ids, mask)
+    assert float(m["mota"]) == 1.0
+    assert int(m["id_switches"]) == 0
+    assert int(m["num_gt"]) == 16 and int(m["matches"]) == 16
+
+
+def test_mot_metrics_id_switch_and_gap():
+    from deepcv_tpu.pipelines.tracking import mot_metrics
+    frames = [[_box(20 + 2 * t, 20)] for t in range(6)]
+    boxes, mask = _clip(frames)
+    gt_ids = jnp.zeros((6, 1), jnp.int32)
+    # predicted id flips at frame 3 -> exactly one CLEAR id switch
+    pred_ids = jnp.array([[5], [5], [5], [9], [9], [9]], jnp.int32)
+    m = mot_metrics(boxes, gt_ids, mask, boxes, pred_ids, mask)
+    assert int(m["id_switches"]) == 1
+    assert abs(float(m["mota"]) - (1.0 - 1.0 / 6.0)) < 1e-6
+    # an occlusion gap (missed frames) then SAME id -> no switch, 2 misses
+    pm = mask.at[2, 0].set(False).at[3, 0].set(False)
+    same = jnp.full((6, 1), 5, jnp.int32)
+    m2 = mot_metrics(boxes, gt_ids, mask, boxes, same, pm)
+    assert int(m2["id_switches"]) == 0 and int(m2["misses"]) == 2
+    # gap then DIFFERENT id -> the pre-gap identity memory flags 1 switch
+    flip = jnp.array([[5], [5], [5], [5], [9], [9]], jnp.int32)
+    m3 = mot_metrics(boxes, gt_ids, mask, boxes, flip, pm)
+    assert int(m3["id_switches"]) == 1
+
+
+def test_mot_metrics_fp_fn():
+    from deepcv_tpu.pipelines.tracking import mot_metrics
+    frames = [[_box(20, 20)] for _ in range(4)]
+    gt_boxes, gt_mask = _clip(frames)
+    gt_ids = jnp.zeros((4, 1), jnp.int32)
+    # predictions nowhere near the GT: every frame is 1 FN + 1 FP
+    pred = [[_box(200, 200)] for _ in range(4)]
+    pb, pm = _clip(pred)
+    pid = jnp.ones((4, 1), jnp.int32)
+    m = mot_metrics(gt_boxes, gt_ids, gt_mask, pb, pid, pm)
+    assert int(m["misses"]) == 4 and int(m["false_positives"]) == 4
+    assert abs(float(m["mota"]) - (1.0 - 8.0 / 4.0)) < 1e-6  # can go negative
+
+
+def test_mot_metrics_end_to_end_with_tracker():
+    from deepcv_tpu.pipelines.tracking import mot_metrics
+    frames = [[_box(20 + 2 * t, 20), _box(90 - 2 * t, 70)] for t in range(10)]
+    boxes, mask = _clip(frames)
+    gt_ids = jnp.tile(jnp.array([[0, 1]], jnp.int32), (10, 1))
+    pred_ids = track_sequence(boxes, mask, max_tracks=8)
+    m = jax.jit(lambda *a: mot_metrics(*a))(boxes, gt_ids, mask,
+                                            boxes, pred_ids, mask)
+    assert float(m["mota"]) == 1.0 and int(m["id_switches"]) == 0
