@@ -1013,6 +1013,37 @@ class SqueezeExcitation(fnn.Module):
         return x * scale.reshape(scale.shape[0], *([1] * (x.ndim - 2)), c)
 
 
+class EfficientChannelAttention(fnn.Module):
+    """ECA channel-attention gate (arXiv:1910.03151) — an explicit TODO in
+    the reference README ("channel attention gate ... sigmoid of 1D
+    convolution output ... kernel size k << C with k = Func(C)",
+    /root/reference/README.md:154). Global-average-pooled channel
+    descriptors pass through ONE 1-D conv (k adaptively odd-sized from C,
+    the paper's psi(C) with gamma=2, b=1) whose sigmoid gates each channel
+    — SE's expressivity at ~k params instead of 2C^2/r.
+    ``kernel_size=0`` selects the adaptive size."""
+    kernel_size: int = 0
+    gamma: float = 2.0
+    beta: float = 1.0
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = x.shape[-1]
+        k = int(self.kernel_size)
+        if k == 0:
+            k = int(abs((math.log2(c) + self.beta) / self.gamma))
+            k = max(3, k if k % 2 else k + 1)      # nearest odd, >= 3
+        if k % 2 == 0:
+            raise ValueError(f"eca kernel_size must be odd, got {k}")
+        squeezed = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # (N, C)
+        # 1-D conv ACROSS the channel axis: (N, C) as length-C 1-feature seq
+        z = fnn.Conv(1, (k,), padding=((k // 2, k // 2),), use_bias=False,
+                     dtype=self.dtype, name="conv")(squeezed[..., None])
+        scale = jax.nn.sigmoid(z[..., 0])
+        return x * scale.reshape(scale.shape[0], *([1] * (x.ndim - 2)), c)
+
+
 class ResNetBlock(fnn.Module):
     """Standard 2-conv residual block with optional projection shortcut —
     working implementation of the reference's ``resnet_net_block`` stub

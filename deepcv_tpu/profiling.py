@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 __all__ = ["trace", "annotate", "StepTimer", "device_memory_stats",
            "check_determinism", "forced_sync_time", "mfu_report",
-           "PEAK_BF16_FLOPS",
+           "model_flops", "PEAK_BF16_FLOPS",
            "start_tensorboard_server", "stop_tensorboard_server"]
 
 _logger = logging.getLogger(__name__)
@@ -206,3 +206,40 @@ def mfu_report(fn, *args, flops: Optional[float] = None, n: int = 20,
             "tflops_per_s": flops / secs / 1e12,
             "mfu": (flops / secs / peak) if peak else None,
             "device_kind": kind}
+
+
+def model_flops(model, batch_size: int = 1, dtype=jnp.float32,
+                train: bool = False) -> Dict[str, Any]:
+    """Static model profile WITHOUT executing anything: parameter count +
+    XLA cost analysis (FLOPs, HBM bytes accessed) of the AOT-lowered
+    forward — the TPU-native answer to the reference README's model-
+    profiling TODO (torchprof/torch-scan/THOP merge,
+    /root/reference/README.md:156). Everything comes from ``eval_shape`` +
+    ``jit(...).lower(...).compile()`` on abstract values, so profiling a
+    600M-param model allocates no memory.
+
+    Returns {'params', 'flops', 'flops_per_image', 'bytes_accessed',
+    'batch_size'} (flops follow XLA's 2*MACs convention).
+    """
+    import numpy as _np
+
+    var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    x_spec = jax.ShapeDtypeStruct((int(batch_size), *model.input_shape),
+                                  dtype)
+
+    def fwd(v, x):
+        if train:
+            return model.apply(v, x, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(0)})
+        return model.apply(v, x, train=False)
+
+    cost = jax.jit(fwd).lower(var_shapes, x_spec).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):       # older jax returns [dict]
+        cost = cost[0]
+    n_params = sum(int(_np.prod(a.shape)) for a in
+                   jax.tree_util.tree_leaves(var_shapes.get("params", {})))
+    flops = float(cost.get("flops", 0.0))
+    return {"params": n_params, "flops": flops,
+            "flops_per_image": flops / int(batch_size),
+            "bytes_accessed": float(cost.get("bytes accessed", 0.0)),
+            "batch_size": int(batch_size)}

@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Predictor", "distill_targets", "save_model_bundle", "load_model_bundle",
+__all__ = ["Predictor", "EnsemblePredictor", "StackedEnsemble",
+           "distill_targets", "ensemble_distill_targets",
+           "save_model_bundle", "load_model_bundle",
            "export_stablehlo", "load_stablehlo"]
 
 
@@ -336,3 +338,129 @@ class Predictor:
         dt = time.perf_counter() - t0
         return {"img_per_s": bs * n_iters / dt, "latency_ms": dt / n_iters * 1e3,
                 "batch": bs, "checksum": s}
+
+
+# --------------------------------------------------------------------------- #
+# Ensembling & stacking (reference README TODO "Start Ensembling and stacking
+# utilities module implementation", /root/reference/README.md:149 — never
+# started there)
+# --------------------------------------------------------------------------- #
+
+class EnsemblePredictor:
+    """Average N member models' predictions.
+
+    ``members``: :class:`Predictor` instances or ``(model, variables)``
+    pairs (mixed architectures welcome — that is the point of ensembling).
+    ``mode='prob'`` (default) averages softmax probabilities — the standard
+    classifier ensemble; ``mode='mean'`` averages raw outputs (embeddings,
+    regression heads). Optional per-member ``weights`` (normalized).
+    """
+
+    def __init__(self, members, mode: str = "prob", weights=None, **predictor_kw):
+        if mode not in ("prob", "mean"):
+            raise ValueError(f"unknown ensemble mode {mode!r} (prob|mean)")
+        self.members = [m if isinstance(m, Predictor)
+                        else Predictor(m[0], m[1], **predictor_kw)
+                        for m in members]
+        if not self.members:
+            raise ValueError("EnsemblePredictor needs at least one member")
+        self.mode = mode
+        w = np.ones(len(self.members)) if weights is None else np.asarray(
+            weights, np.float64)
+        if w.shape != (len(self.members),) or (w < 0).any() or w.sum() <= 0:
+            raise ValueError("weights must be non-negative, one per member")
+        self.weights = w / w.sum()
+
+    def member_outputs(self, images) -> np.ndarray:
+        """(M, N, C) raw member outputs (the stacker's feature layout)."""
+        return np.stack([np.asarray(p(images), np.float32)
+                         for p in self.members])
+
+    def __call__(self, images) -> np.ndarray:
+        outs = self.member_outputs(images)
+        if self.mode == "prob":
+            outs = np.asarray(jax.nn.softmax(jnp.asarray(outs), axis=-1))
+        return np.einsum("m,mnc->nc", self.weights, outs)
+
+
+class StackedEnsemble(EnsemblePredictor):
+    """Stacking: a learned linear combiner over the members' probabilities
+    instead of a fixed average. ``fit`` trains one Dense (M*C -> C) head
+    with softmax cross-entropy on a HELD-OUT split (fitting the stacker on
+    the members' own training data overfits to their confidence) — one
+    jitted full-batch Adam loop, the members run once."""
+
+    def fit(self, images, labels, *, steps: int = 300, lr: float = 0.05,
+            l2: float = 1e-4, seed: int = 0) -> float:
+        import optax
+
+        probs = jax.nn.softmax(jnp.asarray(self.member_outputs(images)),
+                               axis=-1)
+        m, n, c = probs.shape
+        feats = jnp.transpose(probs, (1, 0, 2)).reshape(n, m * c)
+        y = jnp.asarray(np.asarray(labels).reshape(-1), jnp.int32)
+        if y.shape[0] != n:
+            raise ValueError(f"{n} stacked rows vs {y.shape[0]} labels")
+        # init at the uniform-average ensemble: W stacks identity blocks
+        w0 = jnp.tile(jnp.eye(c), (m, 1)) / m
+        params = {"w": w0, "b": jnp.zeros((c,))}
+        tx = optax.adam(lr)
+        opt = tx.init(params)
+
+        def loss_fn(p):
+            logits = feats @ p["w"] + p["b"]
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.mean(ce) + l2 * jnp.sum(p["w"] ** 2)
+
+        @jax.jit
+        def run(params, opt):
+            def step(carry, _):
+                p, o = carry
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                u, o = tx.update(g, o, p)
+                return (optax.apply_updates(p, u), o), loss
+            (p, o), losses = jax.lax.scan(step, (params, opt), None,
+                                          length=steps)
+            return p, losses[-1]
+
+        self._stack_params, final_loss = run(params, opt)
+        return float(final_loss)
+
+    def __call__(self, images) -> np.ndarray:
+        if not hasattr(self, "_stack_params"):
+            raise RuntimeError("StackedEnsemble: call fit(images, labels) on "
+                               "a held-out split before predicting")
+        probs = jax.nn.softmax(jnp.asarray(self.member_outputs(images)),
+                               axis=-1)
+        m, n, c = probs.shape
+        feats = jnp.transpose(probs, (1, 0, 2)).reshape(n, m * c)
+        p = self._stack_params
+        return np.asarray(feats @ p["w"] + p["b"])
+
+
+def ensemble_distill_targets(members, dataset, batch_size: int = 256,
+                             preprocess=None):
+    """Distill from an ENSEMBLE of teachers (reference README TODO
+    "distillation from ensembles of teacher networks",
+    /root/reference/README.md:152): soft targets are the members'
+    mean softmax probability re-expressed as log-probs (softmax-invariant
+    pseudo-logits), stacked [hard label | pseudo-logits] exactly like
+    :func:`distill_targets` so ``train.losses.distillation_loss`` consumes
+    it unchanged."""
+    from deepcv_tpu.data.datasets import ArrayDataset
+
+    labels = np.asarray(dataset.targets, np.float32).reshape(len(dataset), -1)
+    if labels.shape[1] != 1:
+        raise ValueError("ensemble_distill_targets expects integer class "
+                         f"targets (got shape {np.shape(dataset.targets)})")
+    ens = EnsemblePredictor(members, mode="prob", batch_size=batch_size,
+                            preprocess=preprocess)
+    mean_prob = np.asarray(ens(dataset.images), np.float32)
+    pseudo_logits = np.log(np.maximum(mean_prob, 1e-12))
+    classes = dataset.classes or [f"class_{i}"
+                                  for i in range(pseudo_logits.shape[1])]
+    return ArrayDataset(dataset.images,
+                        np.concatenate([labels, pseudo_logits], axis=1),
+                        classes=classes,
+                        name=f"{dataset.name}_ens_distill",
+                        provenance=getattr(dataset, "provenance", "real"))

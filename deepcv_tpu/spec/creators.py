@@ -699,6 +699,19 @@ def _squeeze_cell(params, ctx: CreatorContext, name: str) -> fnn.Module:
         dtype=ctx.dtype, name=name)
 
 
+@submodule_creator("eca", aliases=("efficient_channel_attention",),
+                   allowed=("kernel_size", "gamma", "beta"))
+def _eca_cell(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """ECA channel-attention gate (arXiv:1910.03151) — the reference README's
+    explicit ECA TODO (/root/reference/README.md:154). ``kernel_size: 0``
+    (default) picks the paper's adaptive odd size from the channel count."""
+    return dnn.EfficientChannelAttention(
+        kernel_size=int(params.get("kernel_size", 0)),
+        gamma=float(params.get("gamma", 2.0)),
+        beta=float(params.get("beta", 1.0)),
+        dtype=ctx.dtype, name=name)
+
+
 @submodule_creator("resnet_net_block", aliases=("resnet_block",),
                    global_keys=("act_fn",),
                    allowed=("out_channels", "kernel_size", "stride", "num_groups"),

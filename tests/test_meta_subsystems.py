@@ -303,3 +303,29 @@ def test_mfu_report_measures_a_matmul():
     assert 0.9 * 2 * 256**3 <= rep["flops"] <= 3 * 2 * 256**3
     assert rep["mfu"] is None or 0 < rep["mfu"] < 1.5
     assert rep["tflops_per_s"] > 0
+
+
+def test_model_flops_static_profile():
+    """profiling.model_flops: AOT cost analysis, no execution. The conv
+    FLOPs of a known tiny model bound the reported number from below."""
+    from deepcv_tpu.config import load_yaml
+    from deepcv_tpu.profiling import model_flops
+    from deepcv_tpu.spec import DeepcvModule
+
+    m = DeepcvModule((8, 8, 3), load_yaml("""
+act_fn: relu
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 16, padding: 1 }
+  - flatten: {}
+  - fully_connected: { out_features: 10, act_fn: null }
+"""))
+    rep = model_flops(m, batch_size=4)
+    # first-conv input channels are lane-padded 3 -> 8 (pad_channels_for_tpu)
+    conv_params = 3 * 3 * 8 * 16 + 16
+    fc_params = 8 * 8 * 16 * 10 + 10
+    assert rep["params"] == conv_params + fc_params
+    # dot/conv flops >= 2*MACs of conv + fc (XLA may add elementwise work)
+    macs = 8 * 8 * 3 * 3 * 3 * 16 + 8 * 8 * 16 * 10
+    assert rep["flops"] >= 2 * macs * 4 * 0.9
+    assert rep["flops_per_image"] * 4 == rep["flops"]
+    assert rep["batch_size"] == 4

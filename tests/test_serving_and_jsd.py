@@ -373,3 +373,83 @@ def test_offline_distillation(setup, tmp_path):
     agree = float(np.mean(np.argmax(np.asarray(s_logits), -1)
                           == np.argmax(kd_raw.targets[:, 1:], -1)))
     assert agree > 0.6, agree   # untrained students measure ~0.25-0.35
+
+
+def test_eca_creator(rng):
+    """ECA gate (reference README's explicit channel-attention TODO): shape
+    preserved, per-channel scales in (0,1), adaptive odd 1-D kernel."""
+    m = DeepcvModule((16, 16, 3), load_yaml("""
+act_fn: relu
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 32, padding: 1 }
+  - eca: {}
+"""))
+    v = m.init(rng)
+    x = jnp.abs(jax.random.normal(rng, (2, 16, 16, 3)))
+    y = m.apply(v, x)
+    assert y.shape == (2, 16, 16, 32)
+    # the ECA conv kernel is tiny 1-D (k, 1, 1), bias-free, odd adaptive k
+    eca_params = [p for path, p in
+                  jax.tree_util.tree_flatten_with_path(v["params"])[0]
+                  if any("eca" in str(k) for k in path)]
+    assert len(eca_params) == 1                       # one bias-free kernel
+    assert eca_params[0].ndim == 3                    # (k, 1, 1) 1-D conv
+    assert eca_params[0].shape[0] % 2 == 1            # odd adaptive k
+    assert eca_params[0].shape[0] >= 3
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_ensemble_and_stacking(setup):
+    """EnsemblePredictor averages member probabilities; StackedEnsemble
+    learns to out-weight an uninformative member (reference README TODO
+    'Ensembling and stacking utilities' — never started there)."""
+    from deepcv_tpu.serve import EnsemblePredictor, StackedEnsemble
+
+    model, data, ckpt, state = setup
+    trained = {"params": state.params, **({"batch_stats": state.batch_stats}
+                                          if state.batch_stats else {})}
+    noise = model.init(jax.random.PRNGKey(99))        # untrained member
+    tr = data["trainset"]
+    images = np.asarray(tr.dataset.images[:96])
+    labels = np.asarray(tr.dataset.targets[:96]).reshape(-1)
+
+    ens = EnsemblePredictor([(model, trained), (model, noise)],
+                            batch_size=32, preprocess=tr.batch_transform)
+    probs = ens(images)
+    assert probs.shape == (96, 4)
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-5)  # mean of softmaxes
+    # weights=[1,0] must reproduce the trained member alone
+    solo = EnsemblePredictor([(model, trained)], batch_size=32,
+                             preprocess=tr.batch_transform)
+    w10 = EnsemblePredictor([(model, trained), (model, noise)],
+                            weights=[1.0, 0.0], batch_size=32,
+                            preprocess=tr.batch_transform)
+    assert np.allclose(w10(images), solo(images), atol=1e-6)
+
+    stack = StackedEnsemble([(model, trained), (model, noise)],
+                            batch_size=32, preprocess=tr.batch_transform)
+    with pytest.raises(RuntimeError, match="fit"):
+        stack(images)
+    final_loss = stack.fit(images, labels, steps=200)
+    assert np.isfinite(final_loss)
+    acc_stack = (stack(images).argmax(1) == labels).mean()
+    acc_mean = (probs.argmax(1) == labels).mean()
+    assert acc_stack >= acc_mean - 1e-9   # stacker never loses to the mean
+
+
+def test_ensemble_distill_targets(setup):
+    from deepcv_tpu.serve import ensemble_distill_targets
+
+    model, data, ckpt, state = setup
+    trained = {"params": state.params, **({"batch_stats": state.batch_stats}
+                                          if state.batch_stats else {})}
+    tr = data["trainset"]
+    ds = ensemble_distill_targets(
+        [(model, trained), (model, model.init(jax.random.PRNGKey(3)))],
+        tr.dataset, batch_size=32, preprocess=tr.batch_transform)
+    t = np.asarray(ds.targets)
+    assert t.shape == (len(tr.dataset), 1 + 4)
+    # softmax of the pseudo-logits recovers the members' mean probability
+    sm = np.asarray(jax.nn.softmax(jnp.asarray(t[:, 1:]), axis=-1))
+    assert np.allclose(sm.sum(axis=1), 1.0, atol=1e-5)
+    assert (t[:, 0].astype(int) == np.asarray(tr.dataset.targets)).all()
