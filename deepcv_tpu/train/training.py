@@ -97,6 +97,11 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     "ema_eval": True,                # validate/serve with the EMA weights
     "gradient_clip_norm": None,      # clip grads to this global L2 norm
                                      # before the optimizer update
+    # transfer learning: regex over '/'-joined param paths — matching
+    # params get ZERO updates (e.g. 'submodule_0' to freeze a backbone,
+    # '^(?!.*fully_connected)' to train only the head). Generalizes the
+    # shared-image-block freeze (spec/module.py frozen_mask).
+    "freeze_params": None,
     # batch-mixing regularizers (beyond the reference; AugMix companions):
     # mixup (arXiv:1710.09412) / CutMix (arXiv:1905.04899) with the convex
     # loss combination lam*loss(y) + (1-lam)*loss(y[perm]). Both set =>
@@ -396,6 +401,28 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         tx = optax.chain(
             optax.masked(optax.set_to_zero(), arch_params_mask),
             optax.masked(tx, functools.partial(arch_params_mask, invert=True)))
+    freeze_re = hp.get("freeze_params")
+    if freeze_re:
+        # transfer learning / fine-tuning: zero updates for every param
+        # whose '/'-joined tree path matches the regex (e.g. 'backbone',
+        # '^(?!.*fully_connected)' for train-head-only) — the generic form
+        # of the shared-image-block freeze semantics (spec/module.py
+        # frozen_mask). Params/momenta still exist; only updates stop.
+        import re as _re
+        pat = _re.compile(str(freeze_re))
+
+        def freeze_mask(params, invert=False):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+            leaves = []
+            for path, _leaf in flat:
+                p = "/".join(str(getattr(k, "key", k)) for k in path)
+                hit = bool(pat.search(p))
+                leaves.append(hit if not invert else not hit)
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), freeze_mask),
+            optax.masked(tx, functools.partial(freeze_mask, invert=True)))
     accum = int(hp.get("grad_accumulation_steps", 1) or 1)
     if accum > 1:
         # large effective batches without the HBM for them: gradients average
