@@ -204,12 +204,44 @@ def generate_flow_dataset(n: int = 512, image_size: int = 32,
     return ArrayDataset(xs, flows, name=f"flow_{'train' if train else 'test'}")
 
 
+def generate_clip_dataset(n: int = 512, frames: int = 6, image_size: int = 12,
+                          seed: int = 0, train: bool = True):
+    """Synthetic video-classification task: a bright dot moves in one of 4
+    directions (wrapping); the label IS the motion direction — unsolvable
+    from any single frame, so only genuinely temporal models (conv3d over
+    the (F, H, W, C) clip) learn it. Exercises the N-D dispatch's rank-3
+    path end to end."""
+    import numpy as np
+    from deepcv_tpu.data.datasets import ArrayDataset
+
+    rng = np.random.default_rng(seed + (0 if train else 1))
+    f, s = int(frames), int(image_size)
+    clips = np.zeros((n, f, s, s, 3), np.uint8)
+    labels = rng.integers(0, 4, n)
+    dirs = {0: (1, 0), 1: (-1, 0), 2: (0, 1), 3: (0, -1)}
+    for i in range(n):
+        dy, dx = dirs[int(labels[i])]
+        y0, x0 = rng.integers(0, s, 2)
+        color = rng.integers(128, 256, 3)
+        for t in range(f):
+            clips[i, t, (y0 + dy * t) % s, (x0 + dx * t) % s] = color
+    return ArrayDataset(clips, labels.astype(np.int64),
+                        classes=["down", "up", "right", "left"],
+                        name=f"clips_{'train' if train else 'test'}")
+
+
 from deepcv_tpu.data.datasets import _dataset_loader as _reg_loader  # noqa: E402
 
 _reg_loader("synthetic_flow")(
     lambda root=None, train=True, n=512, image_size=32, max_shift=4, seed=0, **kw:
     generate_flow_dataset(n=int(n), image_size=int(image_size),
                           max_shift=int(max_shift), seed=int(seed), train=train))
+
+_reg_loader("synthetic_clips")(
+    lambda root=None, train=True, n=512, frames=6, image_size=12, seed=0, **kw:
+    generate_clip_dataset(n=int(n), frames=int(frames),
+                          image_size=int(image_size), seed=int(seed),
+                          train=train))
 
 
 def endpoint_error(pred_flow: jnp.ndarray, target_flow: jnp.ndarray) -> jnp.ndarray:
@@ -244,6 +276,9 @@ def get_pipelines() -> Dict[str, Pipeline]:
 
     from deepcv_tpu.pipelines.framework import preprocess_node as preprocess
 
+    from deepcv_tpu.pipelines.classification import create_model
+    from deepcv_tpu.pipelines.classification import train as train_classifier
+
     flow_pipeline = Pipeline([
         Node(preprocess, ["flow_train", "flow_test", "params:flow_preprocessing"],
              "datasets", name="preprocess"),
@@ -253,4 +288,17 @@ def get_pipelines() -> Dict[str, Pipeline]:
                           "trackers"],
              "train_results", name="train"),
     ], name="train_optical_flow", tags={"train", "video"})
-    return {"train_optical_flow": flow_pipeline}
+    # video classification: a conv3d spec over (F, H, W, C) clips — the
+    # classifier nodes are rank-agnostic (input shape comes from the data)
+    clip_pipeline = Pipeline([
+        Node(preprocess, ["clips_train", "clips_test",
+                          "params:clips_preprocessing"],
+             "datasets", name="preprocess"),
+        Node(create_model, ["datasets", "params:video_classifier_model"],
+             "model", name="create_model"),
+        Node(train_classifier, ["datasets", "model",
+                                "params:train_video_classifier", "trackers"],
+             "train_results", name="train"),
+    ], name="train_video_classifier", tags={"train", "video"})
+    return {"train_optical_flow": flow_pipeline,
+            "train_video_classifier": clip_pipeline}

@@ -1784,3 +1784,85 @@ def test_densenet121_zoo_forward_parity():
     scale = np.abs(te).max()
     np.testing.assert_allclose(je, te, atol=max(5e-4, 2e-3 * scale),
                                rtol=2e-3)
+
+
+# --------------------------------------------------------------------------- #
+# N-D dispatch parity: conv1d / conv3d (+ transposed) vs executing torch
+# --------------------------------------------------------------------------- #
+
+def test_conv1d_torch_parity():
+    """SURVEY §2.2 'N-D op dispatch': the rank-1 creator must be torch
+    Conv1d, not just shape-compatible. Channels-last (N, T, C) vs torch
+    (N, C, T); first-conv input channels may be lane-padded (inert rows)."""
+    m = DeepcvModule((12, 3), load_yaml("""
+act_fn: relu
+architecture:
+  - conv1d: { kernel_size: [5], out_channels: 8, padding: 2 }
+"""))
+    v = m.init(jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).normal(size=(2, 12, 3)).astype(np.float32)
+    jy = np.asarray(m.apply(v, jnp.asarray(x)))
+
+    node = v["params"]["node_impls__submodule_0_conv1d"]
+    k = np.asarray(node["op"]["kernel"])          # (K, I>=3, 8)
+    tconv = tnn.Conv1d(3, 8, 5, padding=2)
+    tconv.weight.data = _t(k[:, :3, :].transpose(2, 1, 0))
+    tconv.bias.data = _t(node["op"]["bias"])
+    with torch.no_grad():
+        ty = tF.relu(tconv(_t(x).permute(0, 2, 1))).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(jy, ty, atol=1e-5, rtol=1e-5)
+
+
+def test_conv3d_torch_parity():
+    m = DeepcvModule((4, 6, 6, 3), load_yaml("""
+act_fn: relu
+architecture:
+  - conv3d: { kernel_size: [3, 3, 3], out_channels: 8, padding: 1 }
+  - average_pooling: { kernel_size: [2, 2, 2], stride: [2, 2, 2] }
+"""))
+    v = m.init(jax.random.PRNGKey(1))
+    x = np.random.default_rng(1).normal(size=(2, 4, 6, 6, 3)).astype(np.float32)
+    jy = np.asarray(m.apply(v, jnp.asarray(x)))
+
+    node = v["params"]["node_impls__submodule_0_conv3d"]
+    k = np.asarray(node["op"]["kernel"])          # (3,3,3, I>=3, 8)
+    tconv = tnn.Conv3d(3, 8, 3, padding=1)
+    tconv.weight.data = _t(k[:, :, :, :3, :].transpose(4, 3, 0, 1, 2))
+    tconv.bias.data = _t(node["op"]["bias"])
+    with torch.no_grad():
+        ty = tF.avg_pool3d(tF.relu(tconv(_t(x).permute(0, 4, 1, 2, 3))), 2)
+        ty = ty.permute(0, 2, 3, 4, 1).numpy()
+    assert jy.shape == ty.shape, (jy.shape, ty.shape)
+    np.testing.assert_allclose(jy, ty, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("rank", [1, 3])
+def test_transposed_conv_1d_3d_torch_parity(rank):
+    """ConvTransposeTorch is rank-generic; pin the 1-D and 3-D creators to
+    torch ConvTransposeNd values (the 2-D case has its own oracle above)."""
+    tcls = {1: tnn.ConvTranspose1d, 3: tnn.ConvTranspose3d}[rank]
+    spec = load_yaml(f"""
+act_fn: relu
+architecture:
+  - transposed_conv{rank}d: {{ kernel_size: {[4] * rank}, out_channels: 5,
+                               stride: {[2] * rank}, padding: 1 }}
+""")
+    shape = (7,) * rank + (3,)
+    m = DeepcvModule(shape, spec)
+    v = m.init(jax.random.PRNGKey(2))
+    x = np.random.default_rng(2).normal(size=(2, *shape)).astype(np.float32)
+    jy = np.asarray(m.apply(v, jnp.asarray(x)))
+
+    node = v["params"][f"node_impls__submodule_0_transposed_conv{rank}d"]
+    k = np.asarray(node["op"]["kernel"])          # (K..., in, out)
+    tconv = tcls(3, 5, 4, stride=2, padding=1)
+    k = k[..., :3, :]     # inert lane-padded input rows (pad_channels_for_tpu)
+    perm = (rank, rank + 1) + tuple(range(rank))  # K...,I,O -> I,O,K...
+    tconv.weight.data = _t(k.transpose(*perm))
+    tconv.bias.data = _t(node["op"]["bias"])
+    axes = (0, rank + 1) + tuple(range(1, rank + 1))
+    inv = np.argsort(axes)
+    with torch.no_grad():
+        ty = tF.relu(tconv(_t(x).permute(*axes))).permute(*inv.tolist()).numpy()
+    assert jy.shape == ty.shape, (jy.shape, ty.shape)
+    np.testing.assert_allclose(jy, ty, atol=1e-5, rtol=1e-5)
