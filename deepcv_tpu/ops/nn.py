@@ -1013,6 +1013,49 @@ class SqueezeExcitation(fnn.Module):
         return x * scale.reshape(scale.shape[0], *([1] * (x.ndim - 2)), c)
 
 
+class SMGModule(fnn.Module):
+    """Squeeze-Multiplicative-Gating module — the building block of Hybrid
+    Connectivity Gated Net (HCGN, arXiv:1908.09699), which the reference
+    sketches but never implements (commented-out class + NotImplementedError
+    creator, /root/reference/src/deepcv/meta/nn.py:93-125: "ops = [cell1
+    squeeze_cell, cell2 multiscale_exitation_cell, gating]").
+
+    Hybrid connectivity, per the paper: DENSE (concat) connectivity inside
+    the module — each 3x3 conv sees the concat of the module input and all
+    previous layer outputs — then a 1x1 transition fuses the concatenation,
+    a squeeze-excitation gate scales the fused channels, and a RESIDUAL
+    connection (gated sum) links the module boundary. Dense links capture
+    multi-scale feature reuse; the gated residual eases optimization —
+    exactly the hybrid the paper argues for.
+    """
+    out_channels: int
+    growth_rate: int = 16
+    layers: int = 3
+    reduction_ratio: int = 4
+    act_fn: Any = None
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        act = self.act_fn or jax.nn.relu
+        feats = [x]
+        for i in range(int(self.layers)):
+            h = jnp.concatenate(feats, axis=-1)
+            h = fnn.Conv(int(self.growth_rate), (3, 3), padding=1,
+                         dtype=self.dtype, name=f"dense_conv{i}")(
+                             pad_channels_for_tpu(h))
+            feats.append(act(h))
+        fused = fnn.Conv(int(self.out_channels), (1, 1), dtype=self.dtype,
+                         name="transition")(jnp.concatenate(feats, axis=-1))
+        gated = SqueezeExcitation(reduction_ratio=int(self.reduction_ratio),
+                                  act_fn=act, dtype=self.dtype,
+                                  name="gate")(fused, train=train)
+        if x.shape[-1] != int(self.out_channels):
+            x = fnn.Conv(int(self.out_channels), (1, 1), dtype=self.dtype,
+                         name="proj")(pad_channels_for_tpu(x))
+        return act(x + gated)
+
+
 class EfficientChannelAttention(fnn.Module):
     """ECA channel-attention gate (arXiv:1910.03151) — an explicit TODO in
     the reference README ("channel attention gate ... sigmoid of 1D

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from deepcv_tpu.pipelines.framework import Pipeline
 
-__all__ = ["get_pipelines", "flow_warp", "deep_feature_flow_inference"]
+__all__ = ["get_pipelines", "flow_warp", "deep_feature_flow_inference",
+           "interpolate_frames", "generate_clip_dataset"]
 
 
 def flow_warp(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -202,6 +203,33 @@ def generate_flow_dataset(n: int = 512, image_size: int = 32,
         flows[i, ..., 0] = -dx
         flows[i, ..., 1] = -dy
     return ArrayDataset(xs, flows, name=f"flow_{'train' if train else 'test'}")
+
+
+def interpolate_frames(frame_a: jnp.ndarray, frame_b: jnp.ndarray, *,
+                       flow: Optional[jnp.ndarray] = None,
+                       flow_fn: Optional[Callable] = None,
+                       t: float = 0.5) -> jnp.ndarray:
+    """Flow-based intermediate-frame synthesis (reference README TODO
+    "more sophisticated video inference interpolation ... conditioned on
+    previous frames", README.md:170-171 — never started there).
+
+    ``flow`` is the backward flow satisfying ``a(p) = b(p + flow(p))`` —
+    the convention of :func:`flow_warp` and the trained ``FlowModel``
+    (pass ``flow_fn(a, b) -> flow`` to estimate it here). The frame at
+    time ``t`` (0 = a, 1 = b) warps BOTH endpoints along linearly scaled
+    flow and blends them with (1-t, t) weights — each endpoint dominates
+    near its own time, hiding the other's disocclusion artifacts::
+
+        x_t(p) = (1-t) * a(p + t*(-flow)) + t * b(p + (1-t)*flow)
+    """
+    if (flow is None) == (flow_fn is None):
+        raise ValueError("pass exactly one of flow= or flow_fn=")
+    if flow is None:
+        flow = flow_fn(frame_a, frame_b)
+    t = float(t)
+    from_a = flow_warp(frame_a.astype(jnp.float32), -t * flow)
+    from_b = flow_warp(frame_b.astype(jnp.float32), (1.0 - t) * flow)
+    return (1.0 - t) * from_a + t * from_b
 
 
 def generate_clip_dataset(n: int = 512, frames: int = 6, image_size: int = 12,

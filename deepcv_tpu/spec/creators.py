@@ -699,6 +699,24 @@ def _squeeze_cell(params, ctx: CreatorContext, name: str) -> fnn.Module:
         dtype=ctx.dtype, name=name)
 
 
+@submodule_creator("smg_module", aliases=("hcgn_block",),
+                   global_keys=("act_fn",),
+                   allowed=("out_channels", "growth_rate", "layers",
+                            "reduction_ratio"),
+                   required=("out_channels",))
+def _smg_module(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """HCGN SMG module (arXiv:1908.09699) — the reference's unimplemented
+    `smg_module` creator (nn.py:93-125): dense connectivity inside, SE
+    gating, gated residual across the module boundary."""
+    return dnn.SMGModule(
+        out_channels=int(params["out_channels"]),
+        growth_rate=int(params.get("growth_rate", 16)),
+        layers=int(params.get("layers", 3)),
+        reduction_ratio=int(params.get("reduction_ratio", 4)),
+        act_fn=dnn.get_activation(params.get("act_fn")),
+        dtype=ctx.dtype, name=name)
+
+
 @submodule_creator("eca", aliases=("efficient_channel_attention",),
                    allowed=("kernel_size", "gamma", "beta"))
 def _eca_cell(params, ctx: CreatorContext, name: str) -> fnn.Module:
