@@ -35,12 +35,23 @@ def _one_hot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                        label_smoothing: float = 0.0) -> jnp.ndarray:
     """Mean softmax cross-entropy; labels can be int classes or one-hot
-    (torch.nn.CrossEntropyLoss parity, classification/image.py:70)."""
+    (torch.nn.CrossEntropyLoss parity, classification/image.py:70).
+
+    Integer labels < 0 are IGNORED (masked out of the mean) — torch's
+    ``ignore_index`` semantics, generalized to any negative label; the
+    semi-supervised UDA mode marks unlabeled rows with -1."""
     num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if jnp.issubdtype(jnp.asarray(labels).dtype, jnp.integer):
+        valid = labels >= 0
+        y = _one_hot(jnp.maximum(labels, 0), num_classes)
+        if label_smoothing:
+            y = y * (1.0 - label_smoothing) + label_smoothing / num_classes
+        rows = -jnp.sum(y * logp, axis=-1) * valid
+        return jnp.sum(rows) / jnp.maximum(jnp.sum(valid), 1)
     y = _one_hot(labels, num_classes)
     if label_smoothing:
         y = y * (1.0 - label_smoothing) + label_smoothing / num_classes
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.mean(jnp.sum(y * logp, axis=-1))
 
 

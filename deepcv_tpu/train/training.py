@@ -112,6 +112,11 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # the MoE blocks sow (arXiv:2101.03961 uses 1e-2); ignored when the
     # model has no MoE blocks
     "moe_aux_weight": 0.01,
+    # UDA semi-supervised training (arXiv:1904.12848; reference README TODO
+    # :130): {weight, temperature, confidence_threshold, severity, width,
+    # depth, ops}. Needs datasets['unlabeledset'] + the resident data path
+    # + integer class targets (CE masks the -1 unlabeled rows).
+    "uda": None,
 }
 
 
@@ -368,7 +373,48 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         raise ValueError(
             f"batch_size={global_batch} exceeds the trainset size "
             f"{len(trainset)}: zero steps per epoch (reduce batch_size)")
-    device_ds = DeviceDataset(trainset, global_batch,
+
+    # UDA semi-supervised mode (arXiv:1904.12848; reference README TODO
+    # :130 "Use UDA ... with a custom model distilled from SinGAN"):
+    # unlabeled images join the RESIDENT train pool with target -1 — the
+    # exact-epoch sampler then mixes labeled/unlabeled rows per batch, the
+    # supervised CE masks negative labels (losses.cross_entropy_loss), and
+    # the loss adds a sharpened-teacher consistency term on unlabeled rows.
+    uda_cfg = dict(hp.get("uda") or {})
+    unlabeledset = datasets.get("unlabeledset")
+    if uda_cfg:
+        if unlabeledset is None:
+            raise ValueError("hp['uda'] set but datasets['unlabeledset'] "
+                             "missing (pass an ArrayDataset or image array)")
+        if not resident:
+            raise ValueError("uda requires the device-resident data path "
+                             "(device_resident_dataset: true)")
+        from deepcv_tpu.data.datasets import ArrayDataset as _ADS
+        from deepcv_tpu.data.pipeline import _unwrap as _unwrap_ds
+        base_ds = _unwrap_ds(trainset)
+        li = np.asarray(base_ds.images)
+        lt = np.asarray(base_ds.targets)
+        if lt.ndim != 1 or not np.issubdtype(lt.dtype, np.integer):
+            raise ValueError("uda needs integer class targets "
+                             f"(got targets of shape {lt.shape}, {lt.dtype})")
+        ui = np.asarray(unlabeledset.images
+                        if hasattr(unlabeledset, "images") else unlabeledset)
+        if ui.shape[1:] != li.shape[1:]:
+            raise ValueError(f"unlabeled image shape {ui.shape[1:]} != "
+                             f"labeled {li.shape[1:]}")
+        merged_train = _ADS(
+            np.concatenate([li, ui.astype(li.dtype)]),
+            np.concatenate([lt, np.full(len(ui), -1, lt.dtype)]),
+            classes=base_ds.classes, name=f"{base_ds.name}_uda",
+            provenance=getattr(base_ds, "provenance", "real"))
+        _logger.info("UDA: %d labeled + %d unlabeled rows in the train pool",
+                     len(li), len(ui))
+    elif unlabeledset is not None:
+        raise ValueError("datasets['unlabeledset'] present but hp['uda'] not "
+                         "set — pass uda: {weight: ...} to enable it")
+
+    device_ds = DeviceDataset(merged_train if uda_cfg else trainset,
+                              global_batch,
                               sharding=backend.replicated_sharding) if resident else None
     if not resident and global_batch % backend.process_count:
         raise ValueError(f"batch_size={global_batch} must divide evenly over "
@@ -550,6 +596,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         # label distributions; refuse instead of silently corrupting both
         raise ValueError("mixup/cutmix cannot combine with augmix_jsd: the "
                          "JSD anchor must be the clean batch (disable one)")
+    if uda_cfg and (self_target or jsd_cfg or mixing):
+        raise ValueError("uda cannot combine with self_supervised_target, "
+                         "augmix_jsd, or mixup/cutmix — each redefines what "
+                         "the batch's anchor/labels mean (disable the others)")
 
     def loss_fn(params, batch_stats, raw_x, y, key):
         x = trainset.batch_transform(raw_x, key=key)
@@ -615,6 +665,49 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             terms = dict(terms)
             terms["jsd_consistency"] = consistency
             main = main + jsd_weight * consistency
+            terms["main_loss"] = main
+        if uda_cfg:
+            # UDA (arXiv:1904.12848), FixMatch-style views: the TEACHER is
+            # the main forward (weak view = the trainset's own recipe,
+            # stop-gradient, sharpened by 1/T); the STUDENT sees a strong
+            # AugMix view. KL(teacher || student) on unlabeled rows above
+            # the confidence threshold joins the masked supervised CE.
+            from deepcv_tpu.data.augmentation import augment_and_mix
+            from deepcv_tpu.data.transforms import to_tensor
+            akey = jax.random.fold_in(key, 4242)
+            xa = augment_and_mix(
+                to_tensor(raw_x), akey,
+                severity=int(uda_cfg.get("severity", 3)),
+                width=int(uda_cfg.get("width", 3)),
+                depth=int(uda_cfg.get("depth", -1)),
+                ops=tuple(uda_cfg["ops"]) if uda_cfg.get("ops") else None)
+            if trainset.transform is not None:
+                xa = trainset.transform(xa, akey)
+            if dtype is not None:
+                xa = xa.astype(dtype)
+            student_logits, _ = _forward(params, batch_stats, xa, akey)
+            t_logits = jax.lax.stop_gradient(logits).astype(jnp.float32)
+            temp = float(uda_cfg.get("temperature", 0.4))
+            p_teacher = jax.nn.softmax(t_logits / temp, axis=-1)
+            conf = jnp.max(jax.nn.softmax(t_logits, axis=-1), axis=-1)
+            thr = float(uda_cfg.get("confidence_threshold", 0.0))
+            unlabeled = y < 0
+            m = (unlabeled & (conf >= thr)).astype(jnp.float32)
+            logq = jax.nn.log_softmax(student_logits.astype(jnp.float32), -1)
+            kl = jnp.sum(p_teacher * (jnp.log(jnp.maximum(p_teacher, 1e-12))
+                                      - logq), axis=-1)
+            cons = jnp.sum(kl * m) / jnp.maximum(jnp.sum(m), 1.0)
+            main = main + float(uda_cfg.get("weight", 1.0)) * cons
+            terms = dict(terms)
+            terms["uda_consistency"] = cons
+            terms["uda_masked_frac"] = jnp.mean(m)
+            # built-in per-step accuracy would count unlabeled rows as
+            # errors; report the labeled-row accuracy explicitly
+            lm = (~unlabeled).astype(jnp.float32)
+            hits = (jnp.argmax(logits, -1) == jnp.maximum(y, 0)).astype(
+                jnp.float32)
+            terms["labeled_accuracy"] = (jnp.sum(hits * lm)
+                                         / jnp.maximum(jnp.sum(lm), 1.0))
             terms["main_loss"] = main
         if param_regularizer is not None:
             main = main + param_regularizer(params)

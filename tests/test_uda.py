@@ -1,0 +1,143 @@
+"""UDA semi-supervised training (arXiv:1904.12848; reference README TODO
+:130 — never started there). Covers the CE ignore-index masking, the merged
+resident pool mechanics, the consistency term, and the guards."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.config import load_yaml
+from deepcv_tpu.data.datasets import ArrayDataset, load_dataset
+from deepcv_tpu.data.preprocess import preprocess
+from deepcv_tpu.spec import DeepcvModule
+from deepcv_tpu.train import train, BackendConfig
+from deepcv_tpu.train.losses import cross_entropy_loss
+
+MODEL = """
+act_fn: relu
+batch_norm: { momentum: 0.1 }
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 16, padding: 1 }
+  - conv2d: { kernel_size: [3, 3], out_channels: 16, padding: 1 }
+  - flatten: {}
+  - fully_connected: { out_features: 4, act_fn: null, batch_norm: null }
+"""
+
+
+def test_cross_entropy_ignores_negative_labels():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (8, 4))
+    y = jnp.array([0, 1, 2, 3, -1, -1, 1, -1])
+    masked = cross_entropy_loss(logits, y)
+    keep = np.asarray([0, 1, 2, 3, 6])
+    ref = cross_entropy_loss(logits[keep], y[keep])
+    np.testing.assert_allclose(float(masked), float(ref), rtol=1e-6)
+    # one-hot labels keep the plain-mean behavior
+    oh = jax.nn.one_hot(jnp.maximum(y, 0), 4)
+    assert np.isfinite(float(cross_entropy_loss(logits, oh)))
+
+
+def _datasets(n_labeled=64, n_unlabeled=192, seed=0):
+    raw = load_dataset("synthetic", n=n_labeled + n_unlabeled + 64,
+                       image_shape=(8, 8, 3), num_classes=4, seed=seed)
+    imgs, tg = np.asarray(raw.images), np.asarray(raw.targets)
+    labeled = ArrayDataset(imgs[:n_labeled], tg[:n_labeled],
+                           classes=raw.classes, name="uda_labeled")
+    unlabeled = ArrayDataset(imgs[n_labeled:n_labeled + n_unlabeled],
+                             tg[n_labeled:n_labeled + n_unlabeled],
+                             classes=raw.classes, name="uda_unlabeled")
+    data = preprocess({"trainset": labeled},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    data["unlabeledset"] = unlabeled   # images only are consumed
+    return data
+
+
+def test_uda_training_runs_and_reports_terms(tmp_path):
+    data = _datasets()
+    model = DeepcvModule((8, 8, 3), load_yaml(MODEL))
+    hp = {"epochs": 3, "batch_size": 32, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 2,
+          "validate_every_epochs": 3, "output_path": str(tmp_path),
+          "seed": 7, "uda": {"weight": 1.0, "temperature": 0.4,
+                             "confidence_threshold": 0.0}}
+    state, hist = train(hp, model, cross_entropy_loss, data,
+                        backend_conf=BackendConfig(n_devices=1))
+    rec = hist["train"][-1]
+    assert "uda_consistency" in rec and np.isfinite(rec["uda_consistency"])
+    assert "labeled_accuracy" in rec
+    # merged pool: (48 labeled-after-split + 192 unlabeled) rows -> the
+    # unlabeled fraction of each batch is ~0.8
+    assert 0.5 < rec["uda_masked_frac"] < 0.95
+    assert hist["valid"]                       # validation on REAL labels only
+    assert np.isfinite(hist["valid"][-1]["valid_accuracy"])
+
+
+def _structured(n, seed, ncls=4, shape=(8, 8, 3), amp=96):
+    """Class-template + noise images — a LEARNABLE task (the generic
+    'synthetic' loader is pure noise: random labels on random pixels, so a
+    semi-vs-supervised comparison there is a coin flip)."""
+    base = np.random.default_rng(99).integers(
+        0, 256, size=(ncls, *shape)).astype(np.int16)
+    rng = np.random.default_rng(seed)
+    t = rng.integers(0, ncls, size=n).astype(np.int64)
+    noise = rng.integers(0, amp, size=(n, *shape)).astype(np.int16)
+    imgs = np.clip(base[t] + noise - amp // 2, 0, 255).astype(np.uint8)
+    return imgs, t
+
+
+def test_uda_beats_labeled_only_baseline(tmp_path):
+    """The semi-supervised claim on a seeded learnable task: tiny labeled
+    set + plentiful unlabeled consistency >= labeled-only training."""
+    def run(uda):
+        li, lt = _structured(48, seed=13)
+        labeled = ArrayDataset(li, lt, classes=list("abcd"), name="uda_l")
+        data = preprocess({"trainset": labeled},
+                          {"seed": 1, "split_dataset": {"validset_ratio": 0.25},
+                           "transforms": ["to_tensor"]})
+        if uda:
+            ui, _ = _structured(256, seed=113)
+            data["unlabeledset"] = ArrayDataset(
+                ui, np.zeros(len(ui), np.int64), classes=list("abcd"),
+                name="uda_u")
+        model = DeepcvModule((8, 8, 3), load_yaml(MODEL))
+        hp = {"epochs": 12, "batch_size": 32, "optimizer_opts": {"lr": 3e-3},
+              "save_every_iters": 0, "validate_every_epochs": 12,
+              "output_path": str(tmp_path / f"uda{uda}"), "seed": 11}
+        if uda:
+            hp["uda"] = {"weight": 1.0, "temperature": 0.4, "severity": 1}
+        _, h = train(hp, model, cross_entropy_loss, data,
+                     backend_conf=BackendConfig(n_devices=1))
+        return h["valid"][-1]["valid_accuracy"]
+
+    acc_base = run(False)
+    acc_uda = run(True)
+    # seeded, deterministic: record both so a regression is visible
+    # (measured on this seed: base 0.75, uda 1.0)
+    assert acc_uda >= acc_base - 1e-9, (acc_base, acc_uda)
+
+
+def test_uda_guards(tmp_path):
+    data = _datasets()
+    model = DeepcvModule((8, 8, 3), load_yaml(MODEL))
+    base_hp = {"epochs": 1, "batch_size": 32, "optimizer_opts": {"lr": 1e-3},
+               "save_every_iters": 0, "output_path": str(tmp_path), "seed": 0}
+    # unlabeledset without uda
+    with pytest.raises(ValueError, match="hp\\['uda'\\] not"):
+        train(dict(base_hp), model, cross_entropy_loss, data,
+              backend_conf=BackendConfig(n_devices=1))
+    # uda without unlabeledset
+    d2 = dict(data)
+    d2.pop("unlabeledset")
+    with pytest.raises(ValueError, match="unlabeledset"):
+        train(dict(base_hp, uda={"weight": 1.0}), model, cross_entropy_loss,
+              d2, backend_conf=BackendConfig(n_devices=1))
+    # incompatible companions
+    with pytest.raises(ValueError, match="uda cannot combine"):
+        train(dict(base_hp, uda={"weight": 1.0}, mixup_alpha=0.4), model,
+              cross_entropy_loss, data, backend_conf=BackendConfig(n_devices=1))
+    # shape mismatch between pools
+    d3 = dict(data)
+    d3["unlabeledset"] = np.zeros((4, 16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="shape"):
+        train(dict(base_hp, uda={"weight": 1.0}), model, cross_entropy_loss,
+              d3, backend_conf=BackendConfig(n_devices=1))
