@@ -20,6 +20,7 @@ functional params make that bug impossible here.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple, Union
 
 import jax
@@ -28,7 +29,8 @@ import flax.linen as fnn
 
 from deepcv_tpu.ops import nn as dnn
 
-__all__ = ["ParallelConvolution", "MultiresolutionFusion", "HRNetInputStem",
+__all__ = ["ParallelConvolution", "PyramidalConvolution",
+           "MultiresolutionFusion", "HRNetInputStem",
            "HRNetV1RepresentationHead", "HRNetV2RepresentationHead",
            "HRNetV2pRepresentationHead"]
 
@@ -104,6 +106,86 @@ class ParallelConvolution(fnn.Module):
                               name=f"stream{i}_layer")
             outs.append(layer(s, train=train))
         return outs
+
+
+class PyramidalConvolution(fnn.Module):
+    """PyConv (arXiv:2006.11538) — the reference's own spec for it is
+    README.md:147: one conv layer with SEVERAL kernel sizes over the SAME
+    input, where larger kernels use more convolution groups so every pyramid
+    level costs about the same FLOPs as the smallest one; level outputs are
+    concatenated on the channel axis (constant spatial size via same-padding,
+    the paper's varying zero-pad note).
+
+    ``groups=None`` (default) derives the paper's scheme: level i gets
+    ``round_pow2((K_i / K_0)^2)`` groups (PyConv4 with K=(3,5,7,9) ->
+    G=(1,4,8,16), the paper's table 1), snapped down to a common divisor of
+    the level's in/out channels. ``out_channels`` may be the TOTAL (split
+    equally, remainder to the first levels) or a per-level list.
+
+    One norm/act/dropout ``Layer`` wraps the concatenated map — matching
+    PyConvResNet, where BN+ReLU follow the whole PyConv unit, and keeping a
+    single fused XLA elementwise tail instead of n per-level ones.
+    """
+    kernel_sizes: Any                      # e.g. (3, 5, 7, 9) or ((3,3),(5,5))
+    out_channels: Any                      # int total or per-level sequence
+    groups: Any = None                     # None = paper auto scheme
+    act_fn: Optional[Callable] = None
+    dropout_prob: float = 0.0
+    preactivation: bool = False
+    norm_specs: Optional[Mapping[str, Any]] = None
+    dtype: Any = None
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            raise ValueError("pyconv takes ONE feature map (use parallel_conv "
+                             f"for multi-stream inputs); got {len(x)} tensors")
+        ks = self.kernel_sizes
+        if not isinstance(ks, (list, tuple)) or not ks:
+            raise ValueError(f"pyconv 'kernel_sizes' must be a non-empty "
+                             f"sequence of kernel sizes, got {ks!r}")
+        kss = [tuple(int(v) for v in k) if isinstance(k, (list, tuple))
+               else (int(k),) * (x.ndim - 2) for k in ks]
+        n = len(kss)
+        if isinstance(self.out_channels, (list, tuple)):
+            chs = [int(c) for c in self.out_channels]
+            if len(chs) != n:
+                raise ValueError(f"pyconv: {len(chs)} out_channels entries "
+                                 f"for {n} kernel sizes")
+        else:
+            total = int(self.out_channels)
+            base, rem = divmod(total, n)
+            chs = [base + (1 if i < rem else 0) for i in range(n)]
+        if self.groups is None:
+            # paper scheme: equal per-level cost => groups ~ (K_i/K_0)^2,
+            # rounded to the nearest power of two (table 1: 1, 4, 8, 16)
+            k0 = max(kss[0][0], 1)
+            grs = [1 << max(0, math.ceil(math.log2(max((k[0] / k0) ** 2, 1))))
+                   for k in kss]
+        else:
+            grs = ([int(g) for g in self.groups]
+                   if isinstance(self.groups, (list, tuple))
+                   else [int(self.groups)] * n)
+        in_ch = x.shape[-1]
+        outs = []
+        for i, (k, c) in enumerate(zip(kss, chs)):
+            g = max(1, grs[i])
+            while g > 1 and (in_ch % g or c % g):
+                g -= 1   # snap to a feasible divisor, like parallel_conv
+            outs.append(fnn.Conv(
+                c, k, padding=tuple((v // 2, v // 2) for v in k),
+                feature_group_count=g, dtype=self.dtype,
+                kernel_init=dnn.xavier_normal_with_gain(
+                    dnn.get_gain(self.act_fn)),
+                name=f"level{i}_k{k[0]}_conv")(x))
+        y = jnp.concatenate(outs, axis=-1)
+        layer = dnn.Layer(op=dnn.Identity(), act_fn=self.act_fn,
+                          dropout_prob=self.dropout_prob,
+                          preactivation=self.preactivation,
+                          norms=tuple(dnn.normalization_techniques(
+                              self.norm_specs or {}, dtype=self.dtype)),
+                          name="mix_layer")
+        return layer(y, train=train)
 
 
 class MultiresolutionFusion(fnn.Module):

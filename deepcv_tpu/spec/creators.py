@@ -640,6 +640,32 @@ def _parallel_conv(params, ctx: CreatorContext, name: str) -> fnn.Module:
                                  dtype=ctx.dtype, name=name)
 
 
+@submodule_creator("pyconv", aliases=("pyramidal_conv",),
+                   global_keys=GLOBAL_LAYER_KEYS,
+                   allowed=("kernel_sizes", "out_channels", "groups"),
+                   required=("kernel_sizes", "out_channels"))
+def _pyconv(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Pyramidal convolution (PyConv, arXiv:2006.11538) — the reference
+    README TODO :147 intent: several kernel sizes over ONE input with
+    cost-balancing convolution groups, outputs channel-concatenated.
+    ``groups`` omitted -> the paper's (K_i/K_0)^2 power-of-two scheme."""
+    from deepcv_tpu.ops import hrnet as H
+    g = params.get("groups")
+    return H.PyramidalConvolution(
+        kernel_sizes=tuple(tuple(k) if isinstance(k, (list, tuple)) else int(k)
+                           for k in params["kernel_sizes"]),
+        out_channels=(tuple(int(c) for c in params["out_channels"])
+                      if isinstance(params["out_channels"], (list, tuple))
+                      else int(params["out_channels"])),
+        groups=(tuple(int(v) for v in g) if isinstance(g, (list, tuple))
+                else (int(g) if g is not None else None)),
+        act_fn=dnn.get_activation(params.get("act_fn")),
+        dropout_prob=float(params.get("dropout_prob") or 0.0),
+        preactivation=bool(params.get("preactivation", False)),
+        norm_specs=_norm_specs_from_params(params),
+        dtype=ctx.dtype, name=name)
+
+
 @submodule_creator("multiresolution_fusion", global_keys=GLOBAL_LAYER_KEYS,
                    allowed=("create_new_branch", "new_branch_channels",
                             "reuse_scaling_convs"))

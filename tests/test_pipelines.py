@@ -237,6 +237,48 @@ def test_hrnet_backbone_from_conf(rng):
     assert "batch_stats" in st  # mean-only BN running means
 
 
+def test_pyconv_spec_creator(rng):
+    """The pyconv creator (PyConv, arXiv:2006.11538; reference README TODO
+    :147): auto groups balance per-level cost, total out_channels splits
+    across levels, infeasible groups snap to divisors, norms/act apply."""
+    from deepcv_tpu.spec import DeepcvModule
+    hp = {"act_fn": "relu", "batch_norm": {"momentum": 0.1}, "architecture": [
+        {"conv2d": {"kernel_size": [3, 3], "out_channels": 32, "padding": 1}},
+        {"pyconv": {"kernel_sizes": [3, 5, 7, 9], "out_channels": 64}},
+        {"flatten": {}},
+        {"fully_connected": {"out_features": 5, "act_fn": None,
+                             "batch_norm": None}}]}
+    m = DeepcvModule((16, 16, 3), hp)
+    v = m.init(rng)
+    y, st = m.apply(v, jnp.ones((2, 16, 16, 3)), train=True,
+                    rngs={"dropout": rng})
+    assert y.shape == (2, 5) and "batch_stats" in st
+    sub = [k for k in v["params"] if "pyconv" in k][0]
+    lv = v["params"][sub]
+    convs = sorted(k for k in lv if k.endswith("_conv"))
+    # paper table-1 groups (1, 4, 8, 16) on 32 in-channels -> in/g dims
+    dims = [np.asarray(lv[k]["kernel"]).shape[2] for k in convs]
+    assert dims == [32, 8, 4, 2]
+    # per-level FLOP cost within 2x of the smallest (the PyConv point)
+    costs = [np.asarray(lv[k]["kernel"]).size for k in convs]
+    assert max(costs) < 2 * min(costs), costs
+    # relu after concat: activations are non-negative pre-norm paths exist
+    out = m.apply(v, jnp.ones((1, 16, 16, 3)), train=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # infeasible groups snap down to a feasible divisor instead of crashing
+    from deepcv_tpu.ops.hrnet import PyramidalConvolution
+    pm = PyramidalConvolution(kernel_sizes=(3, 5), out_channels=(6, 6),
+                              groups=(1, 4))  # 4 divides neither 10 nor 6
+    pv = pm.init(rng, jnp.ones((1, 8, 8, 10)))
+    py = pm.apply(pv, jnp.ones((1, 8, 8, 10)))
+    assert py.shape == (1, 8, 8, 12)
+    # multi-stream input is a parallel_conv job, not pyconv's
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ONE feature map"):
+        pm.init(rng, [jnp.ones((1, 8, 8, 4))] * 2)
+
+
 def test_extract_keypoints():
     from deepcv_tpu.pipelines.keypoints import extract_keypoints
     score = jnp.zeros((1, 16, 16))

@@ -869,6 +869,34 @@ def test_parallel_convolution_torch_parity():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_pyconv_torch_parity():
+    """PyramidalConvolution (PyConv, arXiv:2006.11538; reference README TODO
+    :147): four kernel sizes over ONE input with the paper's (1, 4, 8, 16)
+    cost-balancing groups, channel-concatenated — matches a torch mirror of
+    per-level grouped convs built from the same params."""
+    import torch
+    from deepcv_tpu.ops.hrnet import PyramidalConvolution
+
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(2, 16, 16, 32)).astype(np.float32)
+    jm = PyramidalConvolution(kernel_sizes=(3, 5, 7, 9), out_channels=64,
+                              act_fn=jax.nn.relu)
+    jx = jnp.asarray(x)
+    jv = jm.init(jax.random.PRNGKey(10), jx)
+    jy = np.asarray(jm.apply(jv, jx))
+
+    tx = _t(x).permute(0, 3, 1, 2)
+    outs = []
+    for i, (k, g) in enumerate(zip((3, 5, 7, 9), (1, 4, 8, 16))):
+        node = jv["params"][f"level{i}_k{k}_conv"]
+        # the auto-group scheme must have produced the paper's table-1 groups
+        assert np.asarray(node["kernel"]).shape[2] == 32 // g
+        outs.append(_t_conv(node, tx, padding=k // 2, groups=g))
+    ty = tF.relu(torch.cat(outs, dim=1))
+    np.testing.assert_allclose(jy, ty.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_multiresolution_fusion_torch_parity():
     """MultiresolutionFusion (reference hrnet.py:120-250): every stream is
     rescaled into every resolution (strided 3x3 chains down, bilinear +
