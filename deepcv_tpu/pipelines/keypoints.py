@@ -7,7 +7,11 @@ Reference parity:
     ``train_keypoint_detector``;
   * /root/reference/src/deepcv/keypoints/matching.py — a stub in the
     reference; implemented here: dense descriptor extraction + mutual-NN
-    matching (BASELINE config #4), all-pairs distances on the MXU.
+    matching (BASELINE config #4), all-pairs distances on the MXU;
+  * AdaLAM-style match outlier filtering (reference README TODO :148
+    "Reuse outlier filtering technique for feature keypoint matching ...
+    AdaLAM", arXiv:2006.04250) — :func:`filter_matches_adalam`, re-designed
+    for XLA: static seed/hypothesis counts, vmapped similarity-RANSAC.
 """
 from __future__ import annotations
 
@@ -26,7 +30,8 @@ from deepcv_tpu.train.backend import BackendConfig
 from deepcv_tpu.train.losses import mse_loss
 
 __all__ = ["get_pipelines", "create_autoencoder", "train_autoencoder",
-           "Autoencoder", "extract_dense_descriptors", "match_descriptors"]
+           "Autoencoder", "extract_dense_descriptors", "match_descriptors",
+           "filter_matches_adalam"]
 
 _logger = logging.getLogger(__name__)
 
@@ -179,6 +184,92 @@ def match_descriptors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
         d2 = 2.0 - 2.0 * jnp.take_along_axis(sim, best_b[:, None], axis=1)[:, 0]
         valid = valid & (d2 <= max_distance ** 2)
     return best_b, valid
+
+
+def filter_matches_adalam(coords_a: jnp.ndarray, coords_b: jnp.ndarray,
+                          matches: jnp.ndarray, valid: jnp.ndarray,
+                          scores: Optional[jnp.ndarray] = None, *,
+                          key: Optional[jax.Array] = None,
+                          n_seeds: int = 32, n_hypotheses: int = 16,
+                          seed_radius: float = 8.0,
+                          neighborhood_radius: float = 24.0,
+                          inlier_tol: float = 3.0, min_inliers: int = 6,
+                          ) -> jnp.ndarray:
+    """AdaLAM-style outlier filtering of putative matches (arXiv:2006.04250;
+    reference README TODO :148 — never started there).
+
+    The full AdaLAM pipeline is (1) spread-out, locally-best SEED matches,
+    (2) assignment of every match to nearby seeds in BOTH images, (3) local
+    affine verification with adaptive RANSAC per seed. This is that design
+    re-shaped for XLA: every stage is a fixed-shape masked tensor program —
+    ``n_seeds`` seeds picked by score + spatial non-max suppression, a
+    (seeds, matches) neighborhood mask, and per-seed similarity-transform
+    RANSAC (2-point minimal solver in complex form, ``n_hypotheses``
+    hypotheses each) vmapped over seeds.  A match survives when it is an
+    inlier of some seed's best local model that has >= ``min_inliers``
+    support.  O(S*T*A) residual work, no data-dependent shapes, jittable.
+
+    Args: ``coords_a`` (A, 2) and ``coords_b`` (B, 2) keypoint positions
+    ((y, x) as produced by :func:`extract_keypoints`); ``matches`` (A,)
+    indices into b (:func:`match_descriptors` output); ``valid`` (A,) mask;
+    ``scores`` optional (A,) match quality (defaults to uniform).
+    Returns the refined (A,) boolean mask (a subset of ``valid``).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    a = coords_a.astype(jnp.float32)                       # (A, 2)
+    b = coords_b.astype(jnp.float32)[matches]              # (A, 2) matched pos
+    A = a.shape[0]
+    sc = (jnp.ones((A,), jnp.float32) if scores is None
+          else scores.astype(jnp.float32))
+    sc = jnp.where(valid, sc, -jnp.inf)
+
+    # ---- 1. seeds: locally-best valid matches, spread by seed_radius ----
+    da = jnp.linalg.norm(a[:, None, :] - a[None, :, :], axis=-1)   # (A, A)
+    near = da <= seed_radius
+    local_best = sc >= jnp.max(jnp.where(near, sc[None, :], -jnp.inf), axis=1)
+    seed_score = jnp.where(local_best & valid, sc, -jnp.inf)
+    _, seed_idx = jax.lax.top_k(seed_score, min(n_seeds, A))       # (S,)
+    seed_ok = jnp.isfinite(seed_score[seed_idx])                   # real seeds
+
+    # ---- 2. neighborhoods: close to the seed in BOTH images ----
+    d_seed_a = jnp.linalg.norm(a[seed_idx][:, None, :] - a[None, :, :], axis=-1)
+    d_seed_b = jnp.linalg.norm(b[seed_idx][:, None, :] - b[None, :, :], axis=-1)
+    neigh = ((d_seed_a <= neighborhood_radius)
+             & (d_seed_b <= neighborhood_radius)
+             & valid[None, :] & seed_ok[:, None])                  # (S, A)
+
+    # ---- 3. per-seed similarity RANSAC (complex 2-point solver) ----
+    za = a[:, 0] + 1j * a[:, 1]                                    # (A,) complex
+    zb = b[:, 0] + 1j * b[:, 1]
+
+    def verify_seed(mask, k):
+        # sample 2 distinct neighbor matches per hypothesis via gumbel top-2
+        # over the neighborhood mask (uniform among neighbors)
+        g = jax.random.gumbel(k, (n_hypotheses, A))
+        g = jnp.where(mask[None, :], g, -jnp.inf)
+        _, pick = jax.lax.top_k(g, 2)                              # (T, 2)
+        p1, p2 = za[pick[:, 0]], za[pick[:, 1]]                    # (T,)
+        q1, q2 = zb[pick[:, 0]], zb[pick[:, 1]]
+        dp = p2 - p1
+        degenerate = jnp.abs(dp) < 1e-6
+        alpha = (q2 - q1) / jnp.where(degenerate, 1.0, dp)         # scale+rot
+        beta = q1 - alpha * p1
+        resid = jnp.abs(alpha[:, None] * za[None, :] + beta[:, None]
+                        - zb[None, :])                             # (T, A)
+        # AdaLAM's scale-adaptive threshold: tolerance in image-b pixels,
+        # grown with the local scale so zoom-ins aren't over-pruned
+        tol = inlier_tol * jnp.maximum(1.0, jnp.abs(alpha))[:, None]
+        inl = (resid <= tol) & mask[None, :] & ~degenerate[:, None]
+        counts = jnp.sum(inl, axis=1)                              # (T,)
+        best = jnp.argmax(counts)
+        return inl[best], counts[best]
+
+    keys = jax.random.split(key, neigh.shape[0])
+    inliers, counts = jax.vmap(verify_seed)(neigh, keys)           # (S, A), (S,)
+    supported = counts >= min_inliers                              # (S,)
+    confirmed = jnp.any(inliers & supported[:, None], axis=0)      # (A,)
+    return confirmed & valid
 
 
 def get_pipelines() -> Dict[str, Pipeline]:

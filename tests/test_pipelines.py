@@ -153,6 +153,52 @@ def test_descriptor_matching():
     assert int(valid2.sum()) < 5
 
 
+def test_adalam_outlier_filtering():
+    """AdaLAM-style filter (arXiv:2006.04250; reference README TODO :148):
+    on a ground-truth similarity transform with injected wrong matches, the
+    local-affine-consistency filter keeps true matches and kills outliers
+    that mutual-NN alone would pass."""
+    from deepcv_tpu.pipelines.keypoints import filter_matches_adalam
+
+    rng = np.random.default_rng(7)
+    A = 128
+    pa = rng.uniform(0, 100, (A, 2)).astype(np.float32)
+    th, s = np.deg2rad(30.0), 1.2
+    R = s * np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                     np.float32)
+    pb = pa @ R.T + np.array([10.0, 5.0], np.float32)
+    matches = np.arange(A)
+    out_idx = rng.choice(A, 40, replace=False)
+    wrong = rng.integers(0, A, 40)
+    wrong = np.where(wrong == out_idx, (wrong + 1) % A, wrong)  # truly wrong
+    matches[out_idx] = wrong
+    is_true = matches == np.arange(A)
+    valid = np.ones(A, bool)
+
+    refined = np.asarray(filter_matches_adalam(
+        jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(matches),
+        jnp.asarray(valid), key=jax.random.PRNGKey(3)))
+    # subset of the input mask
+    assert not np.any(refined & ~valid)
+    recall = refined[is_true].mean()
+    survivors = int(refined[~is_true].sum())
+    assert recall > 0.85, recall            # true matches overwhelmingly kept
+    assert survivors <= 3, survivors        # outliers overwhelmingly removed
+
+    # jit == eager
+    jitted = np.asarray(jax.jit(lambda *t: filter_matches_adalam(
+        *t, key=jax.random.PRNGKey(3)))(jnp.asarray(pa), jnp.asarray(pb),
+                                        jnp.asarray(matches),
+                                        jnp.asarray(valid)))
+    assert np.array_equal(refined, jitted)
+
+    # an all-invalid input confirms nothing (no seeds, no support)
+    none = np.asarray(filter_matches_adalam(
+        jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(matches),
+        jnp.zeros(A, bool), key=jax.random.PRNGKey(3)))
+    assert not none.any()
+
+
 def test_extract_dense_descriptors():
     fm = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
     d = extract_dense_descriptors(fm)
