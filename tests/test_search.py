@@ -475,3 +475,52 @@ def test_lstm_controller_unit():
     assert wins >= 85, wins
     g = ctl.greedy()
     assert g[0] == g[1]
+
+
+def test_hp_search_over_nas(tmp_path):
+    """Reference README TODO :144 'HP search which itself performs
+    Single-Shot NAS training for each HP trial': every trial runs a full
+    SS-NAS, the tuner sees the searched arch's validation score, the best
+    record carries its exported architecture."""
+    from deepcv_tpu.data.datasets import ArrayDataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.search import hp_search_over_nas
+    from deepcv_tpu.train.losses import cross_entropy_loss
+
+    base = np.random.default_rng(99).integers(0, 256, (4, 8, 8, 3)).astype(np.int16)
+    rng = np.random.default_rng(1)
+    t = rng.integers(0, 4, 96).astype(np.int64)
+    imgs = np.clip(base[t] + rng.integers(0, 64, (96, 8, 8, 3)) - 32,
+                   0, 255).astype(np.uint8)
+    data = preprocess({"trainset": ArrayDataset(imgs, t, classes=list("abcd"),
+                                                name="hpnas")},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    model_hp = load_yaml("""
+act_fn: relu
+architecture:
+  - _nas_layer_choice:
+      _name: "m1"
+      _candidates:
+        - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+        - conv2d: { kernel_size: [5, 5], out_channels: 8, padding: 2 }
+  - flatten: {}
+  - fully_connected: { out_features: 4, act_fn: null }
+""")
+    hp = {"epochs": 2, "batch_size": 24, "optimizer_opts": {"lr": 1e-3},
+          "output_path": str(tmp_path), "validate_every_epochs": 1}
+    space = HyperparameterSpace.from_nni_json({
+        "training:optimizer_opts.lr":
+            {"_type": "loguniform", "_value": [1e-3, 1e-2]}})
+    summary = hp_search_over_nas(
+        (8, 8, 3), model_hp, hp, cross_entropy_loss, data, space,
+        algorithm="darts", tuner="random", max_trials=2, seed=5,
+        output_dir=tmp_path / "hp_over_nas")
+    assert len(summary["trials"]) == 2 and len(summary["architectures"]) == 2
+    lrs = [tr["params"]["training:optimizer_opts.lr"]
+           for tr in summary["trials"]]
+    assert lrs[0] != lrs[1]                     # the tuner really sampled
+    best = summary["best"]
+    assert best is not None and best["value"] is not None
+    assert best["architecture"]["m1"] in (0, 1)  # a searched arch came back
+    assert best["architecture"] == summary["architectures"][best["trial"]]
