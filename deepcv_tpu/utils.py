@@ -264,6 +264,7 @@ def test_module_cli(module_file: str):
         "runner.py": "test_search.py", "detection.py": "test_detection.py",
         "video.py": "test_meta_subsystems.py",
         "keypoints.py": "test_serving_and_jsd.py",
+        "active_learning.py": "test_active_learning.py",
     }
     target = tests_dir / mapping.get(mod.name, "")
     args = [str(target) if target.is_file() else str(tests_dir), "-q"]
