@@ -951,6 +951,64 @@ def bench_moe(batch: int = 0):
         "data": "synthetic"}))
 
 
+def bench_codec():
+    """Config 14: learned lossless codec rate + coding throughput
+    (reference README.md:157-161 'benchmark performances ... compare speed
+    and size': L3C itself is unavailable offline, so the baselines are raw
+    bytes and PNG — the classical codec the reference names as the thing
+    to beat losslessly).
+
+    Trains the pyramid model briefly on CIFAR-shaped images (real if
+    cached, synthetic otherwise — disclosed), then times encode+decode of
+    held-out images end to end (TPU probability model + native range
+    coder) and reports realized bits/dim, the PNG size ratio, and px/s."""
+    import time as _time
+
+    import numpy as np
+
+    from deepcv_tpu.codec import LosslessCodec
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.runtime.range_coder import rc_native_available
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    raw = load_dataset("cifar10", root="data/01_raw", train=True)
+    imgs = np.asarray(raw.images[: 4096 if on_tpu else 256], np.uint8)
+    train_imgs, test_imgs = imgs[:-32], imgs[-32:]
+    codec = LosslessCodec((32, 32, 3), n_scales=2,
+                          hidden=48 if on_tpu else 16, seed=0)
+    codec.fit(train_imgs, steps=600 if on_tpu else 120,
+              batch_size=64 if on_tpu else 16, lr=3e-3, seed=0)
+
+    n_code = 16 if on_tpu else 4
+    codec.encode(test_imgs[0])                     # compile warmup
+    t0 = _time.perf_counter()
+    blobs = [codec.encode(im) for im in test_imgs[:n_code]]
+    t_enc = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    decs = [codec.decode(b) for b in blobs]
+    t_dec = _time.perf_counter() - t0
+    assert all((d == im).all() for d, im in zip(decs, test_imgs)), "lossless?!"
+
+    report = codec.evaluate(test_imgs, n_code=n_code)
+    px = n_code * 32 * 32
+    out = {"metric": "lossless_codec_rate",
+           "value": round(report["coded_bits_per_dim"], 3),
+           "unit": "bits/subpixel",
+           # compression ratio over raw u8 — the honest "value" of a codec
+           "vs_baseline": round(8.0 / report["coded_bits_per_dim"], 3),
+           "model_bits_per_dim": round(report["bits_per_dim"], 3),
+           "encode_px_s": round(px / t_enc, 0),
+           "decode_px_s": round(px / t_dec, 0),
+           "native_coder": rc_native_available(),
+           "device_kind": jax.devices()[0].device_kind,
+           "data": raw.provenance}
+    if "vs_png" in report:
+        out["png_bytes_mean"] = report["png_bytes_mean"]
+        out["coded_bytes_mean"] = round(report["coded_bytes_mean"], 1)
+        out["vs_png"] = round(report["vs_png"], 3)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     import argparse
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
@@ -981,7 +1039,7 @@ if __name__ == "__main__":
                     help="config 9 ViT family only: MLP activation "
                          "(gelu_tanh = the measured ~23%% faster stack)")
     ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13],
+                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
@@ -991,9 +1049,12 @@ if __name__ == "__main__":
                          "10=online serving latency p50/p99 (--model applies), "
                          "11=flash attention vs XLA (--batch = token budget), "
                          "12=dense prediction (FPN detector + segmentation), "
-                         "13=V-MoE vs dense ViT train throughput")
+                         "13=V-MoE vs dense ViT train throughput, "
+                         "14=learned lossless codec rate + coding speed")
     args = ap.parse_args()
-    if args.config == 13:
+    if args.config == 14:
+        bench_codec()
+    elif args.config == 13:
         bench_moe(batch=args.batch)
     elif args.config == 12:
         bench_dense_prediction()

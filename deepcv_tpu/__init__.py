@@ -36,6 +36,7 @@ def __getattr__(name):
         "ProjectContext": ("deepcv_tpu.pipelines", "ProjectContext"),
         "Predictor": ("deepcv_tpu.serve", "Predictor"),
         "SearchRunner": ("deepcv_tpu.search", "SearchRunner"),
+        "LosslessCodec": ("deepcv_tpu.codec", "LosslessCodec"),
     }
     if name in lazy:
         import importlib

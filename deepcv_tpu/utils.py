@@ -265,6 +265,7 @@ def test_module_cli(module_file: str):
         "video.py": "test_meta_subsystems.py",
         "keypoints.py": "test_serving_and_jsd.py",
         "active_learning.py": "test_active_learning.py",
+        "codec.py": "test_codec.py", "range_coder.py": "test_codec.py",
     }
     target = tests_dir / mapping.get(mod.name, "")
     args = [str(target) if target.is_file() else str(tests_dir), "-q"]

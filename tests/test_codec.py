@@ -1,0 +1,106 @@
+"""Learned lossless codec (reference README.md:157-161 — a pure TODO there).
+Covers the range coder (roundtrip, C++/Python stream identity, near-entropy
+rate), CDF quantization invariants, and the full codec: training lowers the
+rate, encode/decode is bit-exact on unseen images, realized bytes track the
+model's rate."""
+import numpy as np
+import pytest
+
+from deepcv_tpu.codec import LosslessCodec, quantize_cdf
+from deepcv_tpu.runtime.range_coder import (TOTAL, rc_decode, rc_encode,
+                                            rc_native_available)
+
+
+def _random_cdfs(rng, n, k, concentration=0.3):
+    probs = rng.dirichlet(np.full(k, concentration), size=n)
+    return probs, quantize_cdf(probs)
+
+
+def test_quantize_cdf_invariants():
+    rng = np.random.default_rng(0)
+    probs, cdf = _random_cdfs(rng, 100, 256)
+    assert cdf.dtype == np.uint32 and cdf.shape == (100, 257)
+    assert (cdf[:, 0] == 0).all() and (cdf[:, -1] == TOTAL).all()
+    freqs = np.diff(cdf.astype(np.int64), axis=1)
+    assert freqs.min() >= 1                      # zero mass is uncodable
+    # frequencies track the input distribution
+    big = probs.argmax(axis=1)
+    assert (freqs[np.arange(100), big] >= freqs.mean(axis=1)).all()
+
+
+@pytest.mark.parametrize("k", [2, 256])
+def test_range_coder_roundtrip_and_rate(k):
+    rng = np.random.default_rng(1)
+    n = 3000
+    probs, cdf = _random_cdfs(rng, n, k)
+    syms = np.array([rng.choice(k, p=probs[i]) for i in range(n)], np.uint16)
+    blob = rc_encode(syms, cdf)
+    assert (rc_decode(blob, n, cdf) == syms).all()
+    # realized bytes within 16 B of the quantized model's entropy
+    f = cdf[np.arange(n), syms + 1] - cdf[np.arange(n), syms]
+    ideal = -np.log2(f / TOTAL).sum() / 8
+    assert len(blob) <= ideal + 16
+    # skewed streams must actually compress
+    if k == 256:
+        assert len(blob) < 2 * n                  # << 2 bytes/symbol
+
+
+def test_range_coder_python_mirror_is_bit_identical():
+    if not rc_native_available():
+        pytest.skip("native coder not built")
+    rng = np.random.default_rng(2)
+    probs, cdf = _random_cdfs(rng, 500, 16)
+    syms = np.array([rng.choice(16, p=probs[i]) for i in range(500)], np.uint16)
+    native = rc_encode(syms, cdf)
+    mirror = rc_encode(syms, cdf, force_python=True)
+    assert native == mirror
+    assert (rc_decode(native, 500, cdf, force_python=True) == syms).all()
+
+
+def test_range_coder_empty():
+    cdf = quantize_cdf(np.full((1, 4), 0.25))
+    assert rc_decode(rc_encode(np.empty(0, np.uint16), cdf[:0]), 0, cdf[:0]).size == 0
+
+
+def _smooth_images(n, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size]
+    base = (yy[None] * rng.integers(2, 8, (n, 1, 1))
+            + xx[None] * rng.integers(2, 8, (n, 1, 1)))
+    img = (base[..., None] % 64 + 96 + rng.normal(0, 3, (n, size, size, 3)))
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def test_codec_learns_exact_roundtrip_and_rate(tmp_path):
+    train, test = _smooth_images(64, seed=3), _smooth_images(6, seed=4)
+    codec = LosslessCodec((16, 16, 3), n_scales=2, hidden=16, seed=0)
+    bpd0 = codec.bits_per_dim(test)
+    hist = codec.fit(train, steps=180, batch_size=16, lr=3e-3, seed=1)
+    bpd1 = codec.bits_per_dim(test)
+    assert hist[-1] < hist[0] and bpd1 < bpd0 - 1.5   # trained, generalizes
+    assert bpd1 < 6.0                                  # well under raw 8 bpd
+
+    for img in test[:3]:                               # LOSSLESS, unseen data
+        blob = codec.encode(img)
+        assert (codec.decode(blob) == img).all()
+        assert len(blob) < img.size                    # beats raw bytes
+
+    report = codec.evaluate(test, n_code=3)
+    # realized rate = model rate + raw top level (1/16 of pixels at 8 bpd)
+    # + ~12 B/image block overhead
+    assert report["coded_bits_per_dim"] == pytest.approx(
+        report["bits_per_dim"], abs=1.0)
+    assert report["coded_bits_per_dim"] < 8.0
+
+
+def test_codec_rejects_bad_inputs():
+    codec = LosslessCodec((16, 16, 3), n_scales=2, hidden=8)
+    with pytest.raises(ValueError, match="expected"):
+        codec.encode(np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="not a deepcv codec stream"):
+        codec.decode(b"JUNKJUNKJUNK")
+    with pytest.raises(ValueError, match="divisible"):
+        LosslessCodec((10, 10, 3), n_scales=2)
+    other = LosslessCodec((32, 32, 3), n_scales=2, hidden=8)
+    with pytest.raises(ValueError, match="stream is"):
+        other.decode(codec.encode(np.zeros((16, 16, 3), np.uint8)))
