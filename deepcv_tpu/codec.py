@@ -197,59 +197,86 @@ class LosslessCodec:
         return self._jit_logits[key]
 
     def _phase_cdf(self, known: List[np.ndarray], phase: int) -> np.ndarray:
+        """known: batched uint8 planes (B, h, w, C) -> per-image CDF rows
+        (B, h*w*C, K+1). ONE device dispatch for the whole batch — the
+        sequential range coder is per image, the probability model is not."""
         fn = self._logits_fn(phase, tuple(k.shape for k in known))
-        logits = fn(self.params, [jnp.asarray(k)[None] for k in known])
-        probs = np.asarray(jax.nn.softmax(logits[0], axis=-1), np.float64)
-        return quantize_cdf(probs.reshape(-1, self.symbols))
+        logits = fn(self.params, [jnp.asarray(k) for k in known])
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1), np.float64)
+        b = probs.shape[0]
+        return quantize_cdf(probs.reshape(-1, self.symbols)).reshape(
+            b, -1, self.symbols + 1)
 
     def encode(self, image: np.ndarray) -> bytes:
         """uint8 (H, W, C) -> bitstream. Layout: magic | n_scales | raw
         coarsest level | per level (coarse->fine), per phase:
         u32 length + range-coded block."""
-        image = np.ascontiguousarray(image, np.uint8)
-        if image.shape != self.image_shape:
-            raise ValueError(f"expected {self.image_shape}, got {image.shape}")
-        levels = [image]
+        return self.encode_batch(np.asarray(image, np.uint8)[None])[0]
+
+    def encode_batch(self, images: np.ndarray) -> List[bytes]:
+        """Encode (B, H, W, C): per-image bitstreams identical to
+        :meth:`encode`'s, but every phase's probabilities come from one
+        batched forward."""
+        images = np.ascontiguousarray(images, np.uint8)
+        if images.shape[1:] != self.image_shape:
+            raise ValueError(f"expected {self.image_shape}, got {images.shape[1:]}")
+        levels = [images]
         for _ in range(self.n_scales):
-            levels.append(levels[-1][0::2, 0::2, :])
-        out = [_MAGIC, struct.pack("<BHHB", self.n_scales, *self.image_shape),
-               levels[-1].tobytes()]
+            levels.append(levels[-1][:, 0::2, 0::2, :])
+        header = _MAGIC + struct.pack("<BHHB", self.n_scales, *self.image_shape)
+        outs = [[header, top.tobytes()] for top in levels[-1]]
         for lvl in range(self.n_scales - 1, -1, -1):
             known = [levels[lvl + 1]]
             for p, (dy, dx) in enumerate(_PHASES):
-                target = levels[lvl][dy::2, dx::2, :]
+                target = levels[lvl][:, dy::2, dx::2, :]
                 cdf = self._phase_cdf(known, p)
-                blob = rc_encode(target.reshape(-1).astype(np.uint16), cdf)
-                out.append(struct.pack("<I", len(blob)))
-                out.append(blob)
+                for i, out in enumerate(outs):
+                    blob = rc_encode(target[i].reshape(-1).astype(np.uint16),
+                                     cdf[i])
+                    out.append(struct.pack("<I", len(blob)))
+                    out.append(blob)
                 known.append(target)
-        return b"".join(out)
+        return [b"".join(out) for out in outs]
 
     def decode(self, data: bytes) -> np.ndarray:
-        if data[:4] != _MAGIC:
-            raise ValueError("not a deepcv codec stream")
-        n_scales, h, w, c = struct.unpack_from("<BHHB", data, 4)
-        if (n_scales, h, w, c) != (self.n_scales, *self.image_shape):
-            raise ValueError(f"stream is {h}x{w}x{c}/{n_scales} scales; codec "
-                             f"is {self.image_shape}/{self.n_scales}")
-        pos = 4 + struct.calcsize("<BHHB")
-        th, tw = h >> n_scales, w >> n_scales
+        return self.decode_batch([data])[0]
+
+    def decode_batch(self, streams: Sequence[bytes]) -> np.ndarray:
+        """Decode same-shape bitstreams; phase CNNs batch across streams
+        (decoding stays sequential only across phases, as it must)."""
+        h, w, c = self.image_shape
+        positions = []
+        for data in streams:
+            if data[:4] != _MAGIC:
+                raise ValueError("not a deepcv codec stream")
+            meta = struct.unpack_from("<BHHB", data, 4)
+            if meta != (self.n_scales, h, w, c):
+                raise ValueError(f"stream is {meta[1]}x{meta[2]}x{meta[3]}/"
+                                 f"{meta[0]} scales; codec is "
+                                 f"{self.image_shape}/{self.n_scales}")
+            positions.append(4 + struct.calcsize("<BHHB"))
+        b = len(streams)
+        th, tw = h >> self.n_scales, w >> self.n_scales
         top_n = th * tw * c
-        x = np.frombuffer(data, np.uint8, top_n, pos).reshape(th, tw, c).copy()
-        pos += top_n
-        for lvl in range(n_scales - 1, -1, -1):
+        x = np.stack([np.frombuffer(s, np.uint8, top_n, positions[i])
+                      .reshape(th, tw, c) for i, s in enumerate(streams)])
+        positions = [pos + top_n for pos in positions]
+        for lvl in range(self.n_scales - 1, -1, -1):
             hh, ww = h >> lvl, w >> lvl
-            fine = np.zeros((hh, ww, c), np.uint8)
-            fine[0::2, 0::2, :] = x
+            fine = np.zeros((b, hh, ww, c), np.uint8)
+            fine[:, 0::2, 0::2, :] = x
             known = [x]
             for p, (dy, dx) in enumerate(_PHASES):
-                (ln,) = struct.unpack_from("<I", data, pos)
-                pos += 4
                 cdf = self._phase_cdf(known, p)
-                syms = rc_decode(data[pos:pos + ln], len(cdf), cdf)
-                pos += ln
-                plane = syms.astype(np.uint8).reshape(hh // 2, ww // 2, c)
-                fine[dy::2, dx::2, :] = plane
+                plane = np.empty((b, hh // 2, ww // 2, c), np.uint8)
+                for i, s in enumerate(streams):
+                    (ln,) = struct.unpack_from("<I", s, positions[i])
+                    positions[i] += 4
+                    syms = rc_decode(s[positions[i]:positions[i] + ln],
+                                     cdf.shape[1], cdf[i])
+                    positions[i] += ln
+                    plane[i] = syms.astype(np.uint8).reshape(hh // 2, ww // 2, c)
+                fine[:, dy::2, dx::2, :] = plane
                 known.append(plane)
             x = fine
         return x
@@ -260,10 +287,8 @@ class LosslessCodec:
         bytes for the first ``n_code`` images, and PNG + raw baselines."""
         images = np.asarray(images, np.uint8)
         bpd = self.bits_per_dim(images)
-        sizes, png_sizes = [], []
-        for img in images[:n_code]:
-            sizes.append(len(self.encode(img)))
-            png_sizes.append(_png_bytes(img))
+        sizes = [len(s) for s in self.encode_batch(images[:n_code])]
+        png_sizes = [_png_bytes(img) for img in images[:n_code]]
         per_image = int(np.prod(self.image_shape))
         out = {"bits_per_dim": bpd, "raw_bits_per_dim": 8.0,
                "coded_bits_per_dim": float(np.mean(sizes)) * 8 / per_image,
