@@ -128,7 +128,8 @@ class LosslessCodec:
     """
 
     def __init__(self, image_shape: Tuple[int, int, int], *, n_scales: int = 2,
-                 hidden: int = 32, symbols: int = 256, seed: int = 0):
+                 hidden: int = 32, symbols: int = 256, seed: int = 0,
+                 coding_batch: int = 16):
         h, w, c = image_shape
         if h % (1 << n_scales) or w % (1 << n_scales):
             raise ValueError(f"image dims {h}x{w} must be divisible by "
@@ -136,6 +137,7 @@ class LosslessCodec:
         self.image_shape = (h, w, c)
         self.n_scales = int(n_scales)
         self.symbols = int(symbols)
+        self._coding_batch = max(1, int(coding_batch))
         self.model = _PyramidModel(channels=c, hidden=hidden, symbols=symbols,
                                    n_scales=self.n_scales)
         probe = jnp.zeros((1, h, w, c), dtype=jnp.uint8)
@@ -153,7 +155,8 @@ class LosslessCodec:
         h, w, c = self.image_shape
         tx = optax.adamw(lr)
         opt_state = tx.init(self.params)
-        denom = batch_size * h * w * c
+        eff_batch = min(batch_size, len(images))
+        denom = eff_batch * h * w * c  # normalize by ACTUAL rows per step
 
         @jax.jit
         def step(params, opt_state, batch):
@@ -168,8 +171,7 @@ class LosslessCodec:
         history = []
         params = self.params
         for i in range(steps):
-            idx = rng.choice(len(images), size=min(batch_size, len(images)),
-                             replace=len(images) < batch_size)
+            idx = rng.choice(len(images), size=eff_batch, replace=False)
             params, opt_state, loss = step(params, opt_state,
                                            jnp.asarray(images[idx]))
             history.append(float(loss))
@@ -198,12 +200,28 @@ class LosslessCodec:
 
     def _phase_cdf(self, known: List[np.ndarray], phase: int) -> np.ndarray:
         """known: batched uint8 planes (B, h, w, C) -> per-image CDF rows
-        (B, h*w*C, K+1). ONE device dispatch for the whole batch — the
-        sequential range coder is per image, the probability model is not."""
-        fn = self._logits_fn(phase, tuple(k.shape for k in known))
-        logits = fn(self.params, [jnp.asarray(k) for k in known])
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1), np.float64)
-        b = probs.shape[0]
+        (B, h*w*C, K+1). The probability model always runs at the FIXED
+        internal batch size ``coding_batch`` (tail tiled with the last real
+        row), so encoder and decoder execute the SAME compiled XLA program
+        no matter what batch size each caller uses — a different program
+        shape could reorder float accumulation by 1 ulp across a CDF
+        quantization boundary and silently desync the range coder. The
+        sequential range coder is per image; the model dispatch is batched
+        in chunks of ``coding_batch``."""
+        b = known[0].shape[0]
+        cb = self._coding_batch
+        fn = self._logits_fn(phase, tuple((cb, *k.shape[1:]) for k in known))
+        prob_rows = []
+        for start in range(0, b, cb):
+            chunk = [k[start:start + cb] for k in known]
+            pad = cb - chunk[0].shape[0]
+            if pad:
+                chunk = [np.concatenate([k, np.repeat(k[-1:], pad, axis=0)])
+                         for k in chunk]
+            logits = fn(self.params, [jnp.asarray(k) for k in chunk])
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1), np.float64)
+            prob_rows.append(probs[:cb - pad] if pad else probs)
+        probs = np.concatenate(prob_rows)
         return quantize_cdf(probs.reshape(-1, self.symbols)).reshape(
             b, -1, self.symbols + 1)
 

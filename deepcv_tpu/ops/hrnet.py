@@ -146,6 +146,11 @@ class PyramidalConvolution(fnn.Module):
                              f"sequence of kernel sizes, got {ks!r}")
         kss = [tuple(int(v) for v in k) if isinstance(k, (list, tuple))
                else (int(k),) * (x.ndim - 2) for k in ks]
+        if any(v % 2 == 0 for k in kss for v in k):
+            # (k//2, k//2) padding grows the spatial size by 1 for even k,
+            # breaking the constant-spatial-size contract (and the concat
+            # across levels of mixed parity)
+            raise ValueError(f"pyconv kernel sizes must be odd, got {ks!r}")
         n = len(kss)
         if isinstance(self.out_channels, (list, tuple)):
             chs = [int(c) for c in self.out_channels]

@@ -144,6 +144,28 @@ def load_stablehlo(path: Union[str, Path]) -> Callable:
 _logger = logging.getLogger(__name__)
 
 
+def _stack_distill_targets(dataset, logits_fn, suffix: str):
+    """Shared producer of the (N, 1 + C) [hard label | logits] target
+    layout ``train.losses.distillation_loss`` consumes. Validates labels
+    BEFORE invoking ``logits_fn`` (the potentially long teacher inference)."""
+    from deepcv_tpu.data.datasets import ArrayDataset
+
+    labels = np.asarray(dataset.targets, np.float32).reshape(len(dataset), -1)
+    if labels.shape[1] != 1:
+        raise ValueError("distill targets expect integer class targets "
+                         f"(got target shape {np.shape(dataset.targets)})")
+    logits = np.asarray(logits_fn(), np.float32)
+    # keep the class count discoverable: the stacked float targets no longer
+    # let ArrayDataset infer it from integer labels
+    classes = dataset.classes or [f"class_{i}"
+                                  for i in range(logits.shape[1])]
+    return ArrayDataset(dataset.images,
+                        np.concatenate([labels, logits], axis=1),
+                        classes=classes,
+                        name=f"{dataset.name}_{suffix}",
+                        provenance=getattr(dataset, "provenance", "real"))
+
+
 def distill_targets(teacher_model, teacher_variables, dataset,
                     batch_size: int = 256, preprocess=None):
     """Precompute a frozen teacher's logits over ``dataset`` and return a
@@ -152,25 +174,10 @@ def distill_targets(teacher_model, teacher_variables, dataset,
     Offline distillation: the teacher runs ONCE here, so the student's
     train step stays single-model (no teacher weights in HBM, no extra
     forward per step)."""
-    from deepcv_tpu.data.datasets import ArrayDataset
-
-    # validate BEFORE the (potentially long) teacher inference
-    labels = np.asarray(dataset.targets, np.float32).reshape(len(dataset), -1)
-    if labels.shape[1] != 1:
-        raise ValueError("distill_targets expects integer class targets "
-                         f"(got target shape {np.shape(dataset.targets)})")
     pred = Predictor(teacher_model, teacher_variables,
                      batch_size=batch_size, preprocess=preprocess)
-    logits = np.asarray(pred(dataset.images), np.float32)
-    # keep the class count discoverable: the stacked float targets no longer
-    # let ArrayDataset infer it from integer labels
-    classes = dataset.classes or [f"class_{i}"
-                                  for i in range(logits.shape[1])]
-    return ArrayDataset(dataset.images,
-                        np.concatenate([labels, logits], axis=1),
-                        classes=classes,
-                        name=f"{dataset.name}_distill",
-                        provenance=getattr(dataset, "provenance", "real"))
+    return _stack_distill_targets(dataset, lambda: pred(dataset.images),
+                                  "distill")
 
 
 class Predictor:
@@ -447,20 +454,11 @@ def ensemble_distill_targets(members, dataset, batch_size: int = 256,
     pseudo-logits), stacked [hard label | pseudo-logits] exactly like
     :func:`distill_targets` so ``train.losses.distillation_loss`` consumes
     it unchanged."""
-    from deepcv_tpu.data.datasets import ArrayDataset
-
-    labels = np.asarray(dataset.targets, np.float32).reshape(len(dataset), -1)
-    if labels.shape[1] != 1:
-        raise ValueError("ensemble_distill_targets expects integer class "
-                         f"targets (got shape {np.shape(dataset.targets)})")
     ens = EnsemblePredictor(members, mode="prob", batch_size=batch_size,
                             preprocess=preprocess)
-    mean_prob = np.asarray(ens(dataset.images), np.float32)
-    pseudo_logits = np.log(np.maximum(mean_prob, 1e-12))
-    classes = dataset.classes or [f"class_{i}"
-                                  for i in range(pseudo_logits.shape[1])]
-    return ArrayDataset(dataset.images,
-                        np.concatenate([labels, pseudo_logits], axis=1),
-                        classes=classes,
-                        name=f"{dataset.name}_ens_distill",
-                        provenance=getattr(dataset, "provenance", "real"))
+
+    def pseudo_logits():
+        mean_prob = np.asarray(ens(dataset.images), np.float32)
+        return np.log(np.maximum(mean_prob, 1e-12))
+
+    return _stack_distill_targets(dataset, pseudo_logits, "ens_distill")

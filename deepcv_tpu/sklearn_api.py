@@ -118,7 +118,7 @@ class DeepcvClassifier:
                             classes=[str(c) for c in self.classes_],
                             name="sklearn_fit")
 
-    def _train(self, X, y, *, epochs, lr, init_variables=None,
+    def _train(self, X, y, *, epochs=None, lr=None, init_variables=None,
                freeze_params=None):
         from deepcv_tpu.data.preprocess import preprocess
         from deepcv_tpu.train import train
@@ -128,12 +128,23 @@ class DeepcvClassifier:
             {"seed": self.seed,
              "split_dataset": {"validset_ratio": float(self.validset_ratio)},
              "transforms": ["to_tensor"]})
-        hp = {"epochs": int(epochs), "batch_size": int(self.batch_size),
-              "optimizer": self.optimizer, "optimizer_opts": {"lr": float(lr)},
+        # base defaults < self.hp (user ctor overrides) < EXPLICIT call args
+        # (fine_tune's epochs/lr/freeze_params must not be clobbered by hp;
+        # None means "no explicit intent" so fit() still honors self.hp)
+        hp = {"epochs": int(self.epochs), "batch_size": int(self.batch_size),
+              "optimizer": self.optimizer,
+              "optimizer_opts": {"lr": float(self.lr)},
               "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
               "seed": self.seed, "dtype": self.dtype,
-              "freeze_params": freeze_params,
+              "freeze_params": None,
               **dict(self.hp or {})}
+        if epochs is not None:
+            hp["epochs"] = int(epochs)
+        if lr is not None:
+            hp["optimizer_opts"] = {**hp.get("optimizer_opts", {}),
+                                    "lr": float(lr)}
+        if freeze_params is not None:
+            hp["freeze_params"] = freeze_params
         state, hist = train(hp, self.model_, "cross_entropy", data,
                             init_variables=init_variables)
         # serve through the SAME transform chain training saw
@@ -157,7 +168,7 @@ class DeepcvClassifier:
         model_hp = self._build_model_hp(len(self.classes_))
         self.model_ = DeepcvModule(tuple(X.shape[1:]), model_hp,
                                    dtype=self.dtype)
-        return self._train(X, y, epochs=self.epochs, lr=self.lr)
+        return self._train(X, y)
 
     def fine_tune(self, X, y, *, epochs: int = 2, lr: Optional[float] = None,
                   freeze_params: Optional[str] = None) -> "DeepcvClassifier":

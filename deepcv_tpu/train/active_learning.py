@@ -123,8 +123,9 @@ def mc_class_probabilities(model, variables, pool, indices: np.ndarray, *,
             raw = np.stack([np.asarray(images[i]) for i in chunk_idx])
             pad = bs - len(raw)
             if pad:
-                raw = np.concatenate(
-                    [raw, np.zeros((pad, *raw.shape[1:]), raw.dtype)])
+                # tile the last REAL row — zero pads would skew the
+                # train-mode BatchNorm statistics of the real rows
+                raw = np.concatenate([raw, np.repeat(raw[-1:], pad, axis=0)])
             p = jfwd(variables, jnp.asarray(raw), key)
             outs.append(np.asarray(p)[:bs - pad if pad else bs])
         samples.append(np.concatenate(outs))

@@ -37,14 +37,17 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     """Mean softmax cross-entropy; labels can be int classes or one-hot
     (torch.nn.CrossEntropyLoss parity, classification/image.py:70).
 
-    Integer labels < 0 are IGNORED (masked out of the mean) — torch's
-    ``ignore_index`` semantics, generalized to any negative label; the
-    semi-supervised UDA mode marks unlabeled rows with -1."""
+    Integer CLASS-INDEX labels outside [0, num_classes) are IGNORED
+    (masked out of the mean) — torch's ``ignore_index`` semantics,
+    generalized to any out-of-range label; the semi-supervised UDA mode
+    marks unlabeled rows with -1. Integer ONE-HOT labels (one more axis,
+    last dim == num_classes) take the plain one-hot path instead."""
     num_classes = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    if jnp.issubdtype(jnp.asarray(labels).dtype, jnp.integer):
-        valid = labels >= 0
-        y = _one_hot(jnp.maximum(labels, 0), num_classes)
+    labels = jnp.asarray(labels)
+    if jnp.issubdtype(labels.dtype, jnp.integer) and labels.ndim == logits.ndim - 1:
+        valid = (labels >= 0) & (labels < num_classes)
+        y = _one_hot(jnp.clip(labels, 0, num_classes - 1), num_classes)
         if label_smoothing:
             y = y * (1.0 - label_smoothing) + label_smoothing / num_classes
         rows = -jnp.sum(y * logp, axis=-1) * valid

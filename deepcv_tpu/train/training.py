@@ -397,6 +397,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         if lt.ndim != 1 or not np.issubdtype(lt.dtype, np.integer):
             raise ValueError("uda needs integer class targets "
                              f"(got targets of shape {lt.shape}, {lt.dtype})")
+        if not np.issubdtype(lt.dtype, np.signedinteger):
+            # the -1 unlabeled sentinel must be representable: on uint8 it
+            # would wrap to 255 and silently disable the consistency mask
+            lt = lt.astype(np.int32)
         ui = np.asarray(unlabeledset.images
                         if hasattr(unlabeledset, "images") else unlabeledset)
         if ui.shape[1:] != li.shape[1:]:

@@ -85,6 +85,13 @@ def test_codec_learns_exact_roundtrip_and_rate(tmp_path):
         assert (codec.decode(blob) == img).all()
         assert len(blob) < img.size                    # beats raw bytes
 
+    # bitstreams are BATCH-SIZE INVARIANT (the probability model always
+    # runs at the fixed internal coding batch, so encode(img) == the same
+    # image's stream from any encode_batch and decodes at any batch size)
+    batched = codec.encode_batch(test[:3])
+    assert [codec.encode(img) for img in test[:3]] == batched
+    assert (codec.decode_batch(batched) == test[:3]).all()
+
     report = codec.evaluate(test, n_code=3)
     # realized rate = model rate + raw top level (1/16 of pixels at 8 bpd)
     # + ~12 B/image block overhead

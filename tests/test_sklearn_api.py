@@ -83,3 +83,41 @@ def test_fine_tune_freeze_head_only(xy):
     # labels outside the fitted vocabulary are rejected
     with pytest.raises(ValueError, match="not in classes_"):
         est.fine_tune(X[:8], np.full(8, 42))
+
+
+def test_explicit_fine_tune_args_beat_ctor_hp(monkeypatch):
+    """Merge order: base defaults < ctor hp < EXPLICIT fine_tune args.
+    A user hp={'epochs': 50} must govern fit() but must NOT clobber
+    fine_tune(epochs=2) — the 'small data' call the API is designed for."""
+    import deepcv_tpu.train as train_mod
+
+    captured = {}
+
+    class _FakeState:
+        params = {}
+        batch_stats = None
+        ema_params = None
+
+    def fake_train(hp, model, losses, data, **kw):
+        captured.clear()
+        captured.update(hp)
+        return _FakeState(), {"train": [], "valid": []}
+
+    monkeypatch.setattr(train_mod, "train", fake_train)
+    rng = np.random.default_rng(0)
+    X = rng.integers(0, 255, (32, 8, 8, 3)).astype(np.uint8)
+    y = np.tile([0, 1], 16)
+    est = DeepcvClassifier(model_hp=MODEL_HP, epochs=9, lr=3e-3,
+                           hp={"epochs": 50,
+                               "optimizer_opts": {"lr": 0.5,
+                                                  "weight_decay": 0.01}})
+    est.fit(X, y)
+    assert captured["epochs"] == 50                 # ctor hp beats defaults
+    assert captured["optimizer_opts"]["lr"] == 0.5
+
+    est.fine_tune(X, y, epochs=2, freeze_params="head")
+    assert captured["epochs"] == 2                  # explicit arg beats hp
+    assert captured["freeze_params"] == "head"
+    # lr falls back to 0.1x base lr but PRESERVES other optimizer opts
+    assert captured["optimizer_opts"]["lr"] == pytest.approx(3e-4)
+    assert captured["optimizer_opts"]["weight_decay"] == 0.01

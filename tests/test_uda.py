@@ -34,13 +34,24 @@ def test_cross_entropy_ignores_negative_labels():
     # one-hot labels keep the plain-mean behavior
     oh = jax.nn.one_hot(jnp.maximum(y, 0), 4)
     assert np.isfinite(float(cross_entropy_loss(logits, oh)))
+    # INTEGER one-hot labels must agree with float one-hot, not crash
+    np.testing.assert_allclose(
+        float(cross_entropy_loss(logits, oh.astype(jnp.int32))),
+        float(cross_entropy_loss(logits, oh)), rtol=1e-6)
+    # out-of-range labels (e.g. a -1 sentinel wrapped to uint8 255) are
+    # ignored, not silently counted as a zero-one-hot row
+    y8 = jnp.array([0, 1, 2, 3, 255, 255, 1, 255], jnp.uint8)
+    np.testing.assert_allclose(float(cross_entropy_loss(logits, y8)),
+                               float(ref), rtol=1e-6)
 
 
 def _datasets(n_labeled=64, n_unlabeled=192, seed=0):
     raw = load_dataset("synthetic", n=n_labeled + n_unlabeled + 64,
                        image_shape=(8, 8, 3), num_classes=4, seed=seed)
     imgs, tg = np.asarray(raw.images), np.asarray(raw.targets)
-    labeled = ArrayDataset(imgs[:n_labeled], tg[:n_labeled],
+    # uint8 targets: regression for the -1 unlabeled sentinel wrapping to
+    # 255 on unsigned dtypes (train() must widen to a signed dtype)
+    labeled = ArrayDataset(imgs[:n_labeled], tg[:n_labeled].astype(np.uint8),
                            classes=raw.classes, name="uda_labeled")
     unlabeled = ArrayDataset(imgs[n_labeled:n_labeled + n_unlabeled],
                              tg[n_labeled:n_labeled + n_unlabeled],
