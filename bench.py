@@ -974,12 +974,14 @@ def bench_codec():
     raw = load_dataset("cifar10", root="data/01_raw", train=True)
     imgs = np.asarray(raw.images[: 4096 if on_tpu else 256], np.uint8)
     train_imgs, test_imgs = imgs[:-32], imgs[-32:]
+    n_code = 32 if on_tpu else 4
+    # coding_batch = the coded set size: ONE model dispatch per phase (the
+    # tunnel is latency-bound — dispatch count, not FLOPs, sets px/s)
     codec = LosslessCodec((32, 32, 3), n_scales=2,
-                          hidden=48 if on_tpu else 16, seed=0)
+                          hidden=48 if on_tpu else 16, seed=0,
+                          coding_batch=n_code)
     codec.fit(train_imgs, steps=600 if on_tpu else 120,
               batch_size=64 if on_tpu else 16, lr=3e-3, seed=0)
-
-    n_code = 32 if on_tpu else 4
     codec.encode_batch(test_imgs[:n_code])         # compile warmup
     t0 = _time.perf_counter()
     blobs = codec.encode_batch(test_imgs[:n_code])
