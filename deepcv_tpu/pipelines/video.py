@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from deepcv_tpu.pipelines.framework import Pipeline
 
 __all__ = ["get_pipelines", "flow_warp", "deep_feature_flow_inference",
-           "interpolate_frames", "generate_clip_dataset"]
+           "interpolate_frames", "generate_clip_dataset",
+           "TemporalVideoModel", "create_temporal_model"]
 
 
 def flow_warp(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -272,6 +273,167 @@ _reg_loader("synthetic_clips")(
                           train=train))
 
 
+# --------------------------------------------------------------------------- #
+# Timeseries models over high-level video features (reference README.md:168
+# "Implement timeseries models for high-level (low dimensionality) video
+# features understanding" — a pure TODO there). Contrast with the conv3d
+# video classifier above: frames are first reduced to LOW-DIM embeddings by
+# a shared 2-D encoder, then a timeseries model (temporal transformer or a
+# scanned GRU) reasons over the embedding SEQUENCE. TPU-native shape: the
+# encoder folds frames into the batch (one (N*F, H, W, C) conv program —
+# large MXU batches, no per-frame dispatch), the GRU is a lax.scan over the
+# frame axis, the transformer treats frames as tokens.
+# --------------------------------------------------------------------------- #
+_TEMPORAL_NET_CLS = None
+
+
+def _build_temporal_net():
+    global _TEMPORAL_NET_CLS
+    if _TEMPORAL_NET_CLS is not None:
+        return _TEMPORAL_NET_CLS
+    import flax.linen as fnn
+    from deepcv_tpu.ops.attention import TransformerEncoderBlock
+
+    class TemporalNet(fnn.Module):
+        """Shared per-frame encoder -> (N, F, D) sequence -> temporal head.
+
+        ``temporal``: 'transformer' (learned frame positions + pre-LN
+        encoder blocks), 'gru' (scanned GRUCell, final hidden state), or
+        'mean' (order-blind mean-pool CONTROL — provably cannot solve
+        motion-direction tasks, kept as the ablation baseline).
+
+        ``pool``: how a frame's conv map becomes its low-dim feature.
+        'soft_argmax' (default) takes each channel's EXPECTED normalized
+        (y, x) coordinate under a spatial softmax — position-preserving and
+        translation-equivariant, so motion is a per-channel coordinate
+        delta the timeseries head can read off; 'gap' is global average
+        pooling (position-blind — fine for appearance tasks, provably
+        insufficient for motion).
+        """
+        n_classes: int
+        embed_dim: int = 32
+        temporal: str = "transformer"
+        encoder_features: tuple = (16, 32)
+        encoder_strides: tuple = (2, 2)
+        pool: str = "soft_argmax"
+        num_heads: int = 4
+        n_blocks: int = 1
+        mlp_ratio: int = 2
+        dropout_prob: float = 0.0
+
+        @fnn.compact
+        def __call__(self, clips, *, train: bool = False):
+            if clips.ndim != 5:
+                raise ValueError(f"expected (N, F, H, W, C) clips, got "
+                                 f"{clips.shape}")
+            n, f = clips.shape[0], clips.shape[1]
+            x = clips.reshape((n * f,) + clips.shape[2:])
+            strides = tuple(self.encoder_strides)
+            if len(strides) != len(self.encoder_features):
+                raise ValueError("encoder_strides must match "
+                                 "encoder_features length")
+            for i, feats in enumerate(self.encoder_features):
+                x = fnn.Conv(int(feats), (3, 3),
+                             strides=(int(strides[i]),) * 2,
+                             name=f"enc_conv_{i}")(x)
+                x = fnn.GroupNorm(num_groups=min(4, int(feats)),
+                                  name=f"enc_gn_{i}")(x)
+                x = fnn.gelu(x)
+            if self.pool == "soft_argmax":
+                nf, hh, ww, cc = x.shape
+                p = jax.nn.softmax(x.reshape(nf, hh * ww, cc), axis=1)
+                ys, xs = jnp.meshgrid(jnp.linspace(-1.0, 1.0, hh),
+                                      jnp.linspace(-1.0, 1.0, ww),
+                                      indexing="ij")
+                coords = jnp.stack([ys.ravel(), xs.ravel()], axis=-1)
+                # (NF, HW, C) x (HW, 2) -> per-channel expected coords
+                x = jnp.einsum("nhc,hk->nck", p, coords).reshape(nf, 2 * cc)
+            elif self.pool == "gap":
+                x = x.mean(axis=(1, 2))                  # (N*F, C)
+            else:
+                raise ValueError(f"unknown pool '{self.pool}' "
+                                 "(expected soft_argmax|gap)")
+            e = fnn.Dense(self.embed_dim, name="embed")(x)
+            e = e.reshape(n, f, self.embed_dim)
+            if self.temporal == "transformer":
+                pos = self.param("pos_embedding",
+                                 fnn.initializers.normal(0.02),
+                                 (1, f, self.embed_dim))
+                h = e + pos
+                for i in range(self.n_blocks):
+                    h = TransformerEncoderBlock(
+                        num_heads=self.num_heads,
+                        mlp_dim=self.embed_dim * self.mlp_ratio,
+                        dropout_prob=self.dropout_prob,
+                        name=f"block_{i}")(h, train=train)
+                h = fnn.LayerNorm(name="ln_final")(h).mean(axis=1)
+            elif self.temporal == "gru":
+                scan_cell = fnn.scan(fnn.GRUCell,
+                                     variable_broadcast="params",
+                                     split_rngs={"params": False},
+                                     in_axes=1, out_axes=1)
+                carry = jnp.zeros((n, self.embed_dim), e.dtype)
+                h, _ = scan_cell(features=self.embed_dim, name="gru")(carry, e)
+            elif self.temporal == "mean":
+                h = e.mean(axis=1)
+            else:
+                raise ValueError(f"unknown temporal model '{self.temporal}' "
+                                 "(expected transformer|gru|mean)")
+            return fnn.Dense(self.n_classes, name="head")(h)
+
+    _TEMPORAL_NET_CLS = TemporalNet
+    return TemporalNet
+
+
+class TemporalVideoModel:
+    """DeepcvModule-compatible facade over the temporal-features net, so the
+    standard ``train()`` runtime and classification nodes drive it unchanged
+    (same protocol as :class:`FlowModel`)."""
+
+    def __init__(self, input_shape, n_classes: int,
+                 temporal: str = "transformer", **net_kwargs):
+        self.input_shape = tuple(input_shape)            # (F, H, W, C)
+        if len(self.input_shape) != 4:
+            raise ValueError(f"TemporalVideoModel expects (F, H, W, C) "
+                             f"input_shape, got {self.input_shape}")
+        self.net = _build_temporal_net()(
+            n_classes=int(n_classes), temporal=str(temporal), **net_kwargs)
+
+    def init(self, rng, batch_size: int = 1):
+        if not hasattr(rng, "shape"):
+            rng = jax.random.PRNGKey(int(rng))
+        probe = jnp.zeros((batch_size,) + self.input_shape, jnp.float32)
+        return self.net.init(rng, probe)
+
+    def apply(self, variables, x, *, train: bool = False, rngs=None,
+              mutable=None):
+        kwargs = {"rngs": rngs} if rngs else {}
+        y = self.net.apply(variables, x, train=train, **kwargs)
+        return (y, {}) if mutable else y
+
+    def capacity(self) -> int:
+        from deepcv_tpu.ops.nn import get_model_capacity
+        v = jax.eval_shape(lambda: self.init(jax.random.PRNGKey(0)))
+        return get_model_capacity(v["params"])
+
+
+def create_temporal_model(datasets, model_params) -> TemporalVideoModel:
+    trainset = datasets["trainset"]
+    p = dict(model_params or {})
+    return TemporalVideoModel(
+        trainset.image_shape, n_classes=trainset.num_classes,
+        temporal=str(p.get("temporal", "transformer")),
+        embed_dim=int(p.get("embed_dim", 32)),
+        encoder_features=tuple(int(c) for c in
+                               p.get("encoder_features", (16, 32))),
+        encoder_strides=tuple(int(s) for s in
+                              p.get("encoder_strides", (2, 2))),
+        pool=str(p.get("pool", "soft_argmax")),
+        num_heads=int(p.get("num_heads", 4)),
+        n_blocks=int(p.get("n_blocks", 1)),
+        dropout_prob=float(p.get("dropout_prob", 0.0)))
+
+
 def endpoint_error(pred_flow: jnp.ndarray, target_flow: jnp.ndarray) -> jnp.ndarray:
     """Average endpoint error (EPE) — the standard optical-flow metric."""
     return jnp.mean(jnp.sqrt(jnp.sum(
@@ -328,5 +490,20 @@ def get_pipelines() -> Dict[str, Pipeline]:
                                 "params:train_video_classifier", "trackers"],
              "train_results", name="train"),
     ], name="train_video_classifier", tags={"train", "video"})
+    # timeseries model over per-frame embeddings (README.md:168): same data,
+    # but the model is encoder -> embedding sequence -> temporal transformer
+    temporal_pipeline = Pipeline([
+        Node(preprocess, ["clips_train", "clips_test",
+                          "params:clips_preprocessing"],
+             "datasets", name="preprocess"),
+        Node(create_temporal_model, ["datasets",
+                                     "params:temporal_classifier_model"],
+             "model", name="create_model"),
+        Node(train_classifier, ["datasets", "model",
+                                "params:train_temporal_classifier",
+                                "trackers"],
+             "train_results", name="train"),
+    ], name="train_temporal_classifier", tags={"train", "video"})
     return {"train_optical_flow": flow_pipeline,
-            "train_video_classifier": clip_pipeline}
+            "train_video_classifier": clip_pipeline,
+            "train_temporal_classifier": temporal_pipeline}

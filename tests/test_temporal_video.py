@@ -1,0 +1,92 @@
+"""Timeseries models over high-level video features (pipelines/video.py
+TemporalVideoModel) — reference README.md:168 TODO.
+
+Structural oracle: the 'mean' temporal head is order-blind by construction,
+so its logits must be EXACTLY invariant to frame reversal, while the
+transformer/GRU heads must be order-sensitive — and only the latter can
+learn a motion-direction task.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcv_tpu.pipelines.video import (TemporalVideoModel,
+                                        create_temporal_model,
+                                        generate_clip_dataset)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clips(n=4, f=6, s=12, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((n, f, s, s, 3)), jnp.float32)
+
+
+@pytest.mark.parametrize("temporal", ["transformer", "gru", "mean"])
+def test_forward_shape_and_determinism(temporal):
+    m = TemporalVideoModel((6, 12, 12, 3), n_classes=4, temporal=temporal,
+                           embed_dim=16, encoder_features=(8, 16))
+    v = m.init(jax.random.PRNGKey(0))
+    x = _clips()
+    y = m.apply(v, x, train=False)
+    assert y.shape == (4, 4)
+    assert jnp.array_equal(y, m.apply(v, x, train=False))
+
+
+def test_order_sensitivity_by_head():
+    x = _clips(n=2)
+    rev = x[:, ::-1]
+    for temporal, sensitive in [("transformer", True), ("gru", True),
+                                ("mean", False)]:
+        m = TemporalVideoModel((6, 12, 12, 3), n_classes=4,
+                               temporal=temporal, embed_dim=16,
+                               encoder_features=(8, 16))
+        v = m.init(jax.random.PRNGKey(1))
+        y, y_rev = m.apply(v, x), m.apply(v, rev)
+        if sensitive:
+            assert not jnp.allclose(y, y_rev, atol=1e-5), temporal
+        else:
+            # mean over frame embeddings is permutation-invariant exactly
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_rev),
+                                       atol=1e-5)
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="F, H, W, C"):
+        TemporalVideoModel((12, 12, 3), n_classes=4)
+    m = TemporalVideoModel((6, 12, 12, 3), n_classes=4, temporal="nope")
+    with pytest.raises(ValueError, match="unknown temporal model"):
+        m.init(jax.random.PRNGKey(0))
+
+
+def test_temporal_model_learns_motion_direction(tmp_path):
+    """Frame embeddings hold only per-frame content; direction lives in the
+    SEQUENCE, so above-chance accuracy proves the timeseries head works
+    (conf defaults: soft-argmax per-frame coords -> scanned GRU; measured
+    0.78 valid acc @10 epochs, 0.91 @30, seeded)."""
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.pipelines.classification import train as train_cls
+    from deepcv_tpu.pipelines.framework import ProjectContext
+
+    raw = generate_clip_dataset(n=256, frames=6, image_size=12, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 1, "split_dataset": {"validset_ratio": 0.25},
+                       "transforms": ["to_tensor"]})
+    ctx = ProjectContext(str(REPO))
+    model = create_temporal_model(data, ctx.params("temporal_classifier_model"))
+    hp = dict(ctx.params("train_temporal_classifier"),
+              output_path=str(tmp_path), validate_every_epochs=20,
+              batch_size=32, backend_conf={"n_devices": 1})
+    out = train_cls(data, model, hp)
+    acc = out["history"]["valid"][-1]["valid_accuracy"]
+    assert acc > 0.6, acc   # 4-way chance is 0.25
+
+
+def test_pipeline_registered():
+    from deepcv_tpu.pipelines.registry import create_pipelines
+    pipes = create_pipelines()
+    assert "train_temporal_classifier" in pipes
+    assert {"train", "video"} <= pipes["train_temporal_classifier"].tags
