@@ -25,7 +25,8 @@ import numpy as np
 from deepcv_tpu.pipelines.video import flow_warp
 
 __all__ = ["phase_correlation", "stabilize_video", "estimate_homography",
-           "ransac_homography", "stitch_pair", "synchronize_sequences"]
+           "ransac_homography", "stitch_pair", "synchronize_sequences",
+           "remove_watermark"]
 
 _logger = logging.getLogger(__name__)
 
@@ -301,6 +302,84 @@ def _sync_scores(emb_a, emb_b, lags):
         return jnp.sum(sims) / (jnp.sum(ok) + 1e-8)
 
     return jax.vmap(score)(lags)
+
+
+# --------------------------------------------------------------------------- #
+# Watermark removal (reference README.md:166 lists "watermark removal" in the
+# video-pipeline TODO line; every sibling — stabilization, stitching, sync,
+# tracking, pose — is implemented, this closes the line). Static matted
+# overlay model per pixel x and frame t:
+#     I_t(x) = (1 - a(x)) * J_t(x) + a(x) * W(x)
+# Closed-form moment matching across frames (cf. Dekel et al., "On the
+# Effectiveness of Visible Watermarks", CVPR 2017 — multi-image estimation):
+#     mean_t I(x) = (1-a) mu_J + a W      var_t I(x) = (1-a)^2 var_J
+# Assuming the CLEAN background's temporal statistics are spatially
+# stationary (same mu_J/var_J everywhere), the temporal std ratio recovers
+# the alpha matte directly, unwatermarked pixels calibrate mu_J/var_J, and
+# the blend inverts per frame. One jitted program, no training, no host
+# loops. Limits (documented, asserted in tests): the watermark must be
+# static, backgrounds must vary over time (var_J > 0), and a(x) -> 1
+# (opaque) is unrecoverable — alpha is capped and those pixels return the
+# watermark-free ESTIMATE mean.
+# --------------------------------------------------------------------------- #
+
+@partial(jax.jit, static_argnames=("percentile",))
+def _watermark_stats(frames: jnp.ndarray, percentile: float,
+                     alpha_floor: float):
+    m = frames.mean(axis=0)                              # (H, W, C)
+    s = frames.std(axis=0)                               # (H, W, C)
+    # Two-pass calibration. Pass 1: a high std percentile gives a rough
+    # (upward-biased) clean scale — every pixel's rough alpha comes out
+    # >= its true value, so thresholding it at 0.3 safely classifies the
+    # clean set. Pass 2: the clean pixels' MEAN std is the unbiased
+    # per-channel scale (the percentile one would push clean alphas
+    # systematically positive by the temporal-sampling noise).
+    sigma_hi = jnp.percentile(s.reshape(-1, s.shape[-1]), percentile, axis=0)
+    rough = 1.0 - jnp.mean(s / jnp.clip(sigma_hi, 1e-8), axis=-1)
+    clean0 = (rough < 0.3)[..., None]
+    sigma_j = (jnp.sum(s * clean0, axis=(0, 1))
+               / jnp.clip(jnp.sum(clean0, axis=(0, 1)), 1.0))
+    alpha = 1.0 - jnp.mean(s / jnp.clip(sigma_j, 1e-8), axis=-1)
+    alpha = jnp.clip(alpha, 0.0, 0.95)
+    alpha = jnp.where(alpha < alpha_floor, 0.0, alpha)   # denoise the matte
+    clean_mask = (alpha == 0.0)[..., None]
+    mu_j = (jnp.sum(m * clean_mask, axis=(0, 1))
+            / jnp.clip(jnp.sum(clean_mask, axis=(0, 1)), 1.0))
+    alpha_w = m - (1.0 - alpha[..., None]) * mu_j        # = a(x) * W(x)
+    alpha_w = jnp.where(alpha[..., None] > 0.0, alpha_w, 0.0)
+    return alpha, alpha_w
+
+
+@jax.jit
+def _unblend(frames: jnp.ndarray, alpha: jnp.ndarray, alpha_w: jnp.ndarray):
+    a = alpha[..., None]
+    return jnp.clip((frames - alpha_w) / jnp.clip(1.0 - a, 0.05), 0.0, 1.0)
+
+
+def remove_watermark(frames: jnp.ndarray, alpha_floor: float = 0.25,
+                     percentile: float = 90.0
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Estimate and remove a static semi-transparent watermark from a clip.
+
+    ``frames``: (T, H, W, C) floats in [0, 1]. Returns ``(clean_frames,
+    alpha, watermark)`` — the recovered frames, the (H, W) alpha matte, and
+    the (H, W, C) watermark colors (0 outside the matte). ``percentile``
+    picks which temporal-std quantile seeds the clean-background
+    calibration (lower it if the watermark covers most of the frame).
+    ``alpha_floor`` zeroes matte noise so unwatermarked pixels pass through
+    exactly; it is also the minimum DETECTABLE opacity — the per-pixel std
+    noise scales ~1/sqrt(2T/3), so ~T=64 frames support the 0.25 default
+    and longer clips can lower it.
+    """
+    frames = jnp.asarray(frames, jnp.float32)
+    if frames.ndim != 4 or frames.shape[0] < 2:
+        raise ValueError(f"expected (T>=2, H, W, C) frames, got {frames.shape}")
+    alpha, alpha_w = _watermark_stats(frames, float(percentile),
+                                      float(alpha_floor))
+    clean = _unblend(frames, alpha, alpha_w)
+    watermark = jnp.where(alpha[..., None] > 0.0,
+                          alpha_w / jnp.clip(alpha[..., None], 1e-8), 0.0)
+    return clean, alpha, jnp.clip(watermark, 0.0, 1.0)
 
 
 if __name__ == "__main__":  # per-module self-test CLI (reference parity)

@@ -96,3 +96,52 @@ def test_synchronize_sequences_lag():
     assert scores.shape == (21,)
     lag2, _ = synchronize_sequences(emb[7:], emb, max_lag=10)
     assert lag2 == -7
+
+
+# --------------------------------------------------------------------------- #
+# Watermark removal (reference README.md:166 TODO line)
+# --------------------------------------------------------------------------- #
+
+def _watermarked_clip(t=64, s=32, alpha=0.6, seed=0):
+    rng = np.random.default_rng(seed)
+    clean = rng.random((t, s, s, 3)).astype(np.float32)
+    a = np.zeros((s, s), np.float32)
+    a[8:20, 10:26] = alpha                      # block watermark
+    a[12:16, 14:22] = 0.0                       # with a hole (logo-like)
+    w = np.zeros((s, s, 3), np.float32)
+    w[..., 0], w[..., 1], w[..., 2] = 0.9, 0.2, 0.5
+    blended = (1 - a[None, ..., None]) * clean + a[None, ..., None] * w
+    return clean, blended.astype(np.float32), a, w
+
+
+def test_watermark_alpha_matte_recovered():
+    from deepcv_tpu.pipelines.geometry import remove_watermark
+    clean, blended, a_true, _ = _watermarked_clip()
+    _, alpha, wm = remove_watermark(jnp.asarray(blended))
+    err = np.abs(np.asarray(alpha) - a_true)
+    assert err.mean() < 0.03, err.mean()
+    # watermark color recovered inside the matte
+    inside = a_true > 0
+    assert np.abs(np.asarray(wm)[inside] -
+                  np.array([0.9, 0.2, 0.5])).mean() < 0.1
+
+
+def test_watermark_removal_restores_background():
+    from deepcv_tpu.pipelines.geometry import remove_watermark
+    clean, blended, a_true, _ = _watermarked_clip()
+    restored, alpha, _ = remove_watermark(jnp.asarray(blended))
+    restored = np.asarray(restored)
+    inside = a_true > 0
+    mse_before = np.mean((blended[:, inside] - clean[:, inside]) ** 2)
+    mse_after = np.mean((restored[:, inside] - clean[:, inside]) ** 2)
+    assert mse_after < 0.05 * mse_before, (mse_before, mse_after)
+    # pixels outside the matte pass through (exact: alpha floored to 0)
+    outside = a_true == 0
+    np.testing.assert_allclose(restored[:, outside], blended[:, outside],
+                               atol=1e-5)
+
+
+def test_watermark_removal_input_validation():
+    from deepcv_tpu.pipelines.geometry import remove_watermark
+    with pytest.raises(ValueError, match="T>=2"):
+        remove_watermark(jnp.zeros((32, 32, 3)))
