@@ -38,7 +38,7 @@ import optax
 
 from deepcv_tpu.runtime.range_coder import TOTAL, rc_decode, rc_encode
 
-__all__ = ["LosslessCodec", "quantize_cdf"]
+__all__ = ["LosslessCodec", "LosslessVideoCodec", "quantize_cdf"]
 
 _MAGIC = b"DCVC"
 #: detail-phase offsets within each 2x2 cell; (0, 0) is the coarse phase
@@ -331,6 +331,149 @@ def _png_bytes(img: np.ndarray) -> int:
     arr = img if img.shape[-1] == 3 else img[..., 0]
     Image.fromarray(arr, mode=mode).save(buf, format="PNG", optimize=True)
     return buf.getbuffer().nbytes
+
+
+# --------------------------------------------------------------------------- #
+# Video extension (the reference TODO asks for "image and video sizes",
+# README.md:157-161). Two per-frame coding modes, the classic intra/inter
+# split shaped for losslessness:
+#   * intra — the frame through the image codec above;
+#   * inter — the MODULO-256 temporal residual (f_t - f_{t-1}) % 256 through
+#     a SECOND pyramid codec trained on residuals. uint8 wraparound is a
+#     bijection, so inter frames reconstruct bit-exactly from the previous
+#     decoded frame; residuals of correlated video concentrate near 0 and
+#     code far below 8 bits/subpixel.
+# The encoder codes every frame BOTH ways (each a batched dispatch across
+# the clip — the 2x probability-model cost is the standard mode-search
+# trade) and keeps the smaller stream; a 1-byte flag tells the decoder.
+# --------------------------------------------------------------------------- #
+
+class LosslessVideoCodec:
+    """Lossless video codec: per-frame intra/inter over two pyramid models.
+
+    ``encode_clip``/``decode_clip`` are exact inverses for (T, H, W, C)
+    uint8 clips. Frame 0 is always intra; later frames pick the cheaper of
+    intra and modulo-256-residual inter coding by realized size.
+    """
+
+    _VMAGIC = b"DCVV"
+
+    def __init__(self, frame_shape: Tuple[int, int, int], *, n_scales: int = 2,
+                 hidden: int = 32, symbols: int = 256, seed: int = 0,
+                 coding_batch: int = 16):
+        self.frame_shape = tuple(frame_shape)
+        self.intra = LosslessCodec(frame_shape, n_scales=n_scales,
+                                   hidden=hidden, symbols=symbols, seed=seed,
+                                   coding_batch=coding_batch)
+        self.inter = LosslessCodec(frame_shape, n_scales=n_scales,
+                                   hidden=hidden, symbols=symbols,
+                                   seed=seed + 1, coding_batch=coding_batch)
+
+    @staticmethod
+    def _residuals(clips: np.ndarray) -> np.ndarray:
+        c = clips.astype(np.int16)
+        return ((c[:, 1:] - c[:, :-1]) % 256).astype(np.uint8)
+
+    def fit(self, clips: np.ndarray, *, steps: int = 300, batch_size: int = 16,
+            lr: float = 3e-3, seed: int = 0, log_every: int = 0
+            ) -> Dict[str, List[float]]:
+        """Train the intra model on frames and the inter model on temporal
+        residuals of ``clips`` (N, T, H, W, C) uint8."""
+        clips = np.asarray(clips, np.uint8)
+        if clips.ndim != 5 or clips.shape[1] < 2:
+            raise ValueError(f"expected (N, T>=2, H, W, C) clips, got "
+                             f"{clips.shape}")
+        frames = clips.reshape((-1,) + clips.shape[2:])
+        res = self._residuals(clips).reshape((-1,) + clips.shape[2:])
+        return {"intra": self.intra.fit(frames, steps=steps,
+                                        batch_size=batch_size, lr=lr,
+                                        seed=seed, log_every=log_every),
+                "inter": self.inter.fit(res, steps=steps,
+                                        batch_size=batch_size, lr=lr,
+                                        seed=seed + 1, log_every=log_every)}
+
+    def encode_clip(self, clip: np.ndarray) -> bytes:
+        """(T, H, W, C) uint8 -> bitstream. Layout: magic | u16 T | per
+        frame: u8 mode (0=intra, 1=inter) + u32 length + image-codec
+        stream."""
+        clip = np.ascontiguousarray(clip, np.uint8)
+        if clip.ndim != 4 or clip.shape[1:] != self.frame_shape:
+            raise ValueError(f"expected (T, *{self.frame_shape}) clip, got "
+                             f"{clip.shape}")
+        t = clip.shape[0]
+        intra_streams = self.intra.encode_batch(clip)
+        inter_streams = self.inter.encode_batch(
+            self._residuals(clip[None])[0]) if t > 1 else []
+        out = [self._VMAGIC, struct.pack("<H", t)]
+        for i in range(t):
+            s_intra = intra_streams[i]
+            s_inter = inter_streams[i - 1] if i > 0 else None
+            if s_inter is not None and len(s_inter) < len(s_intra):
+                mode, stream = 1, s_inter
+            else:
+                mode, stream = 0, s_intra
+            out.append(struct.pack("<BI", mode, len(stream)))
+            out.append(stream)
+        return b"".join(out)
+
+    def decode_clip(self, data: bytes) -> np.ndarray:
+        if data[:4] != self._VMAGIC:
+            raise ValueError("not a deepcv video codec stream")
+        (t,) = struct.unpack_from("<H", data, 4)
+        pos = 6
+        modes, streams = [], []
+        for _ in range(t):
+            mode, length = struct.unpack_from("<BI", data, pos)
+            pos += 5
+            streams.append(data[pos:pos + length])
+            modes.append(mode)
+            pos += length
+        if modes and modes[0] != 0:
+            raise ValueError("corrupt stream: first frame must be intra")
+        # batch the per-model decodes (decode cost is phase-sequential, so
+        # grouping same-model streams keeps one dispatch per phase)
+        intra_idx = [i for i, m in enumerate(modes) if m == 0]
+        inter_idx = [i for i, m in enumerate(modes) if m == 1]
+        planes: Dict[int, np.ndarray] = {}
+        if intra_idx:
+            dec = self.intra.decode_batch([streams[i] for i in intra_idx])
+            planes.update(zip(intra_idx, dec))
+        if inter_idx:
+            dec = self.inter.decode_batch([streams[i] for i in inter_idx])
+            planes.update(zip(inter_idx, dec))
+        frames = np.zeros((t,) + self.frame_shape, np.uint8)
+        for i in range(t):
+            if modes[i] == 0:
+                frames[i] = planes[i]
+            else:  # inter: previous DECODED frame + wrapped residual
+                frames[i] = ((frames[i - 1].astype(np.int16)
+                              + planes[i].astype(np.int16)) % 256
+                             ).astype(np.uint8)
+        return frames
+
+    def evaluate(self, clips: np.ndarray, *, n_code: int = 2
+                 ) -> Dict[str, float]:
+        """Realized rate report over the first ``n_code`` clips: coded
+        bits/subpixel, intra-only baseline, inter-mode share."""
+        clips = np.asarray(clips, np.uint8)
+        per_clip = int(np.prod(clips.shape[1:]))
+        sizes, intra_sizes, inter_frames, total_frames = [], [], 0, 0
+        for clip in clips[:n_code]:
+            blob = self.encode_clip(clip)
+            sizes.append(len(blob))
+            intra_sizes.append(sum(len(s)
+                                   for s in self.intra.encode_batch(clip)))
+            (t,) = struct.unpack_from("<H", blob, 4)
+            pos = 6
+            for _ in range(t):
+                mode, length = struct.unpack_from("<BI", blob, pos)
+                inter_frames += int(mode == 1)
+                total_frames += 1
+                pos += 5 + length
+        return {"coded_bits_per_dim": float(np.mean(sizes)) * 8 / per_clip,
+                "intra_only_bits_per_dim":
+                    float(np.mean(intra_sizes)) * 8 / per_clip,
+                "inter_frame_share": inter_frames / max(1, total_frames)}
 
 
 if __name__ == "__main__":  # per-module self-test CLI (reference parity)
