@@ -191,8 +191,31 @@ def main(argv=None) -> int:
     p_lr.add_argument("--out", default="data/04_training/lr_range_test.png")
     p_lr.add_argument("--project-path", default=".")
 
+    p_dash = sub.add_parser(
+        "dashboard", help="serve the local runs dashboard (the reference's "
+                          "'web app merging all web UIs' TODO)")
+    p_dash.add_argument("--root", default="data/04_training/experiments",
+                        help="ExperimentTracker store to browse")
+    p_dash.add_argument("--port", type=int, default=8050)
+    p_dash.add_argument("--tensorboard", default=None, metavar="LOGDIR",
+                        help="also start a TensorBoard server on this logdir "
+                             "and link it from the dashboard")
+
     args, rest = parser.parse_known_args(argv)
     _setup_logging(getattr(args, "project_path", "."))
+
+    if args.command == "dashboard":
+        from deepcv_tpu.dashboard import DashboardServer
+        tb_url = None
+        if args.tensorboard:
+            from deepcv_tpu.profiling import start_tensorboard_server
+            if start_tensorboard_server(args.tensorboard) is not None:
+                tb_url = "http://127.0.0.1:6006/"
+        server = DashboardServer(args.root, port=args.port,
+                                 tensorboard_url=tb_url)
+        print(f"dashboard: {server.url} (root={args.root})")
+        server.serve_forever()
+        return 0
 
     if args.command == "test":
         import pytest
