@@ -259,9 +259,14 @@ class LosslessCodec:
     def decode(self, data: bytes) -> np.ndarray:
         return self.decode_batch([data])[0]
 
-    def decode_batch(self, streams: Sequence[bytes]) -> np.ndarray:
-        """Decode same-shape bitstreams; phase CNNs batch across streams
-        (decoding stays sequential only across phases, as it must)."""
+    def _decode_levels(self, streams: Sequence[bytes]):
+        """Sequential decode, one completed pyramid level at a time.
+
+        Yields ``(level, planes (B, H>>level, W>>level, C), bytes_consumed
+        per stream)`` after the raw coarsest level and after each coded
+        level completes — the engine behind both :meth:`decode_batch` and
+        the progressive-loading surface (the bitstream is coarse->fine, so
+        every yield depends only on a PREFIX of the stream)."""
         h, w, c = self.image_shape
         positions = []
         for data in streams:
@@ -279,6 +284,7 @@ class LosslessCodec:
         x = np.stack([np.frombuffer(s, np.uint8, top_n, positions[i])
                       .reshape(th, tw, c) for i, s in enumerate(streams)])
         positions = [pos + top_n for pos in positions]
+        yield self.n_scales, x, list(positions)
         for lvl in range(self.n_scales - 1, -1, -1):
             hh, ww = h >> lvl, w >> lvl
             fine = np.zeros((b, hh, ww, c), np.uint8)
@@ -297,7 +303,62 @@ class LosslessCodec:
                 fine[:, dy::2, dx::2, :] = plane
                 known.append(plane)
             x = fine
+            yield lvl, x, list(positions)
+
+    def decode_batch(self, streams: Sequence[bytes]) -> np.ndarray:
+        """Decode same-shape bitstreams; phase CNNs batch across streams
+        (decoding stays sequential only across phases, as it must)."""
+        for _, x, _ in self._decode_levels(streams):
+            pass
         return x
+
+    def decode_progressive(self, data: bytes):
+        """Progressive loading (the reference codec TODO's 'possibility of
+        progressive image/frame loading/streaming', README.md:159): yields
+        ``{'level', 'scale', 'image', 'bytes_consumed', 'final'}`` after
+        each pyramid level, coarse to fine. ``image`` is always full
+        resolution (nearest-upsampled preview; the last yield is the exact
+        decode), so a UI can paint every yield in place. Each preview
+        consumed only the stream PREFIX reported in ``bytes_consumed``."""
+        for lvl, x, pos in self._decode_levels([data]):
+            s = 1 << lvl
+            preview = np.repeat(np.repeat(x[0], s, axis=0), s, axis=1)
+            yield {"level": lvl, "scale": s, "image": preview,
+                   "bytes_consumed": pos[0], "final": lvl == 0}
+
+    def _finest_complete_level(self, data: bytes) -> int:
+        """Walk the length-prefixed block layout (no decoding) and return
+        the finest level whose bytes are FULLY present in ``data``."""
+        h, w, c = self.image_shape
+        pos = (4 + struct.calcsize("<BHHB")
+               + (h >> self.n_scales) * (w >> self.n_scales) * c)
+        if len(data) < pos:
+            raise ValueError("truncated before the coarsest level "
+                             f"({len(data)} bytes)")
+        complete = self.n_scales
+        for lvl in range(self.n_scales - 1, -1, -1):
+            for _ in _PHASES:
+                if pos + 4 > len(data):
+                    return complete
+                (ln,) = struct.unpack_from("<I", data, pos)
+                pos += 4 + ln
+                if pos > len(data):
+                    return complete
+            complete = lvl
+        return complete
+
+    def decode_partial(self, data: bytes) -> Tuple[np.ndarray, int]:
+        """Best full-resolution preview from a possibly TRUNCATED stream —
+        the streaming story: a byte prefix renders at the finest level it
+        fully contains. Returns (preview uint8 (H, W, C), finest completed
+        level; 0 = exact full decode). Raises on a stream too short for
+        even the raw coarsest level. The lazy level generator stops AT the
+        last complete level, so the truncated tail is never parsed."""
+        target = self._finest_complete_level(data)
+        for out in self.decode_progressive(data):
+            if out["level"] == target:
+                return out["image"], out["level"]
+        raise AssertionError("unreachable: target level not yielded")
 
     # ------------------------------------------------------------ benchmark
     def evaluate(self, images: np.ndarray, *, n_code: int = 4) -> Dict[str, float]:

@@ -100,6 +100,46 @@ def test_codec_learns_exact_roundtrip_and_rate(tmp_path):
     assert report["coded_bits_per_dim"] < 8.0
 
 
+def test_codec_progressive_and_partial_decode():
+    """Progressive loading (reference README.md:159 'keep in mind the
+    possibility of progressive image/frame loading/streaming'): the
+    coarse->fine bitstream renders previews from byte PREFIXES, and a
+    truncated stream decodes to the finest fully-contained level."""
+    train, test = _smooth_images(32, seed=5), _smooth_images(2, seed=6)
+    codec = LosslessCodec((16, 16, 3), n_scales=2, hidden=8, seed=0)
+    codec.fit(train, steps=40, batch_size=16, seed=1)
+    img = test[0]
+    blob = codec.encode(img)
+
+    outs = list(codec.decode_progressive(blob))
+    assert [o["level"] for o in outs] == [2, 1, 0]
+    assert [o["final"] for o in outs] == [False, False, True]
+    consumed = [o["bytes_consumed"] for o in outs]
+    assert consumed == sorted(consumed) and consumed[-1] == len(blob)
+    for o in outs:                        # previews are always full-res
+        assert o["image"].shape == img.shape
+    assert (outs[-1]["image"] == img).all()          # last yield is exact
+    # the coarsest preview is the nearest-upsampled raw top level
+    assert (outs[0]["image"][::4, ::4] == img[::4, ::4]).all()
+    # previews sharpen monotonically (mean abs error to the truth shrinks)
+    errs = [np.abs(o["image"].astype(int) - img.astype(int)).mean()
+            for o in outs]
+    assert errs[0] > errs[1] > errs[2] == 0.0
+
+    # partial decode: any prefix renders at its finest complete level
+    full, lvl = codec.decode_partial(blob)
+    assert lvl == 0 and (full == img).all()
+    mid, lvl_mid = codec.decode_partial(blob[:consumed[1] + 2])
+    assert lvl_mid == 1 and (mid == outs[1]["image"]).all()
+    coarse, lvl_top = codec.decode_partial(blob[:consumed[0]])
+    assert lvl_top == 2 and (coarse == outs[0]["image"]).all()
+    # cutting INSIDE a level falls back to the previous complete one
+    inside, lvl_in = codec.decode_partial(blob[:consumed[1] - 1])
+    assert lvl_in == 2
+    with pytest.raises(ValueError, match="truncated"):
+        codec.decode_partial(blob[:10])
+
+
 def test_codec_rejects_bad_inputs():
     codec = LosslessCodec((16, 16, 3), n_scales=2, hidden=8)
     with pytest.raises(ValueError, match="expected"):
