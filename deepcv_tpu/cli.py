@@ -150,7 +150,10 @@ def main(argv=None) -> int:
     p_pred.add_argument("--bundle", required=True,
                         help="directory from serve.save_model_bundle")
     p_pred.add_argument("--input", required=True,
-                        help=".npy file of NHWC images (uint8 or float)")
+                        help=".npy file of NHWC images (uint8 or float), or "
+                             "a .y4m video — frames become the inference "
+                             "batch (image pipeline application to video, "
+                             "data.video_io)")
     p_pred.add_argument("--output", default="predictions.npy")
     p_pred.add_argument("--batch-size", type=int, default=256)
     p_pred.add_argument("--dtype", default=None)
@@ -363,7 +366,11 @@ def _cmd_predict(args) -> int:
         print(f"error: unknown --decode mode {args.decode!r} "
               "(known: detection[:g1,g2,...], segmentation)", file=sys.stderr)
         return 2
-    images = np.load(args.input)
+    if str(args.input).endswith(".y4m"):
+        from deepcv_tpu.data.video_io import read_y4m
+        images, _video_meta = read_y4m(args.input)
+    else:
+        images = np.load(args.input)
     model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
                                          quantize=args.quantize)
     preprocess = None

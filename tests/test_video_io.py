@@ -138,6 +138,35 @@ def test_dvv_container_roundtrip_and_validation(tmp_path):
         next(iter_dvv(bad, codec))
 
 
+def test_predict_cli_accepts_y4m(tmp_path):
+    """`predict --input video.y4m`: image pipeline application to a video
+    file through the serving CLI (reference 'image pipeline application'
+    video-tooling bullet)."""
+    import jax
+    from deepcv_tpu.cli import main
+    from deepcv_tpu.serve import save_model_bundle
+    from deepcv_tpu.spec import DeepcvModule
+
+    hp = {"act_fn": "relu",
+          "architecture": [
+              {"avg_pooling": {"kernel_size": [4, 4], "stride": [4, 4]}},
+              {"flatten": {}},
+              {"fully_connected": {"out_features": 5}}]}
+    model = DeepcvModule((16, 16, 3), hp)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0)))
+    bundle = save_model_bundle(tmp_path / "bundle", model, variables)
+
+    frames = _frames(t=9, h=16, w=16)
+    write_y4m(tmp_path / "in.y4m", frames, chroma="444")
+    out = tmp_path / "preds.npy"
+    rc = main(["predict", "--bundle", str(bundle),
+               "--input", str(tmp_path / "in.y4m"),
+               "--output", str(out), "--batch-size", "4", "--to-tensor"])
+    assert rc == 0
+    preds = np.load(out)
+    assert preds.shape == (9, 5)
+
+
 def test_process_video_mesh_sharded_matches_direct():
     import jax
     import jax.numpy as jnp
