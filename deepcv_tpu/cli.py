@@ -366,7 +366,7 @@ def _cmd_predict(args) -> int:
         print(f"error: unknown --decode mode {args.decode!r} "
               "(known: detection[:g1,g2,...], segmentation)", file=sys.stderr)
         return 2
-    if str(args.input).endswith(".y4m"):
+    if str(args.input).lower().endswith(".y4m"):
         from deepcv_tpu.data.video_io import read_y4m
         images, _video_meta = read_y4m(args.input)
     else:

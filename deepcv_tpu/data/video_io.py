@@ -59,11 +59,13 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(ycc), 0, 255).astype(np.uint8)
 
 
+_YCC2RGB = np.linalg.inv(_RGB2YCC)
+
+
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     """Inverse of :func:`rgb_to_ycbcr` (clipped; roundtrip is within ~2 u8
     levels — studio-swing quantization is lossy by construction)."""
-    inv = np.linalg.inv(_RGB2YCC)
-    rgb = (ycc.astype(np.float64) - _YCC_OFFSET) @ inv.T
+    rgb = (ycc.astype(np.float64) - _YCC_OFFSET) @ _YCC2RGB.T
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
@@ -82,13 +84,20 @@ class Y4MMeta:
 
     @property
     def frame_bytes(self) -> int:
+        # EXACT tag matching: prefix matching would accept 10/16-bit or
+        # alpha variants (C420p10, C444alpha, ...) and silently misparse
+        # their 2-bytes/sample or 4-plane frames as 8-bit 3-plane data.
         y = self.width * self.height
-        if self.chroma.startswith("444"):
+        if self.chroma == "444":
             return 3 * y
-        if self.chroma.startswith("420"):
+        if self.chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
+            # the three 420 sitings share one plane layout; we up/downsample
+            # with centered (jpeg) siting for all of them — reading
+            # mpeg2/paldv-sited chroma is off by at most half a sample
             return y + 2 * ((self.width // 2) * (self.height // 2))
         raise ValueError(f"unsupported Y4M chroma 'C{self.chroma}' "
-                         "(supported: 444, 420/420jpeg/420mpeg2/420paldv)")
+                         "(supported: 444, 420, 420jpeg, 420mpeg2, "
+                         "420paldv — 8-bit, no alpha)")
 
 
 def _parse_y4m_header(line: bytes) -> Y4MMeta:
@@ -158,7 +167,11 @@ def iter_y4m(path: Union[str, Path]) -> Tuple[Y4MMeta,
     frames). The generator reads one frame at a time — constant memory on
     larger-than-RAM videos."""
     f = open(path, "rb")
-    meta = _parse_y4m_header(f.readline())
+    try:
+        meta = _parse_y4m_header(f.readline())
+    except BaseException:
+        f.close()                # don't leak the fd on a malformed header
+        raise
 
     def frames():
         with f:
@@ -179,6 +192,8 @@ def iter_y4m(path: Union[str, Path]) -> Tuple[Y4MMeta,
 def read_y4m(path: Union[str, Path], limit: Optional[int] = None
              ) -> Tuple[np.ndarray, Y4MMeta]:
     """Read a .y4m file into a (T, H, W, 3) uint8 RGB array."""
+    if limit is not None and limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
     meta, gen = iter_y4m(path)
     out = []
     for i, frame in enumerate(gen):
@@ -195,7 +210,13 @@ def write_y4m(path: Union[str, Path], frames: Iterable[np.ndarray],
               ) -> Y4MMeta:
     """Write uint8 RGB frames ((T, H, W, 3) array or any iterable of
     (H, W, 3)) as a .y4m file any video tool can consume. Streams: frames
-    are converted and written one at a time."""
+    are converted and written one at a time. Writing allows only the
+    sitings we actually produce ('444', '420jpeg' centered chroma) — a
+    '420mpeg2' tag over jpeg-sited planes would promise co-sited chroma we
+    didn't write."""
+    if chroma not in ("444", "420jpeg"):
+        raise ValueError(f"write_y4m emits C444 or C420jpeg, got "
+                         f"'{chroma}'")
     it = iter(frames)
     try:
         first = next(it)
@@ -302,8 +323,15 @@ def iter_dvv(path: Union[str, Path], codec) -> Iterator[np.ndarray]:
             head = f.read(4)
             if not head:
                 return
+            if len(head) != 4:
+                raise ValueError("truncated .dvv container (cut inside a "
+                                 "clip length prefix)")
             (ln,) = struct.unpack("<I", head)
-            yield codec.decode_clip(f.read(ln))
+            blob = f.read(ln)
+            if len(blob) != ln:
+                raise ValueError(f"truncated .dvv container (clip needs "
+                                 f"{ln} bytes, {len(blob)} present)")
+            yield codec.decode_clip(blob)
 
 
 def read_dvv(path: Union[str, Path], codec) -> np.ndarray:
@@ -330,13 +358,15 @@ def process_video(frames: Union[np.ndarray, Iterable[np.ndarray]],
     ``fn(batch (B, H, W, ...)) -> (B, ...)`` — a jitted model forward, a
     preprocess chain, an augmentation stack. With a ``mesh``, every batch
     is device_put with the batch dim sharded over ``axis`` BEFORE ``fn``
-    runs, so XLA executes each call data-parallel across the mesh's chips
-    and overlaps the host->device transfer of batch k+1 with compute of
-    batch k (dispatch is async). The tail batch is padded by repeating the
-    last frame and trimmed after. ``frames`` may be an array or any frame
-    iterator (e.g. straight from :func:`iter_y4m`); ``preprocess`` (host
-    side, e.g. dtype conversion) applies per batch before sharding.
-    Returns the stacked host results (T, ...)."""
+    runs, so XLA executes each call data-parallel across the mesh's chips.
+    The loop keeps ONE batch in flight: it dispatches batch k (async),
+    prepares and dispatches batch k+1, and only then blocks on k's result
+    — host decode/transfer of the next batch overlaps device compute of
+    the current one. The tail batch is padded by repeating the last frame
+    and trimmed after. ``frames`` may be an array or any frame iterator
+    (e.g. straight from :func:`iter_y4m`); ``preprocess`` (host side, e.g.
+    dtype conversion) applies per batch before sharding. Returns the
+    stacked host results (T, ...)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -349,7 +379,8 @@ def process_video(frames: Union[np.ndarray, Iterable[np.ndarray]],
     else:
         sharding = None
 
-    def run(batch: np.ndarray) -> Tuple[np.ndarray, int]:
+    def dispatch(batch: np.ndarray) -> Tuple[object, int]:
+        """Async: pad + preprocess + shard + launch fn; no host sync."""
         real = batch.shape[0]
         if real < batch_size:                      # pad tail, trim after
             pad = np.repeat(batch[-1:], batch_size - real, axis=0)
@@ -357,9 +388,8 @@ def process_video(frames: Union[np.ndarray, Iterable[np.ndarray]],
         if preprocess is not None:
             batch = preprocess(batch)
         x = jax.device_put(batch, sharding) if sharding is not None else batch
-        return np.asarray(fn(x))[:real], real
+        return fn(x), real
 
-    outs = []
     if isinstance(frames, np.ndarray):
         chunks = (frames[i:i + batch_size]
                   for i in range(0, len(frames), batch_size))
@@ -374,9 +404,17 @@ def process_video(frames: Union[np.ndarray, Iterable[np.ndarray]],
             if buf:
                 yield np.stack(buf)
         chunks = chunked()
+
+    outs = []
+    pending = None                 # one batch in flight (double buffering)
     for chunk in chunks:
-        y, _ = run(chunk)
-        outs.append(y)
-    if not outs:
+        launched = dispatch(chunk)
+        if pending is not None:
+            y, real = pending
+            outs.append(np.asarray(y)[:real])      # blocks on batch k-1
+        pending = launched
+    if pending is None:
         raise ValueError("process_video: no frames")
+    y, real = pending
+    outs.append(np.asarray(y)[:real])
     return np.concatenate(outs)

@@ -53,6 +53,10 @@ def _smooth(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """Box-filter a (H, W) map with two rank-1 convs (separable window)."""
     # Separable filtering as two 1-D convolutions keeps the work O(window)
     # per pixel instead of O(window^2); XLA fuses both passes.
+    if window % 2 == 0:
+        # even pad would yield an off-by-one output shape (silently wrong
+        # keypoint coordinates downstream)
+        raise ValueError(f"smoothing window must be odd, got {window}")
     k = jnp.ones((window,), x.dtype) / window
     pad = window // 2
     xp = jnp.pad(x, ((pad, pad), (0, 0)), mode="edge")

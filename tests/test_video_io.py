@@ -98,6 +98,35 @@ def test_y4m_validation(tmp_path):
         write_y4m(tmp_path / "e.y4m", [])
 
 
+def test_y4m_incompatible_variants_rejected_supported_sitings_read(tmp_path):
+    """Exact chroma-tag matching: 10-bit / alpha variants are refused up
+    front (prefix matching would misparse their frames as 8-bit 3-plane),
+    while all 8-bit 4:2:0 sitings read (centered-siting approximation)."""
+    p = tmp_path / "v.y4m"
+    for tag in ("420p10", "444p16", "444alpha", "422"):
+        p.write_bytes(f"YUV4MPEG2 W4 H4 F25:1 Ip C{tag}\n".encode())
+        with pytest.raises(ValueError, match="unsupported Y4M chroma"):
+            read_y4m(p)
+    frame = bytes(range(16)) + bytes(4) + bytes(4)       # 4x4 Y + 2x2 Cb/Cr
+    for tag in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        p.write_bytes(f"YUV4MPEG2 W4 H4 F25:1 Ip C{tag}\nFRAME\n".encode()
+                      + frame)
+        frames, meta = read_y4m(p)
+        assert frames.shape == (1, 4, 4, 3) and meta.chroma == tag
+    # writing only emits the sitings we actually produce
+    with pytest.raises(ValueError, match="C444 or C420jpeg"):
+        write_y4m(tmp_path / "w.y4m", np.zeros((1, 4, 4, 3), np.uint8),
+                  chroma="420mpeg2")
+    with pytest.raises(ValueError, match="limit must be >= 1"):
+        read_y4m(p, limit=0)
+
+
+def test_smooth_even_window_rejected():
+    from deepcv_tpu.pipelines.classical_features import harris_response
+    with pytest.raises(ValueError, match="must be odd"):
+        harris_response(np.zeros((8, 8), np.float32), window=4)
+
+
 def test_y4m_to_memmap_streaming_conversion(tmp_path):
     frames = _frames(t=7, h=16, w=16)
     src = tmp_path / "v.y4m"
@@ -136,6 +165,18 @@ def test_dvv_container_roundtrip_and_validation(tmp_path):
     bad.write_bytes(b"JUNKJUNKJUNK")
     with pytest.raises(ValueError, match="not a deepcv video container"):
         next(iter_dvv(bad, codec))
+    # truncated containers raise the module's ValueError (never struct
+    # errors or short reads handed to the range coder)
+    whole = path.read_bytes()
+    cut_in_len = tmp_path / "cut1.dvv"
+    first_clip_end = 10 + 4 + int.from_bytes(whole[10:14], "little")
+    cut_in_len.write_bytes(whole[:first_clip_end + 2])   # 2 of 4 len bytes
+    with pytest.raises(ValueError, match="length prefix"):
+        list(iter_dvv(cut_in_len, codec))
+    cut_in_clip = tmp_path / "cut2.dvv"
+    cut_in_clip.write_bytes(whole[:first_clip_end + 40])
+    with pytest.raises(ValueError, match="truncated .dvv"):
+        list(iter_dvv(cut_in_clip, codec))
 
 
 def test_predict_cli_accepts_y4m(tmp_path):
