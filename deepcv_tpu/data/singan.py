@@ -108,6 +108,49 @@ class SinGAN:
         return self.sample(jax.random.PRNGKey(0), n=1,
                            start_scale=len(self.shapes))
 
+    def harmonize(self, image: jnp.ndarray, key: Optional[jax.Array] = None,
+                  start_scale: int = 1, mask: Optional[jnp.ndarray] = None,
+                  ) -> jnp.ndarray:
+        """SinGAN editing / harmonization / completion (arXiv:1905.01164 §4
+    applications; the reference's 'image completion/reconstruction/
+    combination ... from SinGAN' TODO, README.md:154): inject an EDITED
+    image — naively pasted object, crude fill of a hole, paint strokes —
+    at an intermediate pyramid scale and run only the finer generator
+    scales over it, so the injected content is re-rendered in the training
+    image's texture statistics.
+
+    ``image``: (H, W, C) or (N, H, W, C) in [0, 1] at the finest
+    resolution. ``start_scale`` controls how much the pyramid may reshape
+    the edit (lower = more freedom). ``key=None`` runs the deterministic
+    (zero-noise) path. ``mask`` (broadcastable to the finest shape, 1 =
+    edited region) composites the harmonized pixels into the ORIGINAL
+    outside the mask — completion keeps everything but the hole exact.
+    """
+        if not 0 <= start_scale < len(self.shapes):
+            raise ValueError(f"start_scale must be in [0, "
+                             f"{len(self.shapes) - 1}], got {start_scale}")
+        x = jnp.asarray(image, jnp.float32)
+        batched = x.ndim == 4
+        if not batched:
+            x = x[None]
+        original = x
+        x = x * 2.0 - 1.0                          # generator space [-1, 1]
+        x = _resize(x, *self.shapes[start_scale])
+        for s in range(start_scale, len(self.shapes)):
+            x = _resize(x, *self.shapes[s])
+            if key is not None:
+                key, k = jax.random.split(key)
+                z = self.noise_amps[s] * jax.random.normal(k, x.shape)
+                x_in = x + z
+            else:
+                x_in = x
+            x = x + self._gen.apply(self.gen_params[s], x_in)
+        out = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+        if mask is not None:
+            m = jnp.asarray(mask, jnp.float32)
+            out = m * out + (1.0 - m) * original
+        return out if batched else out[0]
+
 
 def train_singan(image: jnp.ndarray, n_scales: int = 3,
                  steps_per_scale: int = 300, features: int = 32,
