@@ -241,12 +241,39 @@ def bench_keypoints_matching():
         out = pipeline(v, img_a, img_b + i * 1e-3)
     _sync(out)
     pairs_s = B * n_it / (time.perf_counter() - t0)
+
+    # the CLASSICAL baseline the reference wanted the CNN compared against
+    # (README.md:128 'compare it against ... SIFT, ORB'): Harris + oriented
+    # BRIEF + Hamming-as-matmul on the SAME image pairs, same K
+    from deepcv_tpu.pipelines.classical_features import (detect_and_describe,
+                                                         match_hamming)
+
+    @jax.jit
+    def classical(img_a, img_b):
+        def one(a, b):
+            _, da, va = detect_and_describe(a, k=K, n_tests=256)
+            _, db, vb = detect_and_describe(b, k=K, n_tests=256)
+            m, valid = match_hamming(da, db)
+            return m, valid & va & vb[m]
+        return jax.vmap(one)(img_a.astype(jnp.float32),
+                             img_b.astype(jnp.float32))
+
+    _sync(classical(img_a, img_a))
+    t0 = time.perf_counter()
+    for i in range(n_it):
+        cout = classical(img_a, img_b + i * 1e-3)
+    _sync(cout)
+    classical_pairs_s = B * n_it / (time.perf_counter() - t0)
+
     print(json.dumps({"metric": "keypoints_encode_extract_match_throughput",
                       "value": round(pairs_s, 1), "unit": "image_pairs/s",
                       "vs_baseline": round(pairs_s / 100.0, 3),
                       "encoder_params": int(n_params),
                       "keypoints_per_image": K,
                       "image_shape": [64, 64, 3],
+                      "classical_orb_pairs_s": round(classical_pairs_s, 1),
+                      "learned_vs_classical": round(
+                          pairs_s / max(classical_pairs_s, 1e-9), 3),
                       "data": "synthetic"}))
 
 
