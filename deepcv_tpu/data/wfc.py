@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["adjacency_from_exemplar", "wave_function_collapse",
-           "sample_tilemaps", "validate_tilemap"]
+           "sample_tilemaps", "validate_tilemap", "growing_grid",
+           "learn_tiles", "render_tilemap", "generate_texture"]
 
 _logger = logging.getLogger(__name__)
 
@@ -230,3 +231,163 @@ def validate_tilemap(grid: np.ndarray, adjacency: np.ndarray,
     else:
         pairs = [(g[:, :-1], g[:, 1:], 0), (g[:-1, :], g[1:, :], 2)]
     return all(adj[d][a.ravel(), b.ravel()].all() for a, b, d in pairs)
+
+
+# --------------------------------------------------------------------------- #
+# Growing Grid tile learning (the reference's full PCG sentence)
+# --------------------------------------------------------------------------- #
+#
+# The reference's future-work sentence couples three pieces: "Use a GAN to
+# generate slots ... used by Wave Function Collapse (+ Growing Grids as
+# space filling algorithm to determine tile shapes)" (README.md:162). The
+# slot/tile-learning role is filled here by a GROWING GRID self-organizing
+# map (Fritzke 1995): a small SOM whose lattice inserts rows/columns where
+# quantization error concentrates, so the tile vocabulary SIZES ITSELF to
+# the exemplar's complexity. TPU shape: each training phase is full-batch
+# — distances are one (N, D) x (D, K) matmul, the batch-SOM update is two
+# more ((K, N) x (N, D)), and the per-unit error accumulation is a one-hot
+# matmul — all MXU work under one jit per lattice size (the lattice grows
+# a handful of times, so a handful of compiles).
+
+def growing_grid(data: np.ndarray, *, initial: Tuple[int, int] = (2, 2),
+                 max_units: int = 16, steps_per_phase: int = 30,
+                 lr: float = 0.5, sigma: float = 1.2, seed: int = 0,
+                 finetune_sigmas: Tuple[float, ...] = (0.5, 0.2, 0.05),
+                 ) -> Tuple[np.ndarray, Tuple[int, int], list]:
+    """Fit a growing-grid SOM to (N, D) data.
+
+    Returns (codebook (K, D) row-major over the final lattice, lattice
+    shape (R, C), per-phase mean quantization-error history). Growth
+    phase: constant ``sigma`` (Fritzke's scheme), one row or column
+    inserted after each phase between the highest-error unit and its
+    highest-error lattice neighbor (weights = mean of the flanking line),
+    until ``R*C >= max_units``. Fine-tune phase: ``finetune_sigmas``
+    shrink the neighborhood so units specialize (sigma -> 0 turns the
+    batch-SOM update into k-means on the grown lattice).
+    """
+    x = jnp.asarray(np.asarray(data, np.float32))
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    r, c = initial
+    w = (np.asarray(x.mean(0))[None, :]
+         + 0.01 * rng.standard_normal((r * c, d))).astype(np.float32)
+    history: list = []
+
+    def _phase(w0, coords, sig):
+        """steps_per_phase full-batch SOM updates; returns (w, unit errors,
+        mean qe)."""
+        coords = jnp.asarray(coords, jnp.float32)          # (K, 2)
+
+        def step(wk, i):
+            d2 = (jnp.sum(x * x, 1)[:, None] + jnp.sum(wk * wk, 1)[None]
+                  - 2.0 * x @ wk.T)                        # (N, K) MXU
+            bmu = jnp.argmin(d2, axis=1)
+            gd2 = jnp.sum((coords[bmu][:, None, :]
+                           - coords[None, :, :]) ** 2, -1)  # (N, K)
+            h = jnp.exp(-gd2 / (2.0 * sig * sig))
+            num = h.T @ x                                   # (K, D) MXU
+            den = jnp.maximum(h.sum(0), 1e-12)[:, None]
+            # empty-neighborhood units (den ~ 0) keep their weights
+            upd = jnp.where(h.sum(0)[:, None] > 1e-8, num / den, wk)
+            wk = (1.0 - lr) * wk + lr * upd
+            one = jax.nn.one_hot(bmu, wk.shape[0], dtype=jnp.float32)
+            unit_err = one.T @ jnp.min(d2, axis=1)          # (K,)
+            return wk, (unit_err, jnp.mean(jnp.min(d2, axis=1)))
+
+        wk, (errs, qes) = jax.lax.scan(step, w0, jnp.arange(steps_per_phase))
+        return wk, errs[-1], qes[-1]
+
+    phase = jax.jit(_phase)
+
+    def _coords(r, c):
+        return np.stack(np.meshgrid(np.arange(r), np.arange(c),
+                                    indexing="ij"), -1).reshape(-1, 2)
+
+    while True:
+        w_j, errs, qe = phase(jnp.asarray(w), _coords(r, c),
+                              jnp.float32(sigma))
+        w = np.asarray(w_j)
+        history.append(float(qe))
+        if r * c >= max_units:
+            break
+        # grow: between the worst unit and its worst lattice neighbor
+        errs = np.asarray(errs)
+        e = int(np.argmax(errs))
+        er, ec = divmod(e, c)
+        nbrs = [(er + dr, ec + dc) for dr, dc in
+                ((0, 1), (0, -1), (1, 0), (-1, 0))
+                if 0 <= er + dr < r and 0 <= ec + dc < c]
+        fr, fc = max(nbrs, key=lambda rc: errs[rc[0] * c + rc[1]])
+        grid_w = w.reshape(r, c, d)
+        if fr == er:                                        # insert a column
+            lo = min(ec, fc)
+            new_col = 0.5 * (grid_w[:, lo] + grid_w[:, lo + 1])
+            grid_w = np.concatenate([grid_w[:, :lo + 1], new_col[:, None],
+                                     grid_w[:, lo + 1:]], axis=1)
+            c += 1
+        else:                                               # insert a row
+            lo = min(er, fr)
+            new_row = 0.5 * (grid_w[lo] + grid_w[lo + 1])
+            grid_w = np.concatenate([grid_w[:lo + 1], new_row[None],
+                                     grid_w[lo + 1:]], axis=0)
+            r += 1
+        w = grid_w.reshape(r * c, d)
+
+    for sig in finetune_sigmas:                             # specialize
+        w_j, _, qe = phase(jnp.asarray(w), _coords(r, c), jnp.float32(sig))
+        w = np.asarray(w_j)
+        history.append(float(qe))
+    return w, (r, c), history
+
+
+def learn_tiles(image: np.ndarray, tile_size: int = 4,
+                max_tiles: int = 12, seed: int = 0, **gg_kw):
+    """Learn a tile vocabulary from one exemplar image and quantize it.
+
+    Non-overlapping ``tile_size`` patches -> growing-grid codebook (the
+    'determine tile shapes' role) -> BMU tilemap. Returns a dict with
+    ``codebook`` (K, tile, tile, C), ``tilemap`` (H//t, W//t) int32,
+    ``grid_shape``, ``qe_history``.
+    """
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    t = int(tile_size)
+    if h % t or w % t:
+        raise ValueError(f"image {h}x{w} not divisible by tile_size {t}")
+    gh, gw = h // t, w // t
+    patches = (img.reshape(gh, t, gw, t, ch).transpose(0, 2, 1, 3, 4)
+               .reshape(gh * gw, t * t * ch))
+    codebook, grid_shape, hist = growing_grid(
+        patches, max_units=max_tiles, seed=seed, **gg_kw)
+    d2 = (np.sum(patches ** 2, 1)[:, None]
+          + np.sum(codebook ** 2, 1)[None] - 2.0 * patches @ codebook.T)
+    tilemap = np.argmin(d2, 1).astype(np.int32).reshape(gh, gw)
+    return {"codebook": codebook.reshape(-1, t, t, ch),
+            "tilemap": tilemap, "grid_shape": grid_shape,
+            "qe_history": hist}
+
+
+def render_tilemap(tilemap: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """(gh, gw) tile indices + (K, t, t, C) codebook -> (gh*t, gw*t, C)."""
+    tiles = np.asarray(codebook)[np.asarray(tilemap)]       # (gh, gw, t, t, C)
+    gh, gw, t, _, ch = tiles.shape
+    return tiles.transpose(0, 2, 1, 3, 4).reshape(gh * t, gw * t, ch)
+
+
+def generate_texture(image: np.ndarray, out_tiles: Tuple[int, int],
+                     key: jax.Array, tile_size: int = 4, max_tiles: int = 12,
+                     seed: int = 0, wrap: bool = False,
+                     max_restarts: int = 8) -> np.ndarray:
+    """The full PCG chain of the reference's future-work sentence: exemplar
+    image -> growing-grid learned tiles -> exemplar-derived adjacency ->
+    WFC generation -> rendered texture of ``out_tiles`` (rows, cols) tiles.
+    """
+    learned = learn_tiles(image, tile_size=tile_size, max_tiles=max_tiles,
+                          seed=seed)
+    adj, weights = adjacency_from_exemplar(
+        learned["tilemap"], n_tiles=len(learned["codebook"]))
+    grid = wave_function_collapse(adj, weights, out_tiles, key, wrap=wrap,
+                                  max_restarts=max_restarts)
+    return render_tilemap(grid, learned["codebook"])
