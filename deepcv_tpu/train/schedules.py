@@ -23,8 +23,8 @@ import optax
 
 from deepcv_tpu.utils import register
 
-__all__ = ["piecewise_linear", "one_cycle", "build_schedule", "safe_eval_milestones",
-           "SCHEDULES"]
+__all__ = ["piecewise_linear", "one_cycle", "build_schedule", "build_schedules",
+           "safe_eval_milestones", "SCHEDULES"]
 
 _logger = logging.getLogger(__name__)
 
@@ -155,17 +155,14 @@ register("piecewise_linear", piecewise_linear)
 register("one_cycle", one_cycle)
 
 
-def build_schedule(spec: Optional[Mapping[str, Any]], hp: Mapping[str, Any],
-                   iterations_per_epoch: int) -> Optional[optax.Schedule]:
-    """Build a schedule from a YAML scheduler spec (reference format:
-    ``{type: <name-or-tag>, eval_args: [names...], kwargs: {...}}``,
-    parameters.yml:103-108 / ignite_training.py:227-231).
+#: optimizer hyperparameters that may carry their own schedule
+#: (reference README.md:122 "allow multiple schedulers" / :127 "momentum"
+#: / :127 "similar policies for other hyperparameters (e.g. ... L2)")
+SCHEDULABLE = ("lr", "momentum", "weight_decay")
 
-    Eval-string kwargs named in ``eval_args`` are evaluated safely with
-    ``{'hp': hp, 'iterations': iterations_per_epoch}``.
-    """
-    if not spec:
-        return None
+
+def _build_one(spec: Mapping[str, Any], hp: Mapping[str, Any],
+               iterations_per_epoch: int):
     spec = dict(spec)
     t = spec.get("type")
     ident = getattr(t, "identifier", t)
@@ -181,10 +178,67 @@ def build_schedule(spec: Optional[Mapping[str, Any]], hp: Mapping[str, Any],
     for arg in spec.get("eval_args", []):
         if arg in kwargs and isinstance(kwargs[arg], str):
             kwargs[arg] = safe_eval_milestones(kwargs[arg], env)
-    out = SCHEDULES[name](**kwargs)
-    if isinstance(out, tuple):  # one_cycle returns (lr, momentum); lr only here
-        return out[0]
-    return out
+    if name == "one_cycle":
+        # bare `scheduler: one_cycle` convenience: cycle peaks at the
+        # optimizer lr over the full run (torch OneCycleLR's defaults)
+        opts = env["hp"].get("optimizer_opts") or {}
+        if "max_lr" not in kwargs and "lr" in opts:
+            kwargs["max_lr"] = float(opts["lr"])
+        if "total_steps" not in kwargs and env["hp"].get("epochs"):
+            kwargs["total_steps"] = int(env["hp"]["epochs"]) * int(env["iterations"])
+    return SCHEDULES[name](**kwargs)
+
+
+def build_schedules(spec: Optional[Mapping[str, Any]], hp: Mapping[str, Any],
+                    iterations_per_epoch: int) -> Dict[str, optax.Schedule]:
+    """Build every schedule a scheduler spec declares.
+
+    Two accepted YAML forms:
+
+    * single spec ``{type: ..., eval_args: [...], kwargs: {...}}`` (reference
+      format, parameters.yml:103-108 / ignite_training.py:227-231) — returns
+      ``{'lr': schedule}``; ``one_cycle`` additionally returns its inverse
+      ``'momentum'`` cycle (arXiv:1803.09820 schedules BOTH; torch's
+      OneCycleLR cycles momentum/beta1 the same way);
+    * multi-target mapping ``{lr: <spec>, momentum: <spec>,
+      weight_decay: <spec>}`` (reference README.md:122 "multiple schedulers",
+      :127 momentum + other-hyperparameter policies) — one independent
+      schedule per named optimizer hyperparameter.
+
+    Eval-string kwargs named in ``eval_args`` are evaluated safely with
+    ``{'hp': hp, 'iterations': iterations_per_epoch}``.
+    """
+    if not spec:
+        return {}
+    if isinstance(spec, str):  # bare `scheduler: one_cycle` shorthand
+        spec = {"type": spec}
+    if "type" in spec:  # single (reference) form
+        out = _build_one(spec, hp, iterations_per_epoch)
+        if isinstance(out, tuple):  # one_cycle -> (lr, momentum)
+            return {"lr": out[0], "momentum": out[1]}
+        return {"lr": out}
+    unknown = set(spec) - set(SCHEDULABLE)
+    if unknown:
+        raise ValueError(f"Unknown scheduler targets {sorted(unknown)}; "
+                         f"schedulable: {SCHEDULABLE} (or pass a single "
+                         f"'type: ...' spec)")
+    built: Dict[str, optax.Schedule] = {}
+    for target, sub in spec.items():
+        out = _build_one(sub, hp, iterations_per_epoch)
+        if isinstance(out, tuple):  # one_cycle under an explicit target
+            lr_s, mom_s = out
+            built[target] = lr_s if target != "momentum" else mom_s
+            if target == "lr":
+                built.setdefault("momentum", mom_s)
+        else:
+            built[target] = out
+    return built
+
+
+def build_schedule(spec: Optional[Mapping[str, Any]], hp: Mapping[str, Any],
+                   iterations_per_epoch: int) -> Optional[optax.Schedule]:
+    """LR-only convenience wrapper over :func:`build_schedules`."""
+    return build_schedules(spec, hp, iterations_per_epoch).get("lr")
 
 
 if __name__ == "__main__":  # per-module self-test CLI (reference parity)

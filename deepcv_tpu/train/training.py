@@ -41,12 +41,13 @@ from deepcv_tpu.data.pipeline import BatchIterator, prefetch_to_device, DeviceDa
 from deepcv_tpu.train.backend import BackendConfig
 from deepcv_tpu.train.losses import WeightedLosses
 from deepcv_tpu.train.metrics import METRIC_FNS, MetricAccumulator, accuracy
-from deepcv_tpu.train.schedules import build_schedule
+from deepcv_tpu.train.schedules import build_schedule, build_schedules  # noqa: F401 (build_schedule re-exported)
 from deepcv_tpu.train.checkpoint import CheckpointManager, resume_from_path
 from deepcv_tpu.utils import EventsHandler
 
 __all__ = ["TrainState", "train", "train_with_retries", "TRAINING_HP_DEFAULTS",
-           "build_optimizer", "CrashIteration", "TrainingEvents"]
+           "build_optimizer", "scale_updates_by_path", "CrashIteration",
+           "TrainingEvents"]
 
 _logger = logging.getLogger(__name__)
 
@@ -102,6 +103,11 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # '^(?!.*fully_connected)' to train only the head). Generalizes the
     # shared-image-block freeze (spec/module.py frozen_mask).
     "freeze_params": None,
+    # per-layer/per-block LR scales (reference README.md:127): ordered
+    # mapping {path-regex: scale} over the same '/'-joined param paths as
+    # freeze_params; first match wins, unmatched params keep 1.0. Classic
+    # fine-tuning recipe: {'fully_connected': 1.0, '.*': 0.1}.
+    "lr_scales": None,
     # batch-mixing regularizers (beyond the reference; AugMix companions):
     # mixup (arXiv:1710.09412) / CutMix (arXiv:1905.04899) with the convex
     # loss combination lam*loss(y) + (1-lam)*loss(y[perm]). Both set =>
@@ -160,17 +166,110 @@ class TrainState(flax.struct.PyTreeNode):
 # Optimizers (torch optimizer_opts -> optax)
 # --------------------------------------------------------------------------- #
 
+def _scheduled_optimizer(name: str, opts: Dict[str, Any], lr,
+                         extras: Mapping[str, Any]) -> optax.GradientTransformation:
+    """Optimizer with non-LR hyperparameters on their own schedules
+    (reference README.md:122 "multiple schedulers" / :127 momentum + L2
+    policies): ``optax.inject_hyperparams`` re-invokes the factory each step
+    with the instantaneous values, so ``momentum`` (SGD momentum / adam-family
+    beta1, torch OneCycleLR's cycled hyperparameter) and ``weight_decay``
+    may each be an ``optax.Schedule``."""
+    mom = extras.get("momentum")
+    wd = extras.get("weight_decay")
+    if name == "adamw":
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, b1=mom if mom is not None else float(b1),
+            b2=float(b2), eps=float(opts.pop("eps", 1e-8)),
+            weight_decay=wd if wd is not None else float(opts.pop("weight_decay", 1e-2)))
+    if name == "adam":
+        if wd is not None:
+            raise ValueError("adam has no decoupled weight_decay to schedule "
+                             "— use optimizer: adamw")
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=lr, b1=mom if mom is not None else float(b1),
+            b2=float(b2), eps=float(opts.pop("eps", 1e-8)))
+    if name == "sgd":
+        def sgd_l2(learning_rate, momentum, weight_decay, nesterov):
+            # torch SGD semantics: L2 term joins the gradient BEFORE the
+            # momentum buffer (same composition as the unscheduled path).
+            # momentum arrives as a TRACED scalar here — always keep the
+            # momentum buffer (decay=0.0 is plain SGD), no python branch
+            tx = optax.sgd(learning_rate, momentum=momentum, nesterov=nesterov)
+            return optax.chain(optax.add_decayed_weights(weight_decay), tx)
+
+        return optax.inject_hyperparams(sgd_l2, static_args=("nesterov",))(
+            learning_rate=lr,
+            momentum=mom if mom is not None else float(opts.pop("momentum", 0.0)),
+            weight_decay=wd if wd is not None else float(opts.pop("weight_decay", 0.0)),
+            nesterov=bool(opts.pop("nesterov", False)))
+    if name in ("lamb", "lion"):
+        factory = optax.lamb if name == "lamb" else optax.lion
+        b1, b2 = opts.pop("betas", (0.9, 0.999) if name == "lamb" else (0.9, 0.99))
+        return optax.inject_hyperparams(factory)(
+            learning_rate=lr, b1=mom if mom is not None else float(b1),
+            b2=float(b2),
+            weight_decay=wd if wd is not None else float(opts.pop("weight_decay", 0.0)))
+    raise ValueError(
+        f"momentum/weight_decay schedules are supported for adamw, adam, sgd, "
+        f"lamb, lion — not '{name}' (drop the extra schedule or switch "
+        f"optimizer)")
+
+
+def scale_updates_by_path(lr_scales: Mapping[str, float]) -> optax.GradientTransformation:
+    """Per-layer/per-block learning-rate scales (reference README.md:127
+    "optional learning rate scales varying for each layers or conv blocks"):
+    the final optimizer update of every param whose '/'-joined tree path
+    matches a regex key is multiplied by that key's value. First matching
+    pattern (insertion order) wins; unmatched params keep scale 1.0. Path
+    strings and ``re.search`` semantics are the same as ``freeze_params``
+    (scale 0.0 is exactly a freeze)."""
+    import re as _re
+    pats = [(_re.compile(str(p)), float(s)) for p, s in lr_scales.items()]
+
+    def _scale_for(path) -> float:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        for pat, s in pats:
+            if pat.search(key):
+                return s
+        return 1.0
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        # scales are python floats resolved at trace time — the multiply
+        # const-folds into the update kernel, no runtime branching
+        upd = jax.tree_util.tree_map_with_path(
+            lambda path, u: u * _scale_for(path), updates)
+        return upd, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any],
-                    schedule=None) -> optax.GradientTransformation:
+                    schedule=None, extra_schedules: Optional[Mapping[str, Any]] = None
+                    ) -> optax.GradientTransformation:
     """Map reference optimizer specs (torch.optim names + kwargs, e.g.
-    parameters.yml:129-134 AdamW opts) onto optax transforms."""
+    parameters.yml:129-134 AdamW opts) onto optax transforms.
+
+    ``extra_schedules`` (from ``build_schedules``: ``{'momentum': ...,
+    'weight_decay': ...}``) routes through :func:`_scheduled_optimizer`."""
     if callable(name) and not isinstance(name, str):
+        if extra_schedules:
+            raise ValueError("momentum/weight_decay schedules cannot combine "
+                             "with a custom optimizer factory")
         return name(optimizer_opts, schedule)
     opts = dict(optimizer_opts)
     lr = schedule if schedule is not None else float(opts.pop("lr", 1e-3))
     if schedule is not None:
         opts.pop("lr", None)
     name = str(getattr(name, "identifier", name)).rsplit(".", 1)[-1].lower()
+    if extra_schedules:
+        return _scheduled_optimizer(name, opts, lr, extra_schedules)
     if name in ("adamw",):
         b1, b2 = opts.pop("betas", (0.9, 0.999))
         if opts.pop("amsgrad", False):
@@ -433,8 +532,16 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
 
     # ---------------- optimizer & schedule --------------------------------- #
     hp_plain = hp.to_dict()
-    schedule = build_schedule(hp.get("scheduler"), hp_plain, steps_per_epoch)
-    tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"], schedule)
+    schedules = build_schedules(hp.get("scheduler"), hp_plain, steps_per_epoch)
+    schedule = schedules.get("lr")
+    extra_schedules = {k: v for k, v in schedules.items() if k != "lr"}
+    tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"],
+                         schedule, extra_schedules=extra_schedules or None)
+    lr_scales = hp.get("lr_scales")
+    if lr_scales:
+        # per-layer LR scales apply to the optimizer's OUTPUT updates —
+        # exactly "this block steps k x slower", whatever the optimizer
+        tx = optax.chain(tx, scale_updates_by_path(lr_scales))
     clip = hp.get("gradient_clip_norm")
     if clip:
         # clip BEFORE the optimizer transform chain (the norm the clip sees

@@ -148,6 +148,88 @@ def test_build_optimizer_reference_opts():
         build_optimizer("adagrad_nope", {"lr": 1.0})
 
 
+def test_build_schedules_multi_and_bare_string():
+    """README:122 'multiple schedulers' + :127 momentum/L2 policies: the
+    mapping form builds one schedule per optimizer hyperparameter; the bare
+    `scheduler: one_cycle` string (parameters.yml:426) derives max_lr /
+    total_steps from the hp and returns the inverse momentum cycle too."""
+    from deepcv_tpu.train.schedules import build_schedules
+    hp = {"epochs": 2, "optimizer_opts": {"lr": 1e-2}}
+    s = build_schedules("one_cycle", hp, 50)  # 100 total steps
+    assert set(s) == {"lr", "momentum"}
+    assert np.isclose(float(s["lr"](30)), 1e-2)          # peak at pct_start
+    assert float(s["momentum"](30)) < float(s["momentum"](0))
+    multi = build_schedules({
+        "lr": {"type": "cosine", "kwargs": {"init_value": 1e-2, "decay_steps": 100}},
+        "weight_decay": {"type": "piecewise_linear",
+                         "kwargs": {"milestones_values": [[0, 0.0], [100, 0.1]]}},
+    }, hp, 50)
+    assert set(multi) == {"lr", "weight_decay"}
+    assert np.isclose(float(multi["weight_decay"](50)), 0.05)
+    with pytest.raises(ValueError, match="Unknown scheduler targets"):
+        build_schedules({"dropout": {"type": "constant"}}, hp, 50)
+
+
+def test_scheduled_weight_decay_and_momentum_advance():
+    """inject_hyperparams path: with ZERO gradients an adamw update is pure
+    decoupled decay -lr*wd(t)*p — wd scheduled 0 -> 0.1 must produce a zero
+    first update and a nonzero second one."""
+    import optax
+    from deepcv_tpu.train.schedules import piecewise_linear
+    wd = piecewise_linear([[0, 0.0], [1, 0.1]])
+    mom = piecewise_linear([[0, 0.9], [1, 0.5]])
+    params = {"w": jnp.ones((4,))}
+    zero_g = {"w": jnp.zeros((4,))}
+    tx = build_optimizer("adamw", {"lr": 1e-3}, None,
+                         extra_schedules={"weight_decay": wd, "momentum": mom})
+    st = tx.init(params)
+    u0, st = tx.update(zero_g, st, params)
+    u1, st = tx.update(zero_g, st, params)
+    np.testing.assert_allclose(np.asarray(u0["w"]), 0.0)
+    np.testing.assert_allclose(np.asarray(u1["w"]), -1e-3 * 0.1, rtol=1e-5)
+    # sgd: the momentum hyperparameter visibly advances in the state
+    tx2 = build_optimizer("sgd", {"lr": 0.1}, None, extra_schedules={"momentum": mom})
+    st2 = tx2.init(params)
+    _, st2 = tx2.update(zero_g, st2, params)
+    _, st2 = tx2.update(zero_g, st2, params)
+    assert np.isclose(float(st2.hyperparams["momentum"]), 0.5)
+    with pytest.raises(ValueError, match="adamw, adam, sgd"):
+        build_optimizer("adafactor", {"lr": 1e-3}, None,
+                        extra_schedules={"weight_decay": wd})
+
+
+def test_lr_scales_per_layer(tiny_setup, tmp_path):
+    """README:127 per-layer LR scales: scale 0.0 freezes the matched block
+    (conv params bit-identical to init), unmatched head still trains, and
+    the run composes with a multi-target scheduler."""
+    model, data = tiny_setup
+    hp = {"epochs": 1, "batch_size": 64, "optimizer": "sgd",
+          "optimizer_opts": {"lr": 3e-3, "momentum": 0.9},
+          "scheduler": {"lr": {"type": "constant", "kwargs": {"value": 3e-3}},
+                        "momentum": {"type": "piecewise_linear",
+                                     "kwargs": {"milestones_values": [[0, 0.95], [100, 0.85]]}}},
+          "lr_scales": {"conv2d": 0.0, ".*": 1.0},
+          "save_every_iters": 0, "log_progress_every_iters": 1,
+          "output_path": str(tmp_path), "seed": 7}
+    init_vars = model.init(jax.random.PRNGKey(11))
+    state, hist = train(hp, model, cross_entropy_loss, data,
+                        backend_conf=BackendConfig(),
+                        init_variables=init_vars)
+    flat0 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_flatten_with_path(jax.device_get(state.params))[0]}
+    moved = frozen = 0
+    for k in flat0:
+        same = np.allclose(np.asarray(flat0[k]), np.asarray(flat1[k]))
+        if "conv2d" in k:
+            assert same, f"scaled-to-0 param {k} moved"
+            frozen += 1
+        elif "kernel" in k or "bias" in k:
+            moved += 0 if same else 1
+    assert frozen >= 1 and moved >= 1
+
+
 def test_build_optimizer_adafactor_and_lion():
     """TPU-era additions: adafactor's factored second moments hold
     SUB-LINEAR optimizer memory (rows+cols, not a full moment matrix);
