@@ -33,6 +33,7 @@ __all__ = [
     "concat_coords_maps", "concat_hilbert_coords_map", "interpolate",
     "get_padding_from_kernel", "get_model_capacity", "get_out_features_shape",
     "ensure_mean_batch_loss", "func_to_module", "avg_pool_nd", "max_pool_nd",
+    "BlurCurriculum",
 ]
 
 # --------------------------------------------------------------------------- #
@@ -1085,6 +1086,83 @@ class EfficientChannelAttention(fnn.Module):
                      dtype=self.dtype, name="conv")(squeezed[..., None])
         scale = jax.nn.sigmoid(z[..., 0])
         return x * scale.reshape(scale.shape[0], *([1] * (x.ndim - 2)), c)
+
+
+class BlurCurriculum(fnn.Module):
+    """Gaussian-blur curriculum on activations — an explicit reference TODO
+    ("gaussian blur kernels applied to convolutions activations with
+    decreasing blur kernel size during training steps",
+    /root/reference/README.md:128). Insert after any conv in the YAML spec;
+    early in training the feature maps are low-passed (coarse-to-fine
+    learning / anti-aliased gradients), and the blur anneals away on a
+    schedule so the converged model is untouched.
+
+    TPU-first mechanics: the kernel SIZE stays static (XLA needs static
+    shapes) and the bandwidth decays through sigma instead — a sigma-0
+    Gaussian inside a fixed k-tap window IS the identity tap, so annealing
+    sigma subsumes the reference's "decreasing kernel size". The blur is a
+    pair (one per spatial axis) of separable depthwise 1-D convs whose taps
+    are computed in-graph from the annealed sigma. Progress is counted by a
+    ``batch_stats`` scalar the module owns (checkpointed / donated /
+    resumable exactly like BN running stats; counts train-mode forward
+    calls, so grad-accumulation micro-steps each advance it). Once the
+    schedule has fully decayed (and in eval after a finished run) the taps
+    are an EXACT one-hot — the module is a mathematical no-op.
+    """
+    kernel_size: int = 5
+    init_sigma: float = 2.0
+    min_sigma: float = 0.0
+    decay_steps: int = 1000
+    schedule: str = "cosine"          # cosine | linear | exponential
+    dtype: Any = None
+
+    def _sigma(self, count):
+        t = jnp.clip(count.astype(jnp.float32) / max(1, int(self.decay_steps)),
+                     0.0, 1.0)
+        if self.schedule == "linear":
+            f = 1.0 - t
+        elif self.schedule == "cosine":
+            f = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        elif self.schedule == "exponential":
+            f = jnp.exp(-4.0 * t)     # ~2% of the range left at decay_steps
+        else:
+            raise ValueError(f"blur_curriculum schedule must be "
+                             f"cosine|linear|exponential, got {self.schedule!r}")
+        return self.min_sigma + (self.init_sigma - self.min_sigma) * f
+
+    @fnn.compact
+    def __call__(self, x, *, train: bool = False):
+        k = int(self.kernel_size)
+        if k % 2 == 0 or k < 3:
+            raise ValueError(f"blur_curriculum kernel_size must be odd >= 3, "
+                             f"got {k}")
+        count = self.variable("batch_stats", "blur_step",
+                              lambda: jnp.zeros((), jnp.int32))
+        sigma = self._sigma(count.value)
+        if train and not self.is_initializing():
+            count.value = count.value + 1
+        d = jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2.0
+        w = jnp.exp(-(d * d) / (2.0 * sigma * sigma + 1e-12))
+        w = w / jnp.sum(w)
+        # exact identity once effectively decayed (and bf16-safe: a one-hot
+        # tap loses nothing to rounding, a near-one-hot would)
+        w = jnp.where(sigma > 1e-3, w, (d == 0).astype(jnp.float32))
+        c = x.shape[-1]
+        spatial = x.ndim - 2
+        y = x
+        for ax in range(spatial):                 # separable: one 1-D pass/axis
+            kshape = [1] * spatial + [1, c]
+            kshape[ax] = k
+            wk = w.reshape([k if i == ax else 1 for i in range(spatial)] + [1, 1])
+            kern = jnp.broadcast_to(wk, kshape).astype(x.dtype)
+            lhs_spec, rhs_spec = {1: ("NWC", "WIO"), 2: ("NHWC", "HWIO"),
+                                  3: ("NDHWC", "DHWIO")}[spatial]
+            dn = jax.lax.conv_dimension_numbers(
+                y.shape, tuple(kshape), (lhs_spec, rhs_spec, lhs_spec))
+            y = jax.lax.conv_general_dilated(
+                y, kern, (1,) * spatial, "SAME", dimension_numbers=dn,
+                feature_group_count=c)
+        return y
 
 
 class ResNetBlock(fnn.Module):

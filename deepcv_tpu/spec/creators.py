@@ -435,6 +435,29 @@ def _activation(params, ctx: CreatorContext, name: str) -> fnn.Module:
                      name=name)
 
 
+@submodule_creator("blur_curriculum",
+                   allowed=("kernel_size", "init_sigma", "min_sigma",
+                            "decay_steps", "schedule"))
+def _blur_curriculum(params, ctx: CreatorContext, name: str) -> fnn.Module:
+    """Annealed Gaussian blur on the activations flowing through this node
+    (reference README.md:128 TODO — coarse-to-fine training curriculum).
+    Place after any conv: ``- blur_curriculum: {init_sigma: 2.0,
+    decay_steps: 2000}``."""
+    sched = str(params.get("schedule", "cosine"))
+    if sched not in ("cosine", "linear", "exponential"):
+        raise ValueError(f"blur_curriculum schedule must be cosine|linear|"
+                        f"exponential, got {sched!r} (node '{name}')")
+    k = int(params.get("kernel_size", 5))
+    if k % 2 == 0 or k < 3:
+        raise ValueError(f"blur_curriculum kernel_size must be odd >= 3, "
+                        f"got {k} (node '{name}')")
+    return dnn.BlurCurriculum(kernel_size=k,
+                              init_sigma=float(params.get("init_sigma", 2.0)),
+                              min_sigma=float(params.get("min_sigma", 0.0)),
+                              decay_steps=int(params.get("decay_steps", 1000)),
+                              schedule=sched, dtype=ctx.dtype, name=name)
+
+
 @submodule_creator("convnext_stem", allowed=("dim", "patch", "ln_eps"),
                    required=("dim",))
 def _convnext_stem(params, ctx: CreatorContext, name: str) -> fnn.Module:

@@ -777,3 +777,55 @@ def test_resnext_and_wide_resnet_variants():
         assert n == expect + PAD, (kw, n, expect + PAD)
     with pytest.raises(ValueError, match="bottleneck"):
         resnet_spec(18, groups=32, width_per_group=4)
+
+
+# ------------------------------------------------------------ blur curriculum --
+
+BLUR_YML = """
+act_fn: relu
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 8, padding: 1 }
+  - blur_curriculum: { kernel_size: 5, init_sigma: 2.0, decay_steps: 3, schedule: linear }
+  - flatten: {}
+  - fully_connected: { act_fn: null, out_features: 4 }
+"""
+
+
+def test_blur_curriculum_anneals_to_exact_identity():
+    """Reference README.md:128 TODO: gaussian blur on conv activations with
+    decreasing bandwidth over training. At sigma=2 the blur low-passes
+    (noise variance drops); the step counter (a batch_stats scalar) advances
+    per train-mode call; once past decay_steps the taps are an EXACT one-hot
+    so the module output is bit-identical to its input."""
+    import flax
+    from deepcv_tpu.ops.nn import BlurCurriculum
+
+    blur = BlurCurriculum(kernel_size=5, init_sigma=2.0, decay_steps=3,
+                          schedule="linear")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    v = blur.init(jax.random.PRNGKey(1), x)
+    y0 = blur.apply(v, x, train=False)
+    assert float(jnp.var(y0)) < 0.5 * float(jnp.var(x))  # strong low-pass
+    vars_ = v
+    for i in range(4):  # advance past decay_steps
+        _, st = blur.apply(vars_, x, train=True, mutable=["batch_stats"])
+        vars_ = {**vars_, "batch_stats": st["batch_stats"]}
+    flat = flax.traverse_util.flatten_dict(vars_["batch_stats"])
+    assert [int(val) for val in flat.values()] == [4]
+    y_done = blur.apply(vars_, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y_done), np.asarray(x))
+
+
+def test_blur_curriculum_spec_node_and_validation():
+    m = DeepcvModule((8, 8, 3), load_yaml(BLUR_YML))
+    v = m.init(jax.random.PRNGKey(0))
+    y, st = m.apply(v, jnp.ones((2, 8, 8, 3)), train=True,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert y.shape == (2, 4) and "batch_stats" in st
+    bad = load_yaml(BLUR_YML.replace("schedule: linear", "schedule: nope"))
+    with pytest.raises(ValueError, match="cosine|linear|exponential"):
+        DeepcvModule((8, 8, 3), bad)
+    bad2 = load_yaml(BLUR_YML.replace("kernel_size: 5, init_sigma",
+                                      "kernel_size: 4, init_sigma"))
+    with pytest.raises(ValueError, match="odd"):
+        DeepcvModule((8, 8, 3), bad2)
