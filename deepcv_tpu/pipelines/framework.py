@@ -163,7 +163,10 @@ class ProjectContext:
     def pipelines(self) -> Dict[str, Pipeline]:
         if self._pipelines is None:
             from deepcv_tpu.pipelines.registry import create_pipelines
-            self._pipelines = create_pipelines()
+            # plugins: section of the conf gates task packages / adds
+            # third-party plugin modules (reference README.md:135 TODO);
+            # `--params plugins.disabled:...` overrides per run
+            self._pipelines = create_pipelines(self.params("plugins", None))
         return self._pipelines
 
     # ------------------------------------------------------------ parameters

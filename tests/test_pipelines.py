@@ -656,3 +656,44 @@ def test_interpolate_frames_recovers_middle():
     # endpoints reproduce the inputs exactly
     assert np.allclose(np.asarray(interpolate_frames(
         jnp.asarray(a), jnp.asarray(b), flow=flow, t=0.0)), a, atol=1e-6)
+
+
+# ---------------------------------------------------------------- plugins --
+
+def test_plugin_gating_and_extra_modules(tmp_path, monkeypatch):
+    """README:135 optional plugins: enabled/disabled select task packages by
+    name (before import), external modules with get_pipelines() join as
+    third-party plugins, and bad names/contracts fail loudly."""
+    import sys
+    from deepcv_tpu.pipelines.registry import create_pipelines, TASK_PACKAGES
+
+    full = create_pipelines()
+    only_cls = create_pipelines({"enabled": ["classification"]})
+    assert set(only_cls) < set(full)
+    from deepcv_tpu.pipelines import classification
+    assert set(only_cls) == set(classification.get_pipelines()) | {"__default__"}
+    no_video = create_pipelines({"disabled": ["video"]})
+    assert set(no_video) < set(full)
+    with pytest.raises(ValueError, match="Unknown task package"):
+        create_pipelines({"enabled": ["not_a_package"]})
+    with pytest.raises(ValueError, match="Unknown plugins config"):
+        create_pipelines({"enable": ["classification"]})
+
+    # third-party plugin module
+    (tmp_path / "my_plugin.py").write_text(
+        "from deepcv_tpu.pipelines.framework import Pipeline, Node\n"
+        "def get_pipelines():\n"
+        "    return {'my_pipe': Pipeline([Node(lambda: {'x': 1}, [], 'x',\n"
+        "                                      name='n')], name='my_pipe')}\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    withx = create_pipelines({"enabled": ["classification"],
+                              "extra_modules": ["my_plugin"]})
+    assert "my_pipe" in withx
+    (tmp_path / "bad_plugin.py").write_text("x = 1\n")
+    with pytest.raises(ValueError, match="get_pipelines"):
+        create_pipelines({"enabled": [], "extra_modules": ["bad_plugin"]})
+
+    # conf-driven gating through ProjectContext params
+    from deepcv_tpu.pipelines.framework import ProjectContext
+    ctx = ProjectContext(".", extra_params={"plugins": {"enabled": ["classification"]}})
+    assert set(ctx.pipelines) == set(only_cls)
