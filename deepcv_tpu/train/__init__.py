@@ -4,6 +4,8 @@ from deepcv_tpu.train.losses import (  # noqa: F401
     jensen_shannon_divergence_consistency_loss, triplet_margin_loss, WeightedLosses,
 )
 from deepcv_tpu.train.schedules import build_schedule, one_cycle, piecewise_linear  # noqa: F401
-from deepcv_tpu.train.training import train, TrainState, TRAINING_HP_DEFAULTS  # noqa: F401
+from deepcv_tpu.train.training import (  # noqa: F401
+    train, TrainState, TRAINING_HP_DEFAULTS, Preempted, request_preemption,
+)
 from deepcv_tpu.train.active_learning import active_learning_loop  # noqa: F401
 from deepcv_tpu.train.boosting import adaboost_train, BoostedEnsemble  # noqa: F401

@@ -23,6 +23,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import signal
+import threading
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
@@ -47,7 +49,7 @@ from deepcv_tpu.utils import EventsHandler
 
 __all__ = ["TrainState", "train", "train_with_retries", "TRAINING_HP_DEFAULTS",
            "build_optimizer", "scale_updates_by_path", "CrashIteration",
-           "TrainingEvents"]
+           "TrainingEvents", "Preempted", "request_preemption"]
 
 _logger = logging.getLogger(__name__)
 
@@ -68,6 +70,14 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     "device_resident_dataset": "auto",
     "resume_from": "",
     "crash_iteration": -1,
+    # graceful preemption (TPU spot/preemptible VMs send SIGTERM before
+    # eviction): install a SIGTERM handler for the duration of train();
+    # at the next step boundary the loop checkpoints the full TrainState
+    # and raises Preempted, so `resume_from` (or train_with_retries'
+    # run-scoped resume dir) restarts exactly where the eviction hit.
+    # Multi-host: every worker must receive the signal (GCE/GKE preemption
+    # delivers it to all VMs) — orbax coordinates the joint save.
+    "handle_preemption": True,
     "seed": 563454,
     "deterministic": False,          # reference deterministic_cudnn — XLA is deterministic
     "use_sync_batch_norm": True,     # GSPMD batch stats are global by construction
@@ -129,6 +139,26 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
 class CrashIteration(RuntimeError):
     """Raised by the crash_iteration fault-injection hook
     (reference ignite_training.py:330-333 — for checkpoint/resume testing)."""
+
+
+class Preempted(RuntimeError):
+    """Raised by train() after a SIGTERM (or request_preemption()) once the
+    loop has checkpointed at a step boundary. NOT retried by
+    train_with_retries — the host is going away; a fresh invocation resumes
+    from the saved step."""
+
+
+# Set by the SIGTERM handler train() installs (hp['handle_preemption']) and by
+# request_preemption(); consumed (cleared) by the running loop at the next
+# host-visible step boundary.
+_PREEMPTION = threading.Event()
+
+
+def request_preemption() -> None:
+    """Programmatic SIGTERM equivalent: ask the running train() loop to
+    checkpoint at the next step boundary and raise Preempted. Safe to call
+    from any thread (e.g. an orchestrator's eviction-notice poller)."""
+    _PREEMPTION.set()
 
 
 class TrainingEvents(EventsHandler):
@@ -1072,6 +1102,33 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 for lg in loggers:
                     lg.log_metrics(vals, step=at_step)
 
+    def check_preempted(at_step, cur_state):
+        """Graceful-preemption check, called at every host-visible step
+        boundary in both loop branches: on SIGTERM/request_preemption(),
+        checkpoint the CURRENT state (the loop variables are exactly at
+        ``at_step`` here) and stop with Preempted. The flag is cleared so the
+        follow-up resume invocation starts clean."""
+        if not _PREEMPTION.is_set():
+            return
+        _PREEMPTION.clear()
+        where = ""
+        if ckpt is not None:
+            ckpt.save(at_step, host_state(cur_state))
+            where = f" (checkpoint in {out_dir / 'checkpoints'})"
+            if rank0:
+                _logger.warning("preempted: checkpointed step %d under %s",
+                                at_step, out_dir)
+        raise Preempted(f"SIGTERM: training stopped at step {at_step}{where}")
+
+    # SIGTERM -> flag (handler only valid on the main thread; elsewhere —
+    # e.g. train() driven from a worker thread — request_preemption() is the
+    # entry point). The previous handler is restored on exit.
+    prev_sigterm = None
+    if hp["handle_preemption"] and \
+            threading.current_thread() is threading.main_thread():
+        prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda signum, frame: _PREEMPTION.set())
+
     try:
         epoch = step // max(1, steps_per_epoch)
         while epoch < epochs:
@@ -1098,6 +1155,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 while step < epoch_end:
                     if crash_at >= 0 and step == crash_at:
                         raise CrashIteration(f"Injected crash at iteration {crash_at}")
+                    check_preempted(step, state)
                     # next host-visible boundary: log, checkpoint, crash, epoch end
                     bounds = [epoch_end, (step // log_every + 1) * log_every]
                     if save_every > 0:
@@ -1138,6 +1196,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 while not exhausted:
                     if crash_at >= 0 and step == crash_at:
                         raise CrashIteration(f"Injected crash at iteration {crash_at}")
+                    check_preempted(step, state)
                     # next host-visible boundary cuts the staged group so
                     # logging/checkpoint/crash cadences are step-exact
                     bounds = [(step // log_every + 1) * log_every]
@@ -1235,6 +1294,12 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 for lg in loggers:
                     lg.log_metrics(tail_vals, step=step)
     finally:
+        # a SIGTERM that lands after the last boundary check can no longer be
+        # honored by THIS loop — drop it so a follow-up train() (resume, next
+        # trial) does not spuriously stop at its first step
+        _PREEMPTION.clear()
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
         for lg in loggers:
             if hasattr(lg, "flush"):
                 lg.flush()
@@ -1357,6 +1422,11 @@ def train_with_retries(hp: Mapping[str, Any], model, losses, datasets,
     for attempt in range(max_retries + 1):
         try:
             return train(hp, model, losses, datasets, **kwargs)
+        except Preempted:
+            # the host is being evicted — retrying in-process is pointless
+            # and would outlive the SIGTERM grace window; the checkpoint is
+            # already written, a fresh invocation resumes it
+            raise
         except Exception as e:  # noqa: BLE001 — deliberate catch-all recovery
             latest = None
             if (ckpt_dir / "steps").exists():

@@ -522,6 +522,79 @@ def test_crash_and_resume(tiny_setup, tmp_path):
     assert hist["steps"] == 6  # resumed from step 2's epoch and completed
 
 
+def test_preemption_checkpoint_and_resume(tiny_setup, tmp_path):
+    """SIGTERM-equivalent preemption: the loop checkpoints at the next step
+    boundary, raises Preempted, and a resumed run finishes bit-identical to
+    an uninterrupted one."""
+    from deepcv_tpu.train.training import Preempted, request_preemption
+
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 100,  # periodic cadence never reached
+          "output_path": str(tmp_path / "pre"), "seed": 3,
+          "device_resident_dataset": False}
+    be1 = BackendConfig(n_devices=1)
+
+    from deepcv_tpu.train.training import TrainingEvents
+    ev = TrainingEvents()
+    seen = []
+
+    @ev.on(TrainingEvents.ITERATION_COMPLETED)
+    def _preempt_at_3(**_):
+        seen.append(1)
+        if len(seen) == 3:
+            request_preemption()
+
+    with pytest.raises(Preempted):
+        train(hp, model, cross_entropy_loss, data, backend_conf=be1, events=ev)
+
+    ckpt_dir = sorted(glob.glob(str(tmp_path / "pre" / "run_*" / "checkpoints")))[-1]
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step == 3  # preemption save, not a periodic one
+    mgr.close()
+    state, hist = train(dict(hp, resume_from=ckpt_dir), model,
+                        cross_entropy_loss, data, backend_conf=be1)
+    assert hist["steps"] == 6
+
+    ref_state, ref_hist = train(dict(hp, output_path=str(tmp_path / "ref")),
+                                model, cross_entropy_loss, data,
+                                backend_conf=be1)
+    assert ref_hist["steps"] == 6
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_preemption_real_sigterm_and_no_retry(tiny_setup, tmp_path):
+    """A real SIGTERM trips the installed handler, and train_with_retries
+    refuses to retry a Preempted stop (the host is being evicted)."""
+    import os
+    import signal as _signal
+    from deepcv_tpu.train.training import (Preempted, TrainingEvents,
+                                           train_with_retries)
+
+    model, data = tiny_setup
+    hp = {"epochs": 2, "batch_size": 64, "optimizer_opts": {"lr": 1e-3},
+          "save_every_iters": 100, "output_path": str(tmp_path), "seed": 3,
+          "device_resident_dataset": False}
+    prev = _signal.getsignal(_signal.SIGTERM)
+    ev = TrainingEvents()
+    seen = []
+
+    @ev.on(TrainingEvents.ITERATION_COMPLETED)
+    def _sigterm_at_2(**_):
+        seen.append(1)
+        if len(seen) == 2:
+            os.kill(os.getpid(), _signal.SIGTERM)
+
+    with pytest.raises(Preempted):
+        train_with_retries(hp, model, cross_entropy_loss, data, max_retries=2,
+                           backend_conf=BackendConfig(n_devices=1), events=ev)
+    # handler restored, checkpoint written by the preemption path
+    assert _signal.getsignal(_signal.SIGTERM) is prev
+    assert glob.glob(str(tmp_path / "run_*" / "checkpoints" / "steps" / "*"))
+
+
 def test_checkpoint_best_k(tmp_path):
     mgr = CheckpointManager(tmp_path, save_every_iters=10, best_k=2)
     state = {"w": np.ones((2,), np.float32)}
