@@ -187,6 +187,27 @@ def main(argv=None) -> int:
                              "a model trained on normalized data produce "
                              "garbage predictions silently")
 
+    p_srv = sub.add_parser(
+        "serve", help="online inference server with TPU micro-batching "
+                      "(coalesces concurrent requests into one compiled "
+                      "forward; POST /predict, GET /healthz, GET /stats)")
+    p_srv.add_argument("--bundle", required=True,
+                       help="directory from serve.save_model_bundle")
+    p_srv.add_argument("--port", type=int, default=8000)
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--batch-size", type=int, default=256,
+                       help="compiled batch of the underlying Predictor")
+    p_srv.add_argument("--max-wait-ms", type=float, default=5.0,
+                       help="how long the batcher holds the first request "
+                            "open for followers (latency bound)")
+    p_srv.add_argument("--dtype", default=None)
+    p_srv.add_argument("--quantize", default=None, choices=["int8"])
+    p_srv.add_argument("--to-tensor", action="store_true",
+                       help="scale uint8 inputs to [0,1] before the model")
+    p_srv.add_argument("--normalize", default=None, metavar="MEANS/STDS",
+                       help="per-channel normalize AFTER to_tensor (same "
+                            "stats training used)")
+
     p_lr = sub.add_parser("lr-find", help="LR range test on a pipeline's model+data")
     p_lr.add_argument("--pipeline", default="train_image_classifier")
     p_lr.add_argument("--steps", type=int, default=100)
@@ -245,6 +266,9 @@ def main(argv=None) -> int:
 
     if args.command == "predict":
         return _cmd_predict(args)
+
+    if args.command == "serve":
+        return _cmd_serve(args)
 
     if args.command == "search":
         return _cmd_search(args)
@@ -337,6 +361,56 @@ def _cmd_search(args) -> int:
                       "best_params": summary["best"]["params"] if summary["best"] else None,
                       "trials": len(summary["trials"]),
                       "total_seconds": round(summary["total_seconds"], 1)}))
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    """Online serving: bundle -> Predictor -> micro-batching HTTP server."""
+    import sys
+
+    from deepcv_tpu.serve import Predictor, load_model_bundle
+    from deepcv_tpu.server import InferenceServer
+
+    if not (Path(args.bundle) / "model.yaml").exists():
+        print(f"error: --bundle {args.bundle!r} is not a model bundle "
+              "(no model.yaml; expected a directory from "
+              "serve.save_model_bundle)", file=sys.stderr)
+        return 2
+    model, variables = load_model_bundle(args.bundle, dtype=args.dtype,
+                                         quantize=args.quantize)
+    preprocess = None
+    if args.to_tensor or args.normalize:
+        from deepcv_tpu.data.transforms import to_tensor, normalize as _norm
+        mean = std = None
+        if args.normalize:
+            try:
+                m_s, s_s = args.normalize.split("/")
+                mean = [float(v) for v in m_s.split(",")]
+                std = [float(v) for v in s_s.split(",")]
+            except ValueError:
+                print("error: --normalize expects 'm1,m2,m3/s1,s2,s3'",
+                      file=sys.stderr)
+                return 2
+
+        def preprocess(x):
+            x = to_tensor(x)
+            if mean is not None:
+                x = _norm(x, mean, std)
+            return x
+    pred = Predictor(model, variables, batch_size=args.batch_size,
+                     preprocess=preprocess)
+    # warm up: compile the fixed-batch program BEFORE the first request so
+    # /healthz going live means serving latency is the steady-state one
+    import numpy as np
+    pred(np.zeros((1,) + tuple(model.input_shape), np.float32))
+    server = InferenceServer(pred, port=args.port, host=args.host,
+                             max_batch=args.batch_size,
+                             max_wait_ms=args.max_wait_ms,
+                             input_ndim=len(model.input_shape))
+    print(f"serving {args.bundle} at {server.url} "
+          f"(compiled batch {args.batch_size}, "
+          f"window {args.max_wait_ms}ms)")
+    server.serve_forever()
     return 0
 
 
