@@ -612,6 +612,69 @@ def bench_serving_latency(model: str = "wide"):
                       "data": "synthetic"}))
 
 
+def bench_server(model: str = "wide"):
+    """Config 15: online micro-batched serving (server.MicroBatcher) —
+    concurrent batch-1 clients coalesced into shared compiled forwards vs
+    the same requests served one dispatch each. The ratio is the point of
+    server.py: a batch-1 forward costs nearly a full batch of wall time on
+    the MXU, so per-request dispatch throws the chip away."""
+    import threading
+
+    import numpy as np
+
+    from deepcv_tpu.serve import Predictor
+    from deepcv_tpu.server import MicroBatcher
+    from deepcv_tpu.spec import DeepcvModule
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    hp, shape, _ = _serving_model(model, on_tpu)
+    m = DeepcvModule(shape, hp, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0))
+    B = 256 if on_tpu else 16
+    pred = Predictor(m, v, batch_size=B)
+    rng = np.random.default_rng(0)
+    n_req = 512 if on_tpu else 32
+    imgs = rng.normal(0, 1, (n_req, 1, *shape)).astype(np.float32)
+    _ = pred(imgs[0])  # compile the fixed-batch program (padding path)
+
+    # baseline: one dispatch per request (what a naive server does)
+    t0 = time.perf_counter()
+    for i in range(n_req):
+        _ = np.asarray(pred(imgs[i]))
+    t_seq = time.perf_counter() - t0
+
+    # micro-batched: concurrent clients; while a coalesced forward runs,
+    # followers queue and the next group drains them — adaptive batching
+    mb = MicroBatcher(pred, max_batch=B, max_wait_ms=2.0)
+    n_clients = 16
+    per = n_req // n_clients
+
+    def client(t):
+        for i in range(per):
+            np.asarray(mb.infer(imgs[t * per + i], timeout=300))
+
+    threads = [threading.Thread(target=client, args=(t,))
+               for t in range(n_clients)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    t_mb = time.perf_counter() - t0
+    stats = dict(mb.stats)
+    mb.close()
+
+    rps = n_req / t_mb
+    print(json.dumps({
+        "metric": "server_microbatch_throughput", "model": model,
+        "value": round(rps, 1), "unit": "req/s (16 concurrent batch-1 clients)",
+        "vs_baseline": round(t_seq / t_mb, 2),  # x over per-request dispatch
+        "seq_req_s": round(n_req / t_seq, 1),
+        "batches": stats["batches"], "requests": stats["requests"],
+        "mean_coalesced": round(stats["items"] / max(1, stats["batches"]), 1),
+        "data": "synthetic"}))
+
+
 def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                    arch: str = "resnet50", mlp_act: str = "gelu"):
     """Config 9: canonical-architecture benchmark — ResNet-50 built from the
@@ -1068,7 +1131,7 @@ if __name__ == "__main__":
                     help="config 9 ViT family only: MLP activation "
                          "(gelu_tanh = the measured ~23%% faster stack)")
     ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14],
+                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
                     help="BASELINE.md benchmark config: 1=cifar10 train (default), "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
@@ -1079,9 +1142,13 @@ if __name__ == "__main__":
                          "11=flash attention vs XLA (--batch = token budget), "
                          "12=dense prediction (FPN detector + segmentation), "
                          "13=V-MoE vs dense ViT train throughput, "
-                         "14=learned lossless codec rate + coding speed")
+                         "14=learned lossless codec rate + coding speed, "
+                         "15=micro-batched online serving vs per-request "
+                         "dispatch (--model applies)")
     args = ap.parse_args()
-    if args.config == 14:
+    if args.config == 15:
+        bench_server(model=args.model)
+    elif args.config == 14:
         bench_codec()
     elif args.config == 13:
         bench_moe(batch=args.batch)

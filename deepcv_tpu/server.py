@@ -26,6 +26,7 @@ CLI: ``deepcv serve --bundle <dir> --port 8000`` (cli.py).
 """
 from __future__ import annotations
 
+import collections
 import io
 import json
 import logging
@@ -196,6 +197,9 @@ class InferenceServer:
                                     max_wait_ms=max_wait_ms)
         self.input_ndim = int(input_ndim)
         self._t0 = time.time()
+        # end-to-end /predict latencies (parse -> batched forward -> result),
+        # bounded window so /stats percentiles track the RECENT regime
+        self._lat_ms = collections.deque(maxlen=1024)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -220,6 +224,11 @@ class InferenceServer:
                     with server.batcher._stats_lock:
                         stats = dict(server.batcher.stats)
                     stats["uptime_s"] = round(time.time() - server._t0, 1)
+                    lat = sorted(server._lat_ms)
+                    if lat:
+                        stats["latency_p50_ms"] = round(lat[len(lat) // 2], 2)
+                        stats["latency_p99_ms"] = round(
+                            lat[min(len(lat) - 1, int(len(lat) * 0.99))], 2)
                     return self._send_json(stats)
                 return self._send_json({"error": f"unknown path {path}"}, 404)
 
@@ -247,7 +256,9 @@ class InferenceServer:
                                   f"{server.input_ndim + 1}-d batch, got "
                                   f"shape {list(x.shape)}"}, 400)
                 try:
+                    t0 = time.perf_counter()
                     y = np.asarray(server.batcher.infer(x))
+                    server._lat_ms.append((time.perf_counter() - t0) * 1e3)
                 except Exception as e:  # model-side failure
                     return self._send_json({"error": str(e)}, 500)
                 if y.dtype.name == "bfloat16" or y.dtype.kind == "V":
