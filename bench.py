@@ -10,10 +10,21 @@ HBM-resident dataset -> to_tensor -> augmentation recipe (brightness/contrast/
 color/noise gates) -> normalize -> forward -> loss -> backward -> AdamW
 update, all one jitted XLA program, bf16 compute.
 
-Prints ONE JSON line:
+Default invocation (`python bench.py`, what the driver runs) is BUDGETED and
+UN-LOSABLE (r3 verdict #1): the headline config-1 number prints as soon as it
+exists, extra driver-valuable configs (hp-search reuse, wide-classifier MFU,
+ResNet-50) run only while wall-clock budget remains, and a SIGTERM/SIGINT
+handler re-emits the best-so-far headline as the FINAL line so even a driver
+timeout leaves a parsed number. Every config reports the steady state as the
+MEDIAN of warm dispatch windows (never max — r3 verdict #9).
+
+Each config prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/10000}
 """
 import json
+import os
+import signal
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -23,6 +34,21 @@ import jax.numpy as jnp
 
 
 BASELINE_IMG_S = 10_000.0  # north-star target (BASELINE.md)
+
+
+def steady(tps):
+    """Steady-state throughput from train()'s per-window history: drop the
+    first two entries (XLA compile; the second dispatch's one-time donation/
+    cache effects — both measured distinctly slower on the tunneled chip) and
+    take the MEDIAN of the rest. Shared by every config (r3 verdict #9:
+    max-of-warm overstates; median is the honest center)."""
+    if len(tps) >= 4:
+        warm = tps[2:]
+    elif len(tps) > 1:
+        warm = tps[1:]
+    else:
+        warm = tps
+    return statistics.median(warm)
 
 
 def build():
@@ -88,32 +114,41 @@ def main(batch: int = 0):
     model = DeepcvModule((32, 32, 3), model_hp, dtype=jnp.bfloat16)
 
     batch = int(batch) or (4096 if backend.is_tpu else 256)
+    # dispatch geometry (r3 verdict #1 post-mortem): the fused-scan XLA
+    # compile time GROWS with scan length on this backend (~85 s for a
+    # 4-epoch program vs ~315 s for 10-epoch — r3's 25-epoch program never
+    # finished compiling inside the driver budget). So: SHORT 4-epoch
+    # programs, and the per-dispatch host sync (a full tunnel RTT) amortized
+    # over 5-dispatch measurement windows instead (sync_every_dispatches).
+    # 2 warmup dispatches + 3 uniform 20-epoch windows = 68 epochs.
     hp = {
-        "epochs": 75 if backend.is_tpu else 3, "batch_size": batch,
+        "epochs": 68 if backend.is_tpu else 3, "batch_size": batch,
         "optimizer": "adamw",
         "optimizer_opts": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 1e-2},
         "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
         "validate_every_epochs": 1000,   # throughput run: skip validation
         "seed": 563454, "output_path": "data/04_training",
         "device_resident_dataset": True, "dtype": "bfloat16",
-        "max_epochs_per_dispatch": 25,  # fuse idle epoch boundaries into one scan
+        "max_epochs_per_dispatch": 4,
+        "sync_every_dispatches": 5,
         "log_grad_norm": False,         # pure-throughput run: drop the
                                         # per-step observability reduction (~3%)
+        "handle_preemption": False,     # bench must die fast on the driver's
+                                        # timeout SIGTERM, not checkpoint
     }
     state, hist = train(hp, model, cross_entropy_loss, data,
                         backend_conf=backend)
-    # first epoch includes compile; steady state = later epochs
-    tps = hist["throughput_img_s"]
-    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
-    per_chip = steady / max(1, n_chips)
-    print(json.dumps({
+    per_chip = steady(hist["throughput_img_s"]) / max(1, n_chips)
+    out = {
         "metric": "augment_train_throughput_cifar10_image_classifier",
         "value": round(per_chip, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
         "batch": batch,
         "data": data["trainset"].dataset.provenance,
-    }))
+    }
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def bench_preprocess():
@@ -179,14 +214,14 @@ def bench_one_cycle_cifar100():
                                    "pct_start": 0.3}},
           "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
           "validate_every_epochs": 5, "seed": 1,
-          "output_path": "data/04_training", "dtype": "bfloat16"}
+          "output_path": "data/04_training", "dtype": "bfloat16",
+          "handle_preemption": False}
     state, hist = train(hp, model, cross_entropy_loss, data, backend_conf=backend)
-    tps = hist["throughput_img_s"]
-    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+    v = steady(hist["throughput_img_s"])
     print(json.dumps({"metric": "one_cycle_cifar100_throughput",
-                      "value": round(steady, 1), "unit": "img/s",
-                      "vs_baseline": round(steady / BASELINE_IMG_S, 3),
-                      "data": data["trainset"].dataset.provenance}))
+                      "value": round(v, 1), "unit": "img/s",
+                      "vs_baseline": round(v / BASELINE_IMG_S, 3),
+                      "data": data["trainset"].dataset.provenance}), flush=True)
 
 
 def bench_keypoints_matching():
@@ -278,7 +313,27 @@ def bench_keypoints_matching():
 
 
 def bench_hp_search():
-    """BASELINE config #5: multi-trial HP search with jit-cache reuse."""
+    """BASELINE config #5: multi-trial HP search with jit-cache reuse.
+
+    The metric: reference nni_tools.py:494-543 spawns one `nnictl` process
+    per trial and recompiles everything; here trials run in one process with
+    `runtime_lr` (the swept LR is an opt_state leaf, so every trial traces
+    to the SAME HLO) and share one XLA executable through the compile cache.
+    Trial 1 pays the only compile. Measured against a FRESH cache dir —
+    against the long-lived one, trial 1 is itself a disk hit from a previous
+    bench run and the ratio measures nothing."""
+    import tempfile
+
+    _prev_cache = jax.config.jax_compilation_cache_dir
+    with tempfile.TemporaryDirectory(prefix="deepcv_hp_cache_") as d:
+        jax.config.update("jax_compilation_cache_dir", d)
+        try:
+            return _bench_hp_search_inner()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", _prev_cache)
+
+
+def _bench_hp_search_inner():
     from deepcv_tpu.hyperparams import HyperparameterSpace
     from deepcv_tpu.search import SearchRunner, sample_search_space
     from deepcv_tpu.data.datasets import load_dataset
@@ -287,15 +342,27 @@ def bench_hp_search():
     from deepcv_tpu.train import train
     from deepcv_tpu.config import load_yaml
 
-    raw = load_dataset("synthetic", n=2048, image_shape=(32, 32, 3), seed=0)
+    raw = load_dataset("synthetic", n=1024, image_shape=(16, 16, 3), seed=0)
     data = preprocess({"trainset": raw},
                       {"seed": 0, "split_dataset": {"validset_ratio": 0.1},
                        "transforms": ["to_tensor"]})
-    _, model_hp = build()
-    model_hp["architecture"][-1]["fully_connected"]["out_features"] = 10
-    base_hp = {"epochs": 1, "batch_size": 256, "optimizer_opts": {"lr": 1e-3},
+    # a small spec-built CNN: the metric is COMPILE reuse across trials, so
+    # the model only needs to be big enough to have a real train/eval program
+    model_hp = load_yaml("""
+act_fn: relu
+batch_norm: { affine: true, eps: 1e-05, momentum: 0.1 }
+architecture:
+  - conv2d: { kernel_size: [3, 3], out_channels: 16, padding: 1 }
+  - avg_pooling: { kernel_size: [2, 2], stride: [2, 2] }
+  - conv2d: { kernel_size: [3, 3], out_channels: 32, padding: 1 }
+  - flatten: {}
+  - fully_connected: { out_features: 10, act_fn: null, batch_norm: null }
+""")
+    base_hp = {"epochs": 1, "batch_size": 128, "optimizer_opts": {"lr": 1e-3},
                "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
-               "output_path": "data/04_training", "dtype": "bfloat16"}
+               "eval_batch_multiplier": 1,
+               "output_path": "data/04_training", "dtype": "bfloat16",
+               "handle_preemption": False, "runtime_lr": True}
     space = HyperparameterSpace.from_nni_json({
         "training:optimizer_opts.lr": {"_type": "loguniform", "_value": [1e-4, 1e-2]},
     })
@@ -303,7 +370,7 @@ def bench_hp_search():
 
     def trial_fn(params, trial):
         m_hp, t_hp = sample_search_space(params, model_hp, base_hp)
-        model = DeepcvModule((32, 32, 3), m_hp, dtype=jnp.bfloat16)
+        model = DeepcvModule((16, 16, 3), m_hp, dtype=jnp.bfloat16)
         t0 = time.perf_counter()
         _, hist = train(t_hp, model, "cross_entropy", data)
         times.append(time.perf_counter() - t0)
@@ -312,11 +379,14 @@ def bench_hp_search():
     SearchRunner(space, trial_fn, tuner="random", max_trials=4,
                  output_dir="data/04_training/bench_hp_search", seed=0).run()
     speedup = times[0] / max(min(times[1:]), 1e-9) if len(times) > 1 else 1.0
-    print(json.dumps({"metric": "hp_search_jit_cache_speedup",
-                      "value": round(speedup, 2),
-                      "unit": "x (trial1 vs fastest later trial)",
-                      "vs_baseline": round(speedup / 1.0, 2),
-                      "data": "synthetic"}))
+    out = {"metric": "hp_search_jit_cache_speedup",
+           "value": round(speedup, 2),
+           "unit": "x (trial1 vs fastest later trial)",
+           "vs_baseline": round(speedup / 1.0, 2),
+           "trial_s": [round(t, 2) for t in times],
+           "data": "synthetic"}
+    print(json.dumps(out), flush=True)
+    return out
 
 
 # Peak per-chip bf16 FLOP/s table lives with the measurement API.
@@ -387,7 +457,7 @@ def bench_mfu(norm: str = "batch_norm", batch: int = 0):
                          dtype=jnp.bfloat16)
     batch = int(batch) or (4096 if backend.is_tpu else 512)
     hp = {
-        "epochs": 8 if backend.is_tpu else 1, "batch_size": batch,
+        "epochs": 16 if backend.is_tpu else 1, "batch_size": batch,
         "optimizer": "adamw",
         "optimizer_opts": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 1e-2},
         "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
@@ -395,18 +465,17 @@ def bench_mfu(norm: str = "batch_norm", batch: int = 0):
         "output_path": "data/04_training",
         "device_resident_dataset": True, "dtype": "bfloat16",
         "max_epochs_per_dispatch": 4, "log_grad_norm": False,
+        "handle_preemption": False,
     }
     state, hist = train(hp, model, cross_entropy_loss, data,
                         backend_conf=backend)
-    tps = hist["throughput_img_s"]
-    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
-    per_chip = steady / max(1, backend.n_devices)
+    per_chip = steady(hist["throughput_img_s"]) / max(1, backend.n_devices)
 
     fwd_flops = _fwd_flops_per_image(model, batch)
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_FLOPS.get(kind)
     mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else float("nan")
-    print(json.dumps({
+    out = {
         "metric": "mfu_wide_classifier_cifar10",
         "norm": norm,
         "value": round(mfu * 100, 2) if peak else None,
@@ -418,7 +487,9 @@ def bench_mfu(norm: str = "batch_norm", batch: int = 0):
         "device_kind": kind,
         "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
         "data": data["trainset"].dataset.provenance,
-    }))
+    }
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def bench_streaming():
@@ -463,15 +534,16 @@ def bench_streaming():
               "log_progress_every_iters": 1_000_000,
               "validate_every_epochs": 1000,
               "seed": 0, "output_path": "data/04_training", "dtype": "bfloat16",
+              "handle_preemption": False,
               "device_resident_dataset": False}  # force the streaming path
         state, hist = train(hp, model, "cross_entropy", data,
                             backend_conf=backend)
-        tps = hist["throughput_img_s"]
-        steady = max(tps[1:]) if len(tps) > 1 else tps[0]
+        v = steady(hist["throughput_img_s"])
         print(json.dumps({"metric": "streaming_memmap_train_throughput",
-                          "value": round(steady, 1), "unit": "img/s",
-                          "vs_baseline": round(steady / BASELINE_IMG_S, 3),
-                          "data": "synthetic", "dataset_bytes": int(n * 3072)}))
+                          "value": round(v, 1), "unit": "img/s",
+                          "vs_baseline": round(v / BASELINE_IMG_S, 3),
+                          "data": "synthetic", "dataset_bytes": int(n * 3072)}),
+              flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)   # ~400MB on TPU: don't leak
 
@@ -751,23 +823,22 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         hp_m["weight_norm"] = {"eps": 1e-6}
     model = DeepcvModule((hw, hw, 3), hp_m, dtype=jnp.bfloat16)
     batch = int(batch) or (256 if on_tpu else 64)
-    hp = {"epochs": 6 if on_tpu else 1, "batch_size": batch,
+    hp = {"epochs": 10 if on_tpu else 1, "batch_size": batch,
           "optimizer": "sgd", "optimizer_opts": {"lr": 0.1, "momentum": 0.9,
                                                  "weight_decay": 1e-4},
           "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
           "validate_every_epochs": 1000, "seed": 0,
           "output_path": "data/04_training",
           "device_resident_dataset": True, "dtype": "bfloat16",
-          "max_epochs_per_dispatch": 2, "log_grad_norm": False}
+          "max_epochs_per_dispatch": 2, "log_grad_norm": False,
+          "handle_preemption": False}
     state, hist = train(hp, model, "cross_entropy", data, backend_conf=backend)
-    tps = hist["throughput_img_s"]
-    steady = max(tps[1:]) if len(tps) > 1 else tps[0]
-    per_chip = steady / max(1, backend.n_devices)
+    per_chip = steady(hist["throughput_img_s"]) / max(1, backend.n_devices)
     fwd_flops = _fwd_flops_per_image(model, batch)
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_FLOPS.get(kind)
     mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else None
-    print(json.dumps({
+    out = ({
         "metric": f"{arch}_train_throughput_224",
         "value": round(per_chip, 1), "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
@@ -788,7 +859,9 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
                      "convnext_small": 50.22, "swin_t": 28.29,
                      "swin_s": 49.61, "densenet121": 7.98,
                      "densenet169": 14.15}.get(arch), "batch": batch,
-        "device_kind": kind, "data": "synthetic"}))
+        "device_kind": kind, "data": "synthetic"})
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def bench_dense_prediction():
@@ -837,10 +910,10 @@ def bench_dense_prediction():
           "save_every_iters": 0, "validate_every_epochs": 1000,
           "log_progress_every_iters": 1_000_000, "seed": 0,
           "device_resident_dataset": True, "dtype": "bfloat16",
+          "handle_preemption": False,
           "output_path": "data/04_training", "fpn_grids": grids}
     out = train_fpn_detector(det_data, det_model, hp)
-    tps = out["history"]["throughput_img_s"]
-    det_img_s = (max(tps[1:]) if len(tps) > 1 else tps[0]) / backend.n_devices
+    det_img_s = steady(out["history"]["throughput_img_s"]) / backend.n_devices
 
     raw_s = generate_segmentation_dataset(n=n, image_size=hw, seed=0)
     seg_data = _pp({"trainset": raw_s},
@@ -861,8 +934,7 @@ def bench_dense_prediction():
     seg_hp = dict(hp)
     seg_hp.pop("fpn_grids")
     out_s = train_segmenter(seg_data, seg_model, seg_hp)
-    tps_s = out_s["history"]["throughput_img_s"]
-    seg_img_s = (max(tps_s[1:]) if len(tps_s) > 1 else tps_s[0]) \
+    seg_img_s = steady(out_s["history"]["throughput_img_s"]) \
         / backend.n_devices
     print(json.dumps({
         "metric": "dense_prediction_train_throughput",
@@ -1013,16 +1085,15 @@ def bench_moe(batch: int = 0):
               "output_path": "data/04_training",
               "device_resident_dataset": True,
               "dtype": "bfloat16" if on_tpu else "float32",
-              "max_epochs_per_dispatch": 2, "log_grad_norm": False}
+              "max_epochs_per_dispatch": 2, "log_grad_norm": False,
+              "handle_preemption": False}
         t0 = _time.perf_counter()
         state, hist = train(hp, model, "cross_entropy", data,
                             backend_conf=backend)
-        tps = hist["throughput_img_s"]
-        steady = max(tps[1:]) if len(tps) > 1 else tps[0]
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(
             state.params))
-        return (steady / max(1, backend.n_devices), n_params,
-                _time.perf_counter() - t0)
+        return (steady(hist["throughput_img_s"]) / max(1, backend.n_devices),
+                n_params, _time.perf_counter() - t0)
 
     dense_img_s, dense_params, _ = run(moe=False)
     moe_img_s, moe_params, _ = run(moe=True)
@@ -1101,6 +1172,58 @@ def bench_codec():
     print(json.dumps(out))
 
 
+def run_default():
+    """The driver's default invocation: budgeted, un-losable (r3 verdict #1-2).
+
+    Order: the config-1 headline first (its JSON line prints the moment it
+    exists), then extra driver-valuable configs while wall-clock budget
+    remains — hp-search jit reuse (#5), wide-classifier MFU (#6), spec-built
+    ResNet-50 @224 (#9) — each in its own try/except so one failure cannot
+    take the artifact down. A SIGTERM/SIGINT handler re-emits the headline
+    as the final line, so even a driver timeout leaves a parsed number.
+    Budget via DEEPCV_BENCH_BUDGET_S (default 420 s).
+    """
+    budget = float(os.environ.get("DEEPCV_BENCH_BUDGET_S", "420"))
+    t0 = time.monotonic()
+    result = {"headline": None}
+
+    def emit_headline_and_exit(signum=None, frame=None):
+        if result["headline"] is not None:
+            print(json.dumps(result["headline"]), flush=True)
+        sys.stdout.flush()
+        os._exit(0 if result["headline"] is not None else 124)
+
+    signal.signal(signal.SIGTERM, emit_headline_and_exit)
+    signal.signal(signal.SIGINT, emit_headline_and_exit)
+
+    result["headline"] = main()
+
+    def remaining():
+        return budget - (time.monotonic() - t0)
+
+    # (name, conservative COLD wall estimate seconds, thunk). Warm (persistent
+    # XLA cache) these run in a fraction of the estimate; the guard exists so
+    # a cold cache can never push the run past the driver's timeout.
+    extras = [
+        ("hp_search_jit_cache", 90, bench_hp_search),
+        ("mfu_wide_classifier", 150, lambda: bench_mfu(norm="batch_norm")),
+        ("resnet50_224", 240, lambda: bench_resnet50(norm="batch_norm")),
+    ]
+    for name, est, fn in extras:
+        if remaining() < est:
+            print(f"# skipped {name}: {remaining():.0f}s budget left "
+                  f"< {est}s estimate", flush=True)
+            continue
+        try:
+            fn()
+        except Exception as exc:  # extras must never kill the artifact
+            print(f"# extra bench {name} failed: {exc!r}", flush=True)
+
+    # the headline repeats as the FINAL line so the driver's
+    # last-JSON-line parse always lands on the headline metric
+    print(json.dumps(result["headline"]), flush=True)
+
+
 if __name__ == "__main__":
     import argparse
     from deepcv_tpu.search.runner import enable_persistent_compilation_cache
@@ -1130,9 +1253,11 @@ if __name__ == "__main__":
                     choices=["gelu", "gelu_tanh"],
                     help="config 9 ViT family only: MLP activation "
                          "(gelu_tanh = the measured ~23%% faster stack)")
-    ap.add_argument("--config", type=int, default=1,
-                    choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
-                    help="BASELINE.md benchmark config: 1=cifar10 train (default), "
+    ap.add_argument("--config", type=int, default=0,
+                    choices=[0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+                    help="BASELINE.md benchmark config: 0=driver default "
+                         "(budgeted: config 1 headline + 5/6/9 extras while "
+                         "wall-clock remains), 1=cifar10 train, "
                          "2=preprocess, 3=one-cycle cifar100, 4=keypoints matching, "
                          "5=hp-search jit reuse, 6=non-toy model MFU, "
                          "7=streaming memmap (larger-than-RAM path), "
@@ -1146,7 +1271,9 @@ if __name__ == "__main__":
                          "15=micro-batched online serving vs per-request "
                          "dispatch (--model applies)")
     args = ap.parse_args()
-    if args.config == 15:
+    if args.config == 0:
+        run_default()
+    elif args.config == 15:
         bench_server(model=args.model)
     elif args.config == 14:
         bench_codec()

@@ -125,7 +125,9 @@ def main(argv=None) -> int:
     p_desc.add_argument("--pipeline", default="__default__")
     p_desc.add_argument("--project-path", default=".")
 
-    sub.add_parser("test", help="run the test suite (extra args pass to pytest)")
+    sub.add_parser("test", help="run the quick test tier (--full for the "
+                                "slow learning/parity tests too; extra args "
+                                "pass to pytest)")
     sub.add_parser("bench", help="run the headline benchmark")
 
     p_search = sub.add_parser(
@@ -243,7 +245,12 @@ def main(argv=None) -> int:
 
     if args.command == "test":
         import pytest
-        return pytest.main(rest or ["tests/", "-q"])
+        # default = the quick tier (the @pytest.mark.slow learning/parity
+        # tests take minutes each on one core); `deepcv_tpu test --full`
+        # or explicit pytest args run whatever you ask for
+        if rest and rest[0] == "--full":
+            return pytest.main(rest[1:] or ["tests/", "-q"])
+        return pytest.main(rest or ["tests/", "-q", "-m", "not slow"])
 
     if args.command == "bench":
         import runpy
@@ -399,14 +406,13 @@ def _cmd_serve(args) -> int:
             return x
     pred = Predictor(model, variables, batch_size=args.batch_size,
                      preprocess=preprocess)
-    # warm up: compile the fixed-batch program BEFORE the first request so
-    # /healthz going live means serving latency is the steady-state one
-    import numpy as np
-    pred(np.zeros((1,) + tuple(model.input_shape), np.float32))
     server = InferenceServer(pred, port=args.port, host=args.host,
                              max_batch=args.batch_size,
                              max_wait_ms=args.max_wait_ms,
-                             input_ndim=len(model.input_shape))
+                             input_shape=tuple(model.input_shape))
+    # warm up: compile the fixed-batch program BEFORE the first request so
+    # /healthz reporting ready means serving latency is the steady-state one
+    server.warmup()
     print(f"serving {args.bundle} at {server.url} "
           f"(compiled batch {args.batch_size}, "
           f"window {args.max_wait_ms}ms)")

@@ -66,6 +66,7 @@ class MicroBatcher:
         self.max_wait_ms = float(max_wait_ms)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._closed = False
         self.stats = {"requests": 0, "items": 0, "batches": 0,
                       "max_coalesced": 0}
         self._stats_lock = threading.Lock()
@@ -76,17 +77,33 @@ class MicroBatcher:
     # ------------------------------------------------------------ lifecycle
     def start(self) -> None:
         if self._worker is None or not self._worker.is_alive():
+            self._closed = False
             self._stop.clear()
             self._worker = threading.Thread(target=self._run, daemon=True,
                                             name="microbatcher")
             self._worker.start()
 
     def close(self) -> None:
-        """Stop the worker after it drains in-flight requests."""
+        """Stop the worker after it drains in-flight requests. Futures still
+        queued when the worker exits (or if the join times out) are FAILED,
+        not dropped — callers must never block until their own timeout on a
+        batcher that will not serve them."""
+        self._closed = True
         self._stop.set()
         if self._worker is not None:
             self._worker.join(timeout=30)
+            if self._worker.is_alive():  # pragma: no cover — stuck predict_fn
+                _logger.warning("MicroBatcher worker did not drain within "
+                                "30s; failing queued requests")
             self._worker = None
+        err = RuntimeError("MicroBatcher closed")
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.cancelled():
+                fut.set_exception(err)
 
     def __enter__(self):
         return self
@@ -99,6 +116,9 @@ class MicroBatcher:
         """Enqueue a request; the Future resolves to this request's rows of
         the batched prediction. ``images`` is (N, ...) — a single un-batched
         sample must be wrapped by the caller (the HTTP layer does)."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher closed — submit() after close() "
+                               "would never resolve")
         x = np.asarray(images)
         if x.ndim < 1 or x.shape[0] < 1:
             raise ValueError(f"empty request (shape {x.shape})")
@@ -149,10 +169,20 @@ class MicroBatcher:
                     f"predict_fn returned {ys.shape[0]} rows for "
                     f"{xs.shape[0]} inputs — MicroBatcher needs row-aligned "
                     "outputs to split them per request")
-        except BaseException as e:  # resolve EVERY waiter, then keep serving
-            for _, fut in group:
-                if not fut.cancelled():
-                    fut.set_exception(e)
+        except BaseException as e:
+            if len(group) > 1:
+                # one poisoned request (wrong sample shape/dtype slipping past
+                # the front end) must not 500 its innocent coalesced
+                # neighbors: fall back to executing each request alone, so
+                # only the bad one carries the exception
+                _logger.warning("coalesced batch of %d failed (%r); retrying "
+                                "requests individually", len(group), e)
+                for item in group:
+                    self._execute([item])
+            else:  # resolve the waiter, then keep serving
+                for _, fut in group:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
             return
         with self._stats_lock:
             self.stats["batches"] += 1
@@ -181,8 +211,9 @@ class InferenceServer:
       ``\\x93NUMPY``; responded to in kind) or JSON ``{"images": <nested
       list>}`` (responded to as JSON ``{"outputs": [...]}``). A single
       sample (input_ndim dims) is auto-wrapped and unwrapped.
-    * ``GET /healthz`` — liveness + the model's readiness (one row has been
-      served or the warmup forward ran).
+    * ``GET /healthz`` — liveness, plus ``ready``: whether the compiled
+      forward has produced rows (via :meth:`warmup` or a first served
+      request) — false during the first XLA compile.
     * ``GET /stats`` — MicroBatcher counters + uptime.
 
     ``port=0`` picks a free port (tests). The server threads only parse and
@@ -192,14 +223,27 @@ class InferenceServer:
     def __init__(self, predict_fn: Callable[[np.ndarray], Any],
                  port: int = 8000, host: str = "127.0.0.1",
                  max_batch: int = 256, max_wait_ms: float = 5.0,
-                 input_ndim: int = 3):
+                 input_ndim: int = 3,
+                 input_shape: Optional[tuple] = None):
         self.batcher = MicroBatcher(predict_fn, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms)
-        self.input_ndim = int(input_ndim)
+        # full per-sample shape when known (the model's input_shape): a
+        # request with the right RANK but wrong dims must be a 400 at the
+        # front door, never reach a coalesced group and fail its neighbors
+        self.input_shape = tuple(input_shape) if input_shape else None
+        self.input_ndim = len(self.input_shape) if self.input_shape \
+            else int(input_ndim)
         self._t0 = time.time()
         # end-to-end /predict latencies (parse -> batched forward -> result),
-        # bounded window so /stats percentiles track the RECENT regime
+        # bounded window so /stats percentiles track the RECENT regime.
+        # Handler threads append while /stats sorts — deque iteration during
+        # mutation raises in CPython, so every access holds the lock.
         self._lat_ms = collections.deque(maxlen=1024)
+        self._lat_lock = threading.Lock()
+        # readiness = the compiled forward has actually produced rows (via
+        # warmup() or the first served request) — /healthz reports it so load
+        # balancers don't route traffic into the first XLA compile
+        self._ready = threading.Event()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -219,12 +263,14 @@ class InferenceServer:
             def do_GET(self):  # noqa: N802 (http.server API)
                 path = self.path.split("?")[0]
                 if path == "/healthz":
-                    return self._send_json({"ok": True})
+                    return self._send_json({"ok": True,
+                                            "ready": server._ready.is_set()})
                 if path == "/stats":
                     with server.batcher._stats_lock:
                         stats = dict(server.batcher.stats)
                     stats["uptime_s"] = round(time.time() - server._t0, 1)
-                    lat = sorted(server._lat_ms)
+                    with server._lat_lock:
+                        lat = sorted(server._lat_ms)
                     if lat:
                         stats["latency_p50_ms"] = round(lat[len(lat) // 2], 2)
                         stats["latency_p99_ms"] = round(
@@ -255,10 +301,18 @@ class InferenceServer:
                         {"error": f"expected {server.input_ndim}-d sample or "
                                   f"{server.input_ndim + 1}-d batch, got "
                                   f"shape {list(x.shape)}"}, 400)
+                if server.input_shape and \
+                        tuple(x.shape[1:]) != server.input_shape:
+                    return self._send_json(
+                        {"error": f"sample shape {list(x.shape[1:])} does "
+                                  f"not match the model's input shape "
+                                  f"{list(server.input_shape)}"}, 400)
                 try:
                     t0 = time.perf_counter()
                     y = np.asarray(server.batcher.infer(x))
-                    server._lat_ms.append((time.perf_counter() - t0) * 1e3)
+                    with server._lat_lock:
+                        server._lat_ms.append((time.perf_counter() - t0) * 1e3)
+                    server._ready.set()
                 except Exception as e:  # model-side failure
                     return self._send_json({"error": str(e)}, 500)
                 if y.dtype.name == "bfloat16" or y.dtype.kind == "V":
@@ -275,6 +329,18 @@ class InferenceServer:
     @property
     def url(self) -> str:
         return f"http://{self.host}:{self.port}/"
+
+    def warmup(self, sample: Optional[np.ndarray] = None) -> None:
+        """Run one forward through the batcher (compiling the fixed-batch
+        program) and mark the server ready for /healthz. With no ``sample``,
+        a zero sample of ``input_shape`` is used (requires ``input_shape``)."""
+        if sample is None:
+            if not self.input_shape:
+                raise ValueError("warmup() without a sample needs "
+                                 "input_shape= at construction")
+            sample = np.zeros((1, *self.input_shape), np.float32)
+        self.batcher.infer(np.asarray(sample), timeout=None)
+        self._ready.set()
 
     def serve_forever(self) -> None:
         try:

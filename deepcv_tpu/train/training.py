@@ -95,6 +95,18 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # is the opt-in uniform-sampling throughput mode
     "sampling": "epoch",
     "max_epochs_per_dispatch": 1,    # fuse k quiet epochs into one dispatch
+    # host-sync (and throughput-measurement) cadence in dispatch groups: the
+    # loop pulls state.step (a full host<->device round trip — ~25 ms on a
+    # tunneled TPU) only every k-th group, letting the intervening dispatches
+    # queue asynchronously. 1 = sync every group (exact current behavior);
+    # the first two groups always sync so compile / first-run effects stay
+    # isolated in their own throughput entries.
+    "sync_every_dispatches": 1,
+    # constant LR as an opt_state leaf (inject_hyperparams) instead of a
+    # compiled-in constant: LR-sweep trials share one XLA executable via the
+    # persistent compile cache. Off by default (it changes the opt_state
+    # tree shape, which existing checkpoints embed).
+    "runtime_lr": False,
     "train_arch_params": True,       # False: zero updates to arch__ logits
                                      # (ENAS: an RL controller owns them)
     "run_dir": None,                 # explicit run directory name (else timestamped)
@@ -152,6 +164,10 @@ class Preempted(RuntimeError):
 # request_preemption(); consumed (cleared) by the running loop at the next
 # host-visible step boundary.
 _PREEMPTION = threading.Event()
+
+# distinct from None: "train() never installed a handler" vs "the previous
+# SIGTERM handler was installed outside Python" (signal.signal returns None)
+_HANDLER_NOT_INSTALLED = object()
 
 
 def request_preemption() -> None:
@@ -280,14 +296,62 @@ def scale_updates_by_path(lr_scales: Mapping[str, float]) -> optax.GradientTrans
     return optax.GradientTransformation(init, update)
 
 
+def _build_runtime_lr(name: str, opts: Mapping[str, Any], lr: float):
+    """inject_hyperparams builders for the optimizers hp searches sweep:
+    the learning rate becomes an ``opt_state`` leaf (a runtime input of the
+    jitted step), so different LR values trace to the SAME HLO and the XLA
+    executable is shared across trials. Returns None for optimizers without
+    an injectable builder (build_optimizer falls back to the constant path).
+    """
+    opts = dict(opts)
+    if name == "adamw":
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        opts.pop("amsgrad", None)
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, b1=float(b1), b2=float(b2),
+            eps=float(opts.pop("eps", 1e-8)),
+            weight_decay=float(opts.pop("weight_decay", 1e-2)))
+    if name == "adam":
+        b1, b2 = opts.pop("betas", (0.9, 0.999))
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=lr, b1=float(b1), b2=float(b2),
+            eps=float(opts.pop("eps", 1e-8)))
+    if name == "sgd":
+        mom = float(opts.pop("momentum", 0.0))
+        wd = float(opts.pop("weight_decay", 0.0))
+        tx = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=lr, momentum=mom or None,
+            nesterov=bool(opts.pop("nesterov", False)))
+        if wd:
+            # decayed weights are added BEFORE the lr-scaled step, exactly
+            # as the constant-lr branch chains them
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        return tx
+    if name == "lion":
+        b1, b2 = opts.pop("betas", (0.9, 0.99))
+        return optax.inject_hyperparams(optax.lion)(
+            learning_rate=lr, b1=float(b1), b2=float(b2),
+            weight_decay=float(opts.pop("weight_decay", 0.0)))
+    return None
+
+
 def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any],
-                    schedule=None, extra_schedules: Optional[Mapping[str, Any]] = None
+                    schedule=None, extra_schedules: Optional[Mapping[str, Any]] = None,
+                    runtime_lr: bool = False
                     ) -> optax.GradientTransformation:
     """Map reference optimizer specs (torch.optim names + kwargs, e.g.
     parameters.yml:129-134 AdamW opts) onto optax transforms.
 
     ``extra_schedules`` (from ``build_schedules``: ``{'momentum': ...,
-    'weight_decay': ...}``) routes through :func:`_scheduled_optimizer`."""
+    'weight_decay': ...}``) routes through :func:`_scheduled_optimizer`.
+
+    ``runtime_lr=True`` builds the common optimizers through
+    ``optax.inject_hyperparams`` so the (constant) learning rate lives in
+    ``opt_state`` instead of being burned into the compiled program — trials
+    of an LR sweep then share ONE XLA executable (via the persistent compile
+    cache) instead of recompiling per value. Only meaningful without an LR
+    schedule; unknown optimizers silently fall through to the constant path.
+    """
     if callable(name) and not isinstance(name, str):
         if extra_schedules:
             raise ValueError("momentum/weight_decay schedules cannot combine "
@@ -300,6 +364,10 @@ def build_optimizer(name: Union[str, Callable], optimizer_opts: Mapping[str, Any
     name = str(getattr(name, "identifier", name)).rsplit(".", 1)[-1].lower()
     if extra_schedules:
         return _scheduled_optimizer(name, opts, lr, extra_schedules)
+    if runtime_lr and schedule is None:
+        built = _build_runtime_lr(name, opts, float(lr))
+        if built is not None:
+            return built
     if name in ("adamw",):
         b1, b2 = opts.pop("betas", (0.9, 0.999))
         if opts.pop("amsgrad", False):
@@ -566,7 +634,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     schedule = schedules.get("lr")
     extra_schedules = {k: v for k, v in schedules.items() if k != "lr"}
     tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"],
-                         schedule, extra_schedules=extra_schedules or None)
+                         schedule, extra_schedules=extra_schedules or None,
+                         runtime_lr=bool(hp.get("runtime_lr", False)))
     lr_scales = hp.get("lr_scales")
     if lr_scales:
         # per-layer LR scales apply to the optimizer's OUTPUT updates —
@@ -1123,11 +1192,20 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     # SIGTERM -> flag (handler only valid on the main thread; elsewhere —
     # e.g. train() driven from a worker thread — request_preemption() is the
     # entry point). The previous handler is restored on exit.
-    prev_sigterm = None
+    # sentinel, not None: signal.signal() legitimately returns None when the
+    # prior handler was installed outside Python — restoring must still happen
+    # (to SIG_DFL) or this loop's handler would leak past train()
+    prev_sigterm = _HANDLER_NOT_INSTALLED
     if hp["handle_preemption"] and \
             threading.current_thread() is threading.main_thread():
         prev_sigterm = signal.signal(
             signal.SIGTERM, lambda signum, frame: _PREEMPTION.set())
+
+    sync_every = max(1, int(hp.get("sync_every_dispatches", 1)))
+    window_t0 = time.perf_counter()
+    window_seen = 0
+    dispatch_i = 0
+    throughput = 0.0
 
     try:
         epoch = step // max(1, steps_per_epoch)
@@ -1137,7 +1215,6 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 while (n_fused < fuse_epochs and epoch + n_fused < epochs
                        and (epoch + n_fused) % validate_every != 0):
                     n_fused += 1
-            epoch_t0 = time.perf_counter()
             n_seen = 0
             # exact resume: skip batches already done within the resumed epoch
             skip = step % steps_per_epoch if step else 0
@@ -1242,14 +1319,25 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                     if ckpt and save_every > 0 and step % save_every == 0:
                         ckpt.save(step, host_state(state))
 
-            # force a REAL host sync for honest timing: on tunneled backends
-            # block_until_ready can return before remote execution finishes;
-            # pulling a scalar through device_get cannot be faked
-            step_on_device = int(jax.device_get(state.step))
-            assert step_on_device == step, (step_on_device, step)
-            dt = time.perf_counter() - epoch_t0
-            throughput = n_seen / dt if dt > 0 else 0.0
-            history["throughput_img_s"].append(throughput)
+            dispatch_i += 1
+            window_seen += n_seen
+            at_end = epoch + n_fused >= epochs
+            at_validation = (epoch + n_fused) % validate_every == 0
+            if (dispatch_i <= 2 or at_end or at_validation
+                    or (dispatch_i - 2) % sync_every == 0):
+                # force a REAL host sync for honest timing: on tunneled
+                # backends block_until_ready can return before remote
+                # execution finishes; pulling a scalar through device_get
+                # cannot be faked. Between syncs (sync_every_dispatches > 1)
+                # dispatch groups queue asynchronously and one throughput
+                # entry covers the whole window.
+                step_on_device = int(jax.device_get(state.step))
+                assert step_on_device == step, (step_on_device, step)
+                dt = time.perf_counter() - window_t0
+                throughput = window_seen / dt if dt > 0 else 0.0
+                history["throughput_img_s"].append(throughput)
+                window_t0 = time.perf_counter()
+                window_seen = 0
 
             epoch += n_fused
             # validation on EPOCH_COMPLETED (fixes reference's EPOCH_STARTED
@@ -1298,8 +1386,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         # honored by THIS loop — drop it so a follow-up train() (resume, next
         # trial) does not spuriously stop at its first step
         _PREEMPTION.clear()
-        if prev_sigterm is not None:
-            signal.signal(signal.SIGTERM, prev_sigterm)
+        if prev_sigterm is not _HANDLER_NOT_INSTALLED:
+            signal.signal(signal.SIGTERM,
+                          signal.SIG_DFL if prev_sigterm is None
+                          else prev_sigterm)
         for lg in loggers:
             if hasattr(lg, "flush"):
                 lg.flush()

@@ -74,6 +74,52 @@ def test_microbatcher_error_recovery(predictor):
     assert ok.shape == (2, 4)
 
 
+def test_microbatcher_poisoned_group_fallback(predictor):
+    """A request with the right rank but wrong sample dims must fail ALONE:
+    the coalesced batch it poisons is retried per-request, so innocent
+    concurrent callers still get their rows (r3 advisor, medium)."""
+    mb = MicroBatcher(predictor, max_batch=16, max_wait_ms=50, start=False)
+    good_a = mb.submit(np.zeros((2, 8, 8, 3), np.float32))
+    bad = mb.submit(np.zeros((1, 4, 4, 2), np.float32))
+    good_b = mb.submit(np.zeros((1, 8, 8, 3), np.float32))
+    mb.start()
+    assert good_a.result(timeout=60).shape == (2, 4)
+    assert good_b.result(timeout=60).shape == (1, 4)
+    with pytest.raises(Exception):
+        bad.result(timeout=60)
+    mb.close()
+
+
+def test_microbatcher_close_fails_pending_and_rejects_submit(predictor):
+    """close() must fail queued futures (not leave callers blocking) and a
+    closed batcher must reject submit() fast (r3 advisor, low)."""
+    mb = MicroBatcher(predictor, max_batch=16, max_wait_ms=5, start=False)
+    orphan = mb.submit(np.zeros((1, 8, 8, 3), np.float32))
+    mb.close()  # worker never started: the queued future must be failed
+    with pytest.raises(RuntimeError, match="closed"):
+        orphan.result(timeout=5)
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(np.zeros((1, 8, 8, 3), np.float32))
+
+
+def test_http_server_shape_validation_and_readiness(predictor):
+    """input_shape= rejects right-rank/wrong-dims samples with 400 at the
+    front door; /healthz ready flips only after warmup or a served row."""
+    with InferenceServer(predictor, port=0, max_batch=16, max_wait_ms=2,
+                         input_shape=(8, 8, 3)) as srv:
+        h = json.loads(urllib.request.urlopen(srv.url + "healthz").read())
+        assert h["ok"] and not h["ready"]
+        req = urllib.request.Request(
+            srv.url + "predict",
+            data=json.dumps({"images": np.zeros((4, 4, 2)).tolist()}).encode())
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+        srv.warmup()
+        h = json.loads(urllib.request.urlopen(srv.url + "healthz").read())
+        assert h["ok"] and h["ready"]
+
+
 def test_http_server_roundtrip(predictor):
     rng = np.random.RandomState(1)
     batch = rng.rand(5, 8, 8, 3).astype(np.float32)

@@ -339,6 +339,61 @@ def test_train_tensor_parallel(tiny_setup, tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_runtime_lr_injects_and_applies(tiny_setup, tmp_path):
+    """runtime_lr=True: the LR lives in opt_state (inject_hyperparams) so
+    LR-sweep trials share one HLO — and it must still ACT as the LR (zero lr
+    => zero movement; normal lr => loss decreases)."""
+    model, data = tiny_setup
+    base = {"epochs": 2, "batch_size": 64, "optimizer": "adamw",
+            "save_every_iters": 0, "log_progress_every_iters": 1,
+            "validate_every_epochs": 1000, "output_path": str(tmp_path),
+            "seed": 7, "runtime_lr": True}
+    state, hist = train(dict(base, optimizer_opts={"lr": 3e-3}), model,
+                        cross_entropy_loss, data,
+                        backend_conf=BackendConfig())
+    assert hist["train"][-1]["main_loss"] < hist["train"][0]["main_loss"]
+    # the injected LR is an opt_state leaf, not a compiled-in constant
+    leaves = jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+    lr_leaves = [l for p, l in leaves if "learning_rate" in
+                 jax.tree_util.keystr(p)]
+    assert lr_leaves and float(lr_leaves[0]) == pytest.approx(3e-3)
+    # lr=0: AdamW moves nothing (decay is also lr-scaled in optax.adamw) —
+    # same seed trained 1 vs 2 epochs must land on identical params
+    s1, _ = train(dict(base, epochs=1, optimizer_opts={"lr": 0.0}), model,
+                  cross_entropy_loss, data, backend_conf=BackendConfig())
+    s2, _ = train(dict(base, epochs=2, optimizer_opts={"lr": 0.0}), model,
+                  cross_entropy_loss, data, backend_conf=BackendConfig())
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_sync_every_dispatches_window_timing(tiny_setup, tmp_path):
+    """sync_every_dispatches > 1: the host-step sync (and its throughput
+    entry) happens once per window — first two dispatch groups always sync
+    (compile / first-run isolation), then every k-th, then the final one —
+    while training math is untouched."""
+    model, data = tiny_setup
+    base = {"batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+            "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
+            "validate_every_epochs": 1000, "output_path": str(tmp_path),
+            "seed": 7, "device_resident_dataset": True}
+    hp = dict(base, epochs=6, sync_every_dispatches=3)
+    state, hist = train(hp, model, cross_entropy_loss, data,
+                        backend_conf=BackendConfig())
+    # dispatches 1,2 sync individually; 3 hits k; 4-5 queue; 6 is the end
+    assert len(hist["throughput_img_s"]) == 4
+    assert int(state.step) == hist["steps"] > 0
+    # identical math to the sync-every-group run (timing only)
+    state_ref, hist_ref = train(dict(base, epochs=6), model,
+                                cross_entropy_loss, data,
+                                backend_conf=BackendConfig())
+    assert len(hist_ref["throughput_img_s"]) == 6
+    np.testing.assert_allclose(hist["train"][-1]["main_loss"],
+                               hist_ref["train"][-1]["main_loss"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_grad_accumulation_and_remat(tiny_setup, tmp_path):
     """grad_accumulation_steps wraps the optimizer in optax.MultiSteps
     (params update every k micro-steps); remat=True recomputes the forward in
