@@ -130,6 +130,12 @@ def main(argv=None) -> int:
                                 "pass to pytest)")
     sub.add_parser("bench", help="run the headline benchmark")
 
+    p_docs = sub.add_parser(
+        "docs", help="build static HTML docs from docs/*.md + README "
+                     "(reference: kedro build-docs)")
+    p_docs.add_argument("--out", default="docs/_build")
+    p_docs.add_argument("--project-path", default=".")
+
     p_search = sub.add_parser(
         "search", help="in-process hyperparameter search over a pipeline "
                        "(reference: nnictl + gen_nni_config flow)")
@@ -256,6 +262,12 @@ def main(argv=None) -> int:
         import runpy
         runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
                        run_name="__main__")
+        return 0
+
+    if args.command == "docs":
+        from deepcv_tpu.docs_build import build_docs
+        written = build_docs(out_dir=args.out, root=args.project_path)
+        print(f"built {len(written)} pages -> {args.out}")
         return 0
 
     from deepcv_tpu.pipelines import ProjectContext

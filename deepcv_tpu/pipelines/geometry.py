@@ -26,6 +26,7 @@ from deepcv_tpu.pipelines.video import flow_warp
 
 __all__ = ["phase_correlation", "stabilize_video", "estimate_homography",
            "ransac_homography", "stitch_pair", "synchronize_sequences",
+           "audio_onset_envelope", "synchronize_audio",
            "remove_watermark"]
 
 _logger = logging.getLogger(__name__)
@@ -302,6 +303,63 @@ def _sync_scores(emb_a, emb_b, lags):
         return jnp.sum(sims) / (jnp.sum(ok) + 1e-8)
 
     return jax.vmap(score)(lags)
+
+
+# --------------------------------------------------------------------------- #
+# Audio front end for synchronization (reference synchronization_WIP/audio.py
+# is an empty stub whose INTENT — align two recordings of the same scene by
+# their soundtracks — this realizes). A waveform becomes a per-video-frame
+# embedding (log band energies + spectral flux, the classic onset signal) so
+# audio tracks align through the same normalized-cross-correlation engine as
+# visual embeddings (:func:`synchronize_sequences`). Pure JAX: one rfft over
+# framed windows, static shapes, jit-safe.
+# --------------------------------------------------------------------------- #
+
+def audio_onset_envelope(waveform: jnp.ndarray, sample_rate: float,
+                         fps: float = 30.0, n_fft: int = 1024,
+                         n_bands: int = 32) -> jnp.ndarray:
+    """Mono waveform ``(T_samples,)`` -> per-video-frame audio embedding
+    ``(T_frames, 2 * n_bands)``: log-compressed band energies plus the
+    half-wave-rectified spectral flux (onset strength) per band, hopped at
+    the video frame rate so the rows line up 1:1 with video frames.
+    """
+    waveform = jnp.asarray(waveform, jnp.float32)
+    if waveform.ndim == 2:                      # (T, channels) -> mono
+        waveform = waveform.mean(axis=-1)
+    hop = max(1, int(round(float(sample_rate) / float(fps))))
+    n_frames = max(1, 1 + (waveform.shape[0] - n_fft) // hop)
+    if waveform.shape[0] < n_fft:               # short clip: pad one window
+        waveform = jnp.pad(waveform, (0, n_fft - waveform.shape[0]))
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = waveform[idx] * jnp.hanning(n_fft)
+    mag = jnp.abs(jnp.fft.rfft(frames, axis=-1))        # (T, n_fft//2+1)
+    # group linear bins into n_bands log-spaced bands (mel-like, dep-free)
+    n_bins = mag.shape[-1]
+    edges = jnp.unique(jnp.geomspace(1, n_bins - 1, n_bands + 1)
+                       .astype(jnp.int32), size=n_bands + 1,
+                       fill_value=n_bins - 1)
+    band = jnp.clip(jnp.searchsorted(edges[1:], jnp.arange(n_bins)),
+                    0, n_bands - 1)
+    energy = jax.ops.segment_sum(mag.T, band, num_segments=n_bands).T
+    log_e = jnp.log1p(energy)                           # (T, n_bands)
+    flux = jnp.maximum(jnp.diff(log_e, axis=0, prepend=log_e[:1]), 0.0)
+    return jnp.concatenate([log_e, flux], axis=-1)
+
+
+def synchronize_audio(wav_a: jnp.ndarray, wav_b: jnp.ndarray,
+                      sample_rate: float, fps: float = 30.0,
+                      max_lag_s: float = 2.0
+                      ) -> Tuple[int, float, jnp.ndarray]:
+    """Temporal offset between two soundtracks of the same scene.
+
+    Returns ``(lag_frames, lag_seconds, scores)`` with the
+    :func:`synchronize_sequences` convention: ``b[t] ~ a[t + lag]``.
+    """
+    emb_a = audio_onset_envelope(wav_a, sample_rate, fps=fps)
+    emb_b = audio_onset_envelope(wav_b, sample_rate, fps=fps)
+    max_lag = max(1, int(round(float(max_lag_s) * float(fps))))
+    lag, scores = synchronize_sequences(emb_a, emb_b, max_lag=max_lag)
+    return lag, lag / float(fps), scores
 
 
 # --------------------------------------------------------------------------- #

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 __all__ = ["trace", "annotate", "StepTimer", "device_memory_stats",
            "check_determinism", "forced_sync_time", "mfu_report",
            "model_flops", "PEAK_BF16_FLOPS",
+           "xplane_op_summary", "profile_op_breakdown",
            "start_tensorboard_server", "stop_tensorboard_server"]
 
 _logger = logging.getLogger(__name__)
@@ -150,6 +151,129 @@ def stop_tensorboard_server():
 # --------------------------------------------------------------------------- #
 
 #: peak dense bf16 FLOP/s per chip by jax device_kind (public spec sheets)
+# --------------------------------------------------------------------------- #
+# XPlane (XProf) parsing — device-side op timings without TensorBoard.
+#
+# jax.profiler writes *.xplane.pb (tsl XSpace proto). Neither tensorflow nor
+# xplane_pb2 bindings ship in a JAX-only environment, so this decodes the
+# wire format directly (the schema is tiny: XSpace.planes -> XPlane.lines ->
+# XEvent{metadata_id, duration_ps} + XPlane.event_metadata{id -> name}).
+# This is what turns "MFU is 31%" into "fusion.123 (conv+bn bwd) is 40% of
+# device time" — the profile-first loop SURVEY §7 prescribes.
+# --------------------------------------------------------------------------- #
+
+def _pb_varint(buf: bytes, i: int):
+    shift = v = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def _pb_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) from one protobuf message."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _pb_varint(buf, i)
+        fn, wt = key >> 3, key & 7
+        if wt == 0:
+            v, i = _pb_varint(buf, i)
+        elif wt == 1:
+            v, i = buf[i:i + 8], i + 8
+        elif wt == 2:
+            ln, i = _pb_varint(buf, i)
+            v, i = buf[i:i + ln], i + ln
+        elif wt == 5:
+            v, i = buf[i:i + 4], i + 4
+        else:  # pragma: no cover — groups don't appear in xplane
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fn, wt, v
+
+
+def xplane_op_summary(log_dir: str, plane_filter: str = "TPU"
+                      ) -> List[Dict[str, Any]]:
+    """Per-op total device time from the newest ``*.xplane.pb`` under
+    ``log_dir`` (as written by :func:`trace`).
+
+    Returns a list of ``{"plane", "line", "op", "total_ms", "count"}``
+    sorted by descending time, for planes whose name contains
+    ``plane_filter`` (default: the TPU device plane)."""
+    paths = sorted(Path(log_dir).rglob("*.xplane.pb"))
+    if not paths:
+        raise FileNotFoundError(f"no *.xplane.pb under {log_dir}")
+    space = paths[-1].read_bytes()
+    rows: List[Dict[str, Any]] = []
+    for fn, _wt, plane in _pb_fields(space):
+        if fn != 1:                                   # XSpace.planes
+            continue
+        name, lines, evmeta = "", [], {}
+        for pf, _pw, pv in _pb_fields(plane):
+            if pf == 2:                               # XPlane.name
+                name = pv.decode("utf-8", "replace")
+            elif pf == 3:                             # XPlane.lines
+                lines.append(pv)
+            elif pf == 4:                             # event_metadata map
+                mid, mname = None, ""
+                for mf, _mw, mv in _pb_fields(pv):
+                    if mf == 1:
+                        mid = mv
+                    elif mf == 2:                     # XEventMetadata
+                        for ef, _ew, ev in _pb_fields(mv):
+                            if ef == 1:
+                                mid = ev
+                            elif ef == 2:
+                                mname = ev.decode("utf-8", "replace")
+                if mid is not None:
+                    evmeta[mid] = mname
+        if plane_filter not in name:
+            continue
+        for line in lines:
+            lname, events = "", []
+            for lf, _lw, lv in _pb_fields(line):
+                if lf == 2:
+                    lname = lv.decode("utf-8", "replace")
+                elif lf == 4:                         # XLine.events
+                    events.append(lv)
+            agg: Dict[int, List[float]] = {}
+            for ev in events:
+                mid = dur = 0
+                for ef, _ew, evv in _pb_fields(ev):
+                    if ef == 1:
+                        mid = evv
+                    elif ef == 3:                     # duration_ps
+                        dur = evv
+                a = agg.setdefault(mid, [0.0, 0])
+                a[0] += dur
+                a[1] += 1
+            for mid, (ps, cnt) in agg.items():
+                rows.append({"plane": name, "line": lname,
+                             "op": evmeta.get(mid, str(mid)),
+                             "total_ms": ps / 1e9, "count": cnt})
+    rows.sort(key=lambda r: -r["total_ms"])
+    return rows
+
+
+def profile_op_breakdown(fn, *args, log_dir: str = "/tmp/deepcv_profile",
+                         warmup: int = 1, iters: int = 3,
+                         top: int = 20) -> List[Dict[str, Any]]:
+    """Run ``fn(*args)`` under the profiler and return the top device ops by
+    total time. ``fn`` should be jitted; its result is synced each iter."""
+    for _ in range(max(0, warmup)):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    with trace(log_dir):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    rows = [r for r in xplane_op_summary(log_dir)
+            if r["line"] in ("XLA Ops", "XLA TraceMe", "Steps") or
+            r["line"].startswith("XLA")]
+    return rows[:top] if top else rows
+
+
 PEAK_BF16_FLOPS = {
     "TPU v4": 275e12,
     "TPU v5 lite": 197e12,   # v5e

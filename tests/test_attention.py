@@ -560,6 +560,7 @@ def test_swin_block_and_patch_merging_shapes():
         WindowAttention(num_heads=2, window=3).init(jax.random.PRNGKey(0), x)
 
 
+@pytest.mark.slow
 def test_swin_int8_serving_reaches_projections():
     """quantize='int8' must reach Swin's qkv/out/mlp/reduce projections
     (they are ~all the FLOPs) — calibrated rebuild restores the float tree

@@ -71,6 +71,7 @@ def _smooth_images(n, size=16, seed=0):
     return img.clip(0, 255).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_codec_learns_exact_roundtrip_and_rate(tmp_path):
     train, test = _smooth_images(64, seed=3), _smooth_images(6, seed=4)
     codec = LosslessCodec((16, 16, 3), n_scales=2, hidden=16, seed=0)

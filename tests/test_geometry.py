@@ -98,6 +98,34 @@ def test_synchronize_sequences_lag():
     assert lag2 == -7
 
 
+def test_synchronize_audio_recovers_offset():
+    """Two recordings of the same click pattern, one delayed by a known
+    number of video frames, must align through the onset-envelope front end
+    (reference synchronization_WIP/audio.py intent)."""
+    from deepcv_tpu.pipelines.geometry import (audio_onset_envelope,
+                                               synchronize_audio)
+    sr, fps = 8000, 25.0
+    hop = int(sr / fps)
+    rng = np.random.default_rng(3)
+    t = np.arange(6 * sr)
+    base = 0.01 * rng.standard_normal(t.shape).astype(np.float32)
+    # clicks (decaying tones) at irregular frame positions
+    for fpos in (10, 23, 41, 57, 88, 104, 131):
+        s = fpos * hop
+        dur = np.arange(400)
+        base[s:s + 400] += (np.sin(0.3 * dur) *
+                            np.exp(-dur / 90)).astype(np.float32)
+    delay_frames = 9
+    a = base
+    b = np.concatenate([np.zeros(delay_frames * hop, np.float32), base])
+    lag, lag_s, scores = synchronize_audio(a, b, sr, fps=fps, max_lag_s=1.0)
+    # b is a delayed: b[t] ~ a[t - delay] => lag == -delay_frames
+    assert lag == -delay_frames
+    assert abs(lag_s - (-delay_frames / fps)) < 1e-6
+    emb = audio_onset_envelope(a, sr, fps=fps)
+    assert emb.shape[1] == 64 and emb.shape[0] > 100
+
+
 # --------------------------------------------------------------------------- #
 # Watermark removal (reference README.md:166 TODO line)
 # --------------------------------------------------------------------------- #

@@ -41,6 +41,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     procs, outs = [], []
@@ -101,6 +102,7 @@ def test_two_process_training_matches_single_process(tmp_path):
                                        err_msg=f"validation metric {k}")
 
 
+@pytest.mark.slow
 def test_two_process_crash_and_resume(tmp_path):
     """Fault tolerance ACROSS processes: both hosts hit the injected crash,
     both retry through train_with_retries, adopt rank-0's run dir (pid/uuid
@@ -143,6 +145,7 @@ def test_two_process_crash_and_resume(tmp_path):
     assert r0["final_step"] == r1["final_step"] == 12
 
 
+@pytest.mark.slow
 def test_two_process_tensor_parallel(tmp_path):
     """dp x tp over 2 REAL processes (4 devices each, tensor_parallel=2):
     kernels shard over the 'model' axis, the batch over 'data', and the

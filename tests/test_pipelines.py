@@ -572,6 +572,7 @@ def test_partial_pipeline_runs(tmp_path):
             persist_intermediates=False)
 
 
+@pytest.mark.slow
 def test_video_classifier_pipeline_learns(tmp_path):
     """The conv3d rank of the N-D dispatch, end to end: motion-direction
     classification is unsolvable per-frame, so above-chance validation

@@ -478,6 +478,7 @@ def test_resnet_zoo_builder_matches_torchvision_params():
     assert "s0b0_proj" not in names and "s1b0_proj" in names
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_zoo_builder_matches_torchvision_params():
     """spec/zoo.mobilenet_v2_spec: the depthwise/inverted-residual family
     through the spec language (grouped convs with groups=channels, linear
@@ -521,6 +522,7 @@ def test_mobilenet_v2_zoo_builder_matches_torchvision_params():
     assert "ir1b0_sum" not in names and "ir1b1_sum" in names
 
 
+@pytest.mark.slow
 def test_efficientnet_b0_zoo_builder_matches_torchvision_params():
     """spec/zoo.efficientnet_b0_spec: MBConv (inverted residual + SE between
     depthwise and projection, SE hidden = block input // 4, silu) through
@@ -557,6 +559,7 @@ def test_efficientnet_b0_zoo_builder_matches_torchvision_params():
     assert y.shape == (2, 10) and "batch_stats" in st
 
 
+@pytest.mark.slow
 def test_mobilenet_v3_zoo_builder_matches_torchvision_params():
     """spec/zoo.mobilenet_v3_spec: over V2's inverted residual adds
     hard_swish stages, per-row 3x3/5x5 depthwise kernels, MobileNetV3's SE

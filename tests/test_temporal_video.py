@@ -62,6 +62,7 @@ def test_rejects_bad_inputs():
         m.init(jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_temporal_model_learns_motion_direction(tmp_path):
     """Frame embeddings hold only per-frame content; direction lives in the
     SEQUENCE, so above-chance accuracy proves the timeseries head works

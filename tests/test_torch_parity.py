@@ -1747,6 +1747,7 @@ class TorchDenseNet121(tnn.Module):
         return self.classifier(x)
 
 
+@pytest.mark.slow
 def test_densenet121_zoo_forward_parity():
     """Full-network weight-copied mirror through all 58 dense layers: one
     momentum=1.0 train pass populates stats both sides, JAX stats copy in,

@@ -96,6 +96,7 @@ def _structured(n, seed, ncls=4, shape=(8, 8, 3), amp=96):
     return imgs, t
 
 
+@pytest.mark.slow
 def test_uda_beats_labeled_only_baseline(tmp_path):
     """The semi-supervised claim on a seeded learnable task: tiny labeled
     set + plentiful unlabeled consistency >= labeled-only training."""
