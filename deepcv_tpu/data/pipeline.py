@@ -161,13 +161,21 @@ class DeviceDataset:
         self.batch_size = int(batch_size)
         self.n = len(data)
         imgs, tgts = data.images, data.targets
-        # store items FLATTENED to (N, prod(item_shape)): XLA's TPU row gather
-        # tiles the minor dims, so an NHWC uint8 image (..., 32, 3) pads the
-        # 3-channel lane dim to 128 and moves ~40x the bytes — measured 4.65ms
-        # vs 1.17ms for the same CIFAR batch-4096 gather on v5e. The reshape
-        # back after the gather is free (fused into the consumer).
+        # Layout is item-size dependent (both regimes measured on v5e):
+        #  * SMALL items (CIFAR-scale) store FLATTENED to (N, prod(item)):
+        #    the TPU row gather tiles the minor dims, so NHWC uint8
+        #    (..., 32, 3) pads the 3-channel lane dim to 128 and moves ~40x
+        #    the bytes — 4.65ms vs 1.17ms for a CIFAR batch-4096 gather.
+        #  * LARGE items (224x224x3 and up) keep their NATURAL shape: a flat
+        #    row of 150528 u8 exceeds XLA's gather column chunking and the
+        #    loop re-slices the FULL dataset every step (profiled: 3.6ms of
+        #    dataset-sized copies per step vs 0.66ms for the 4-D gather,
+        #    whose one re-layout copy hoists out of the scan).
         self.item_shape = tuple(int(s) for s in np.asarray(imgs).shape[1:])
-        imgs = np.asarray(imgs).reshape(self.n, -1)
+        self._flat = int(np.prod(self.item_shape)) <= 16384
+        imgs = np.asarray(imgs)
+        if self._flat:
+            imgs = imgs.reshape(self.n, -1)
         self.images = jax.device_put(imgs, sharding) if sharding is not None \
             else jnp.asarray(imgs)
         self.targets = jax.device_put(tgts, sharding) if sharding is not None \
@@ -175,6 +183,8 @@ class DeviceDataset:
         self.steps_per_epoch = self.n // self.batch_size
 
     def _unflatten(self, rows: jnp.ndarray) -> jnp.ndarray:
+        if not self._flat:
+            return rows
         return rows.reshape(rows.shape[0], *self.item_shape)
 
     def batch_for_step(self, key, images=None, targets=None

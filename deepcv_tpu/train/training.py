@@ -107,6 +107,9 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # persistent compile cache. Off by default (it changes the opt_state
     # tree shape, which existing checkpoints embed).
     "runtime_lr": False,
+    # single fused optimizer update over the raveled param vector
+    # (optax.flatten) instead of per-tensor kernels — see the build site
+    "flatten_optimizer": False,
     "train_arch_params": True,       # False: zero updates to arch__ logits
                                      # (ENAS: an RL controller owns them)
     "run_dir": None,                 # explicit run directory name (else timestamped)
@@ -636,6 +639,14 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
     tx = build_optimizer(hp.get("optimizer", "adamw"), hp["optimizer_opts"],
                          schedule, extra_schedules=extra_schedules or None,
                          runtime_lr=bool(hp.get("runtime_lr", False)))
+    if hp.get("flatten_optimizer", False):
+        # one fused update over a single raveled vector instead of one tiny
+        # kernel per parameter tensor: profiling the ResNet-50 train step
+        # showed ~103 launch-bound per-tensor update kernels costing ~25% of
+        # step time; flattened, the optimizer runs at HBM bandwidth. Off by
+        # default: it changes the opt_state tree (checkpoints embed it) and
+        # per-leaf sharding rules (ZeRO-1) need the per-tensor layout.
+        tx = optax.flatten(tx)
     lr_scales = hp.get("lr_scales")
     if lr_scales:
         # per-layer LR scales apply to the optimizer's OUTPUT updates —

@@ -166,6 +166,30 @@ def test_device_dataset_gather(trainset):
     assert x2.shape == (16, 8, 8, 3)
 
 
+def test_device_dataset_large_items_natural_layout():
+    """Items above the flat-width threshold stay in natural NHWC shape (a
+    flat 150k-u8 row makes XLA re-slice the FULL dataset every scan step —
+    profiled 3.6ms/step vs 0.66ms for the 4-D gather). Both layouts must
+    gather identical rows."""
+    from deepcv_tpu.data.datasets import load_dataset
+    big = load_dataset("synthetic", n=32, image_shape=(80, 80, 3),
+                      num_classes=4, seed=0)
+    dd = DeviceDataset(big, batch_size=4)
+    assert not dd._flat and dd.images.shape == (32, 80, 80, 3)
+    x, y = jax.jit(dd.batch_for_step)(jax.random.PRNGKey(0))
+    assert x.shape == (4, 80, 80, 3)
+    perm = dd.epoch_permutation(jax.random.PRNGKey(1))
+    x2, y2 = jax.jit(dd.batch_at)(perm, jnp.asarray(2))
+    rows = np.asarray(perm)[2 * 4:3 * 4]
+    np.testing.assert_array_equal(np.asarray(x2),
+                                  np.asarray(big.images)[rows])
+    np.testing.assert_array_equal(np.asarray(y2),
+                                  np.asarray(big.targets)[rows])
+    small = load_dataset("synthetic", n=32, image_shape=(8, 8, 3),
+                         num_classes=4, seed=0)
+    assert DeviceDataset(small, batch_size=4)._flat
+
+
 def test_image_folder_loader(tmp_path):
     from PIL import Image
     for cls in ("cats", "dogs"):

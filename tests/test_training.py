@@ -368,6 +368,29 @@ def test_runtime_lr_injects_and_applies(tiny_setup, tmp_path):
         np.testing.assert_allclose(a, b)
 
 
+def test_flatten_optimizer_matches_per_tensor_math(tiny_setup, tmp_path):
+    """flatten_optimizer=True runs ONE fused update over the raveled param
+    vector (launch-bound per-tensor kernels were ~25% of the profiled
+    ResNet-50 step) — and must be numerically identical to the per-tensor
+    path."""
+    model, data = tiny_setup
+    base = {"epochs": 2, "batch_size": 64, "optimizer": "adamw",
+            "optimizer_opts": {"lr": 3e-3}, "save_every_iters": 0,
+            "log_progress_every_iters": 1, "validate_every_epochs": 1000,
+            "output_path": str(tmp_path), "seed": 7}
+    s_flat, h_flat = train(dict(base, flatten_optimizer=True), model,
+                           cross_entropy_loss, data,
+                           backend_conf=BackendConfig())
+    s_ref, h_ref = train(dict(base), model, cross_entropy_loss, data,
+                         backend_conf=BackendConfig())
+    np.testing.assert_allclose(h_flat["train"][-1]["main_loss"],
+                               h_ref["train"][-1]["main_loss"],
+                               rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_flat.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
 def test_sync_every_dispatches_window_timing(tiny_setup, tmp_path):
     """sync_every_dispatches > 1: the host-step sync (and its throughput
     entry) happens once per window — first two dispatch groups always sync
