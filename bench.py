@@ -118,11 +118,13 @@ def main(batch: int = 0):
     # compile time GROWS with scan length on this backend (~85 s for a
     # 4-epoch program vs ~315 s for 10-epoch — r3's 25-epoch program never
     # finished compiling inside the driver budget). So: SHORT 4-epoch
-    # programs, and the per-dispatch host sync (a full tunnel RTT) amortized
-    # over 5-dispatch measurement windows instead (sync_every_dispatches).
-    # 2 warmup dispatches + 3 uniform 20-epoch windows = 68 epochs.
+    # programs (one cached executable regardless of total epochs), and the
+    # per-dispatch host sync (a full tunnel RTT, ~28 ms) amortized over
+    # 10-dispatch measurement windows (sync_every_dispatches): 0.7% timing
+    # overhead per 40-epoch window. 2 warmup dispatches + 3 uniform
+    # windows = 128 epochs ~= 12.5 s of steady-state device time.
     hp = {
-        "epochs": 68 if backend.is_tpu else 3, "batch_size": batch,
+        "epochs": 128 if backend.is_tpu else 3, "batch_size": batch,
         "optimizer": "adamw",
         "optimizer_opts": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 1e-2},
         "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
@@ -130,7 +132,7 @@ def main(batch: int = 0):
         "seed": 563454, "output_path": "data/04_training",
         "device_resident_dataset": True, "dtype": "bfloat16",
         "max_epochs_per_dispatch": 4,
-        "sync_every_dispatches": 5,
+        "sync_every_dispatches": 10,
         "log_grad_norm": False,         # pure-throughput run: drop the
                                         # per-step observability reduction (~3%)
         "handle_preemption": False,     # bench must die fast on the driver's
