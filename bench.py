@@ -1209,7 +1209,7 @@ def run_default():
     extras = [
         ("hp_search_jit_cache", 90, bench_hp_search),
         ("mfu_wide_classifier", 150, lambda: bench_mfu(norm="batch_norm")),
-        ("resnet50_224", 240, lambda: bench_resnet50(norm="batch_norm")),
+        ("resnet50_224", 180, lambda: bench_resnet50(norm="batch_norm")),
     ]
     for name, est, fn in extras:
         if remaining() < est:
