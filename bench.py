@@ -103,7 +103,7 @@ architecture:
     return data, model_hp
 
 
-def main(batch: int = 0):
+def main(batch: int = 0, _provisional_cb=None):
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.train import train, BackendConfig
     from deepcv_tpu.train.losses import cross_entropy_loss
@@ -138,8 +138,26 @@ def main(batch: int = 0):
         "handle_preemption": False,     # bench must die fast on the driver's
                                         # timeout SIGTERM, not checkpoint
     }
+    events = None
+    if _provisional_cb is not None:
+        # stream a PROVISIONAL steady-state to the caller as each sync
+        # window lands, so a driver timeout mid-headline still leaves a
+        # parsed number (run_default's SIGTERM handler prints it)
+        from deepcv_tpu.train.training import TrainingEvents
+        events = TrainingEvents()
+        seen = []
+
+        @events.on(TrainingEvents.EPOCH_COMPLETED)
+        def _track(count=0, throughput=0.0, **_ctx):
+            # the throughput kwarg repeats between syncs; a new window's
+            # value differs (bit-exact repeats only within one window)
+            if throughput and (not seen or throughput != seen[-1]):
+                seen.append(throughput)
+                if len(seen) >= 2:        # entry 1 is the compile window
+                    _provisional_cb(steady(seen) / max(1, n_chips))
+
     state, hist = train(hp, model, cross_entropy_loss, data,
-                        backend_conf=backend)
+                        backend_conf=backend, events=events)
     per_chip = steady(hist["throughput_img_s"]) / max(1, n_chips)
     out = {
         "metric": "augment_train_throughput_cifar10_image_classifier",
@@ -1198,7 +1216,14 @@ def run_default():
     signal.signal(signal.SIGTERM, emit_headline_and_exit)
     signal.signal(signal.SIGINT, emit_headline_and_exit)
 
-    result["headline"] = main()
+    def _provisional(per_chip):
+        result["headline"] = {
+            "metric": "augment_train_throughput_cifar10_image_classifier",
+            "value": round(per_chip, 1), "unit": "img/s/chip",
+            "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+            "provisional": True, "data": "synthetic"}
+
+    result["headline"] = main(_provisional_cb=_provisional)
 
     def remaining():
         return budget - (time.monotonic() - t0)
