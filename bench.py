@@ -1201,9 +1201,9 @@ def run_default():
     ResNet-50 @224 (#9) — each in its own try/except so one failure cannot
     take the artifact down. A SIGTERM/SIGINT handler re-emits the headline
     as the final line, so even a driver timeout leaves a parsed number.
-    Budget via DEEPCV_BENCH_BUDGET_S (default 420 s).
+    Budget via DEEPCV_BENCH_BUDGET_S (default 480 s).
     """
-    budget = float(os.environ.get("DEEPCV_BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("DEEPCV_BENCH_BUDGET_S", "480"))
     t0 = time.monotonic()
     result = {"headline": None}
 
