@@ -368,6 +368,27 @@ def test_runtime_lr_injects_and_applies(tiny_setup, tmp_path):
         np.testing.assert_allclose(a, b)
 
 
+def test_sigterm_handler_restored_after_train(tiny_setup, tmp_path):
+    """train(handle_preemption=True) must restore the caller's SIGTERM
+    handler on exit (r3 advisor: a leaked handler makes a later SIGTERM
+    silently arm _PREEMPTION and spuriously stop the NEXT train())."""
+    import signal as _sig
+    from deepcv_tpu.train.training import _PREEMPTION
+    model, data = tiny_setup
+    hp = {"epochs": 1, "batch_size": 64, "optimizer_opts": {"lr": 3e-3},
+          "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
+          "validate_every_epochs": 1000, "output_path": str(tmp_path),
+          "seed": 7, "handle_preemption": True}
+    prev = _sig.signal(_sig.SIGTERM, _sig.SIG_IGN)
+    try:
+        train(dict(hp), model, cross_entropy_loss, data,
+              backend_conf=BackendConfig())
+        assert _sig.getsignal(_sig.SIGTERM) is _sig.SIG_IGN
+        assert not _PREEMPTION.is_set()
+    finally:
+        _sig.signal(_sig.SIGTERM, prev)
+
+
 def test_flatten_optimizer_matches_per_tensor_math(tiny_setup, tmp_path):
     """flatten_optimizer=True runs ONE fused update over the raveled param
     vector (launch-bound per-tensor kernels were ~25% of the profiled
