@@ -121,10 +121,11 @@ def main(batch: int = 0, _provisional_cb=None):
     # programs (one cached executable regardless of total epochs), and the
     # per-dispatch host sync (a full tunnel RTT, ~28 ms) amortized over
     # 10-dispatch measurement windows (sync_every_dispatches): 0.7% timing
-    # overhead per 40-epoch window. 2 warmup dispatches + 3 uniform
-    # windows = 128 epochs ~= 12.5 s of steady-state device time.
+    # overhead per 40-epoch window. 2 warmup dispatches + 2 uniform
+    # windows = 88 epochs (r4 verdict #1: the 3rd window's median was
+    # within noise of 2 — dieted to leave budget for the ResNet-50 extra).
     hp = {
-        "epochs": 128 if backend.is_tpu else 3, "batch_size": batch,
+        "epochs": 88 if backend.is_tpu else 3, "batch_size": batch,
         "optimizer": "adamw",
         "optimizer_opts": {"lr": 1e-3, "betas": [0.9, 0.999], "weight_decay": 1e-2},
         "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
@@ -147,6 +148,8 @@ def main(batch: int = 0, _provisional_cb=None):
         events = TrainingEvents()
         seen = []
 
+        provenance = data["trainset"].dataset.provenance
+
         @events.on(TrainingEvents.EPOCH_COMPLETED)
         def _track(count=0, throughput=0.0, **_ctx):
             # the throughput kwarg repeats between syncs; a new window's
@@ -154,7 +157,8 @@ def main(batch: int = 0, _provisional_cb=None):
             if throughput and (not seen or throughput != seen[-1]):
                 seen.append(throughput)
                 if len(seen) >= 2:        # entry 1 is the compile window
-                    _provisional_cb(steady(seen) / max(1, n_chips))
+                    _provisional_cb(steady(seen) / max(1, n_chips),
+                                    provenance)
 
     state, hist = train(hp, model, cross_entropy_loss, data,
                         backend_conf=backend, events=events)
@@ -458,14 +462,36 @@ def _fwd_flops_per_image(model, batch: int) -> float:
     return float(cost["flops"]) / batch
 
 
-def bench_mfu(norm: str = "batch_norm", batch: int = 0):
+def _window_tracker(n_chips, make_line, cb):
+    """TrainingEvents hook that streams a provisional steady-state line to
+    ``cb`` as each warm sync window lands, so run_default's deadline guard
+    can print the median-of-completed-windows if the wall-clock budget
+    expires mid-train (r4 verdict #1: an attempt must never end in a bare
+    skip comment when warm windows already exist)."""
+    from deepcv_tpu.train.training import TrainingEvents
+    events = TrainingEvents()
+    seen = []
+
+    @events.on(TrainingEvents.EPOCH_COMPLETED)
+    def _track(count=0, throughput=0.0, **_ctx):
+        # the throughput kwarg repeats between syncs; a new window's value
+        # differs (bit-exact repeats only within one window)
+        if throughput and (not seen or throughput != seen[-1]):
+            seen.append(throughput)
+            if len(seen) >= 2:            # entry 1 is the compile window
+                cb(make_line(steady(seen) / max(1, n_chips)))
+    return events
+
+
+def bench_mfu(norm: str = "batch_norm", batch: int = 0, _provisional_cb=None):
     """Config 6 (VERDICT r1 #5): non-toy model throughput + MFU.
 
     Trains a 64-256-channel VGG-style classifier (the smallest spec where the
-    MXU, not dispatch overhead, is the limiter) at batch 4096 through the
-    REAL train() path (on-device gather + augment + fwd/bwd + AdamW), and
-    reports images/sec plus model-FLOPs MFU = img_s * 3 * fwd_flops_per_img
-    / peak_bf16_flops on the current chip.
+    MXU, not dispatch overhead, is the limiter) through the REAL train() path
+    (on-device gather + augment + fwd/bwd + AdamW), and reports images/sec
+    plus model-FLOPs MFU = img_s * 3 * fwd_flops_per_img / peak_bf16_flops
+    on the current chip. The driver default runs this at batch 256 — the
+    measured-peak batch (design.md §5.9) — in BN and WN variants.
     """
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.train import train, BackendConfig
@@ -487,27 +513,40 @@ def bench_mfu(norm: str = "batch_norm", batch: int = 0):
         "max_epochs_per_dispatch": 4, "log_grad_norm": False,
         "handle_preemption": False,
     }
-    state, hist = train(hp, model, cross_entropy_loss, data,
-                        backend_conf=backend)
-    per_chip = steady(hist["throughput_img_s"]) / max(1, backend.n_devices)
-
+    # FLOPs + peak up front so provisional deadline lines carry real MFU
     fwd_flops = _fwd_flops_per_image(model, batch)
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_FLOPS.get(kind)
-    mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else float("nan")
-    out = {
-        "metric": "mfu_wide_classifier_cifar10",
-        "norm": norm,
-        "value": round(mfu * 100, 2) if peak else None,
-        "unit": "% MFU (model-FLOPs, fwd+bwd=3x fwd)",
-        "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
-        "img_s_per_chip": round(per_chip, 1),
-        "batch": batch,
-        "fwd_mflops_per_img": round(fwd_flops / 1e6, 2),
-        "device_kind": kind,
-        "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
-        "data": data["trainset"].dataset.provenance,
-    }
+    provenance = data["trainset"].dataset.provenance
+
+    def make_line(per_chip, provisional=False):
+        mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else float("nan")
+        out = {
+            "metric": "mfu_wide_classifier_cifar10",
+            "norm": norm,
+            "value": round(mfu * 100, 2) if peak else None,
+            "unit": "% MFU (model-FLOPs, fwd+bwd=3x fwd)",
+            "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+            "img_s_per_chip": round(per_chip, 1),
+            "batch": batch,
+            "fwd_mflops_per_img": round(fwd_flops / 1e6, 2),
+            "device_kind": kind,
+            "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
+            "data": provenance,
+        }
+        if provisional:
+            out["provisional"] = True
+        return out
+
+    events = None
+    if _provisional_cb is not None:
+        events = _window_tracker(backend.n_devices,
+                                 lambda v: make_line(v, provisional=True),
+                                 _provisional_cb)
+    state, hist = train(hp, model, cross_entropy_loss, data,
+                        backend_conf=backend, events=events)
+    per_chip = steady(hist["throughput_img_s"]) / max(1, backend.n_devices)
+    out = make_line(per_chip)
     print(json.dumps(out), flush=True)
     return out
 
@@ -768,7 +807,8 @@ def bench_server(model: str = "wide"):
 
 
 def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
-                   arch: str = "resnet50", mlp_act: str = "gelu"):
+                   arch: str = "resnet50", mlp_act: str = "gelu",
+                   _provisional_cb=None):
     """Config 9: canonical-architecture benchmark — ResNet-50 built from the
     SPEC LANGUAGE (torchvision-exact 25.557M params modulo the inert
     channel-padded stem rows, spec/zoo.py) training at 224x224, batch 256,
@@ -852,34 +892,49 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
           "device_resident_dataset": True, "dtype": "bfloat16",
           "max_epochs_per_dispatch": 2, "log_grad_norm": False,
           "handle_preemption": False}
-    state, hist = train(hp, model, "cross_entropy", data, backend_conf=backend)
-    per_chip = steady(hist["throughput_img_s"]) / max(1, backend.n_devices)
+    # FLOPs + peak BEFORE the train so provisional deadline lines carry MFU
     fwd_flops = _fwd_flops_per_image(model, batch)
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_FLOPS.get(kind)
-    mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else None
-    out = ({
-        "metric": f"{arch}_train_throughput_224",
-        "value": round(per_chip, 1), "unit": "img/s/chip",
-        "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
-        "mfu_pct": round(mfu * 100, 2) if peak else None,
-        # report the norm the MODEL actually uses: transformer families run
-        # their token_norm (they ignore the CNN --norm default), except
-        # weight_norm, which attaches globally and is reported as the flag
-        "norm": (norm if norm == "weight_norm"
-                 else token_norm if arch.startswith(("vit_", "swin_",
-                                                     "convnext_"))
-                 else norm),
-        **({"mlp_act": mlp_act} if arch.startswith("vit_") else {}),
-        "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
-        "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
-                     "efficientnet_b0": 5.29, "mobilenet_v3_large": 5.48,
-                     "mobilenet_v3_small": 2.54, "vit_b_16": 86.57,
-                     "vit_b_32": 88.22, "convnext_tiny": 28.59,
-                     "convnext_small": 50.22, "swin_t": 28.29,
-                     "swin_s": 49.61, "densenet121": 7.98,
-                     "densenet169": 14.15}.get(arch), "batch": batch,
-        "device_kind": kind, "data": "synthetic"})
+
+    def make_line(per_chip, provisional=False):
+        mfu = (per_chip * 3.0 * fwd_flops / peak) if peak else None
+        out = {
+            "metric": f"{arch}_train_throughput_224",
+            "value": round(per_chip, 1), "unit": "img/s/chip",
+            "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+            "mfu_pct": round(mfu * 100, 2) if peak else None,
+            # report the norm the MODEL actually uses: transformer families
+            # run their token_norm (they ignore the CNN --norm default),
+            # except weight_norm, which attaches globally and is reported as
+            # the flag
+            "norm": (norm if norm == "weight_norm"
+                     else token_norm if arch.startswith(("vit_", "swin_",
+                                                         "convnext_"))
+                     else norm),
+            **({"mlp_act": mlp_act} if arch.startswith("vit_") else {}),
+            "fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
+            "params_m": {"resnet50": 25.56, "mobilenet_v2": 3.50,
+                         "efficientnet_b0": 5.29, "mobilenet_v3_large": 5.48,
+                         "mobilenet_v3_small": 2.54, "vit_b_16": 86.57,
+                         "vit_b_32": 88.22, "convnext_tiny": 28.59,
+                         "convnext_small": 50.22, "swin_t": 28.29,
+                         "swin_s": 49.61, "densenet121": 7.98,
+                         "densenet169": 14.15}.get(arch), "batch": batch,
+            "device_kind": kind, "data": "synthetic"}
+        if provisional:
+            out["provisional"] = True
+        return out
+
+    events = None
+    if _provisional_cb is not None:
+        events = _window_tracker(backend.n_devices,
+                                 lambda v: make_line(v, provisional=True),
+                                 _provisional_cb)
+    state, hist = train(hp, model, "cross_entropy", data,
+                        backend_conf=backend, events=events)
+    per_chip = steady(hist["throughput_img_s"]) / max(1, backend.n_devices)
+    out = make_line(per_chip)
     print(json.dumps(out), flush=True)
     return out
 
@@ -1205,46 +1260,99 @@ def run_default():
     """
     budget = float(os.environ.get("DEEPCV_BENCH_BUDGET_S", "480"))
     t0 = time.monotonic()
-    result = {"headline": None}
+    result = {"headline": None, "payload": b""}
+
+    def _set_headline(line):
+        # pre-serialized so the signal handler never touches json/print
+        result["headline"] = line
+        result["payload"] = (json.dumps(line) + "\n").encode()
 
     def emit_headline_and_exit(signum=None, frame=None):
-        if result["headline"] is not None:
-            print(json.dumps(result["headline"]), flush=True)
-        sys.stdout.flush()
+        # async-signal-safe (advisor r4): print()/flush() here can raise
+        # 'reentrant call inside _io.BufferedWriter' if the SIGTERM lands
+        # while the main thread is mid-print — losing the headline in
+        # exactly the timeout scenario this handler exists for. os.write on
+        # the raw fd takes no buffered-stream lock.
+        if result["payload"]:
+            try:
+                os.write(1, result["payload"])
+            except OSError:  # pragma: no cover — stdout gone
+                pass
         os._exit(0 if result["headline"] is not None else 124)
 
     signal.signal(signal.SIGTERM, emit_headline_and_exit)
     signal.signal(signal.SIGINT, emit_headline_and_exit)
 
-    def _provisional(per_chip):
-        result["headline"] = {
+    def _provisional(per_chip, provenance="synthetic"):
+        # provenance threaded from main()'s actual dataset (r4 verdict #7:
+        # the hard-coded "synthetic" would mislabel a real-CIFAR run)
+        _set_headline({
             "metric": "augment_train_throughput_cifar10_image_classifier",
             "value": round(per_chip, 1), "unit": "img/s/chip",
             "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
-            "provisional": True, "data": "synthetic"}
+            "provisional": True, "data": provenance})
 
-    result["headline"] = main(_provisional_cb=_provisional)
+    _set_headline(main(_provisional_cb=_provisional))
 
     def remaining():
         return budget - (time.monotonic() - t0)
 
-    # (name, conservative COLD wall estimate seconds, thunk). Warm (persistent
-    # XLA cache) these run in a fraction of the estimate; the guard exists so
-    # a cold cache can never push the run past the driver's timeout.
+    class _Deadline(Exception):
+        pass
+
+    def _on_alarm(signum, frame):
+        raise _Deadline()
+
+    # Each extra runs under a SIGALRM deadline = remaining budget minus a
+    # safety margin (r4 verdict #1: the old static cold-estimate guard
+    # skipped ResNet-50 with 128 s left even though the persistent XLA cache
+    # makes warm runs a fraction of the cold estimate — attempt under a
+    # watchdog instead of predicting). The training extras stream a
+    # provisional median-of-completed-warm-windows line into `slot`; on
+    # expiry that line prints, so an attempt costs at most the margin.
+    # Order: ResNet-50 (config 9 — the canonical-architecture number, never
+    # yet in a driver artifact) ahead of the wide-classifier MFU pair
+    # (config 6 at its measured-peak batch 256, BN + WN — r4 verdict #2:
+    # the batch-4096 default recorded the repo's worst honest config).
+    slot = {}
+
+    def _stash(line):
+        slot["line"] = line
+
     extras = [
-        ("hp_search_jit_cache", 90, bench_hp_search),
-        ("mfu_wide_classifier", 150, lambda: bench_mfu(norm="batch_norm")),
-        ("resnet50_224", 180, lambda: bench_resnet50(norm="batch_norm")),
+        ("hp_search_jit_cache", bench_hp_search),
+        ("resnet50_224", lambda: bench_resnet50(
+            norm="batch_norm", _provisional_cb=_stash)),
+        ("mfu_wide_bn_b256", lambda: bench_mfu(
+            norm="batch_norm", batch=256, _provisional_cb=_stash)),
+        ("mfu_wide_wn_b256", lambda: bench_mfu(
+            norm="weight_norm", batch=256, _provisional_cb=_stash)),
     ]
-    for name, est, fn in extras:
-        if remaining() < est:
-            print(f"# skipped {name}: {remaining():.0f}s budget left "
-                  f"< {est}s estimate", flush=True)
+    for name, fn in extras:
+        rem = remaining()
+        if rem < 25:
+            print(f"# skipped {name}: {rem:.0f}s budget left < 25s floor",
+                  flush=True)
             continue
+        slot.clear()
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(max(1, int(rem - 8)))
         try:
             fn()
+        except _Deadline:
+            if slot.get("line") is not None:
+                print(json.dumps(slot["line"]), flush=True)
+                print(f"# {name}: budget deadline hit; line above is the "
+                      "median of the warm windows completed so far",
+                      flush=True)
+            else:
+                print(f"# {name}: budget deadline hit before the first warm "
+                      "window", flush=True)
         except Exception as exc:  # extras must never kill the artifact
             print(f"# extra bench {name} failed: {exc!r}", flush=True)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
 
     # the headline repeats as the FINAL line so the driver's
     # last-JSON-line parse always lands on the headline metric

@@ -67,6 +67,10 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._closed = False
+        # guards the closed-flag check + enqueue in submit() against close()'s
+        # flag-set + drain: without it a submit racing close() can enqueue
+        # AFTER the drain and its Future never resolves (advisor r4)
+        self._lifecycle_lock = threading.Lock()
         self.stats = {"requests": 0, "items": 0, "batches": 0,
                       "max_coalesced": 0}
         self._stats_lock = threading.Lock()
@@ -88,7 +92,8 @@ class MicroBatcher:
         queued when the worker exits (or if the join times out) are FAILED,
         not dropped — callers must never block until their own timeout on a
         batcher that will not serve them."""
-        self._closed = True
+        with self._lifecycle_lock:
+            self._closed = True
         self._stop.set()
         if self._worker is not None:
             self._worker.join(timeout=30)
@@ -97,13 +102,14 @@ class MicroBatcher:
                                 "30s; failing queued requests")
             self._worker = None
         err = RuntimeError("MicroBatcher closed")
-        while True:
-            try:
-                _, fut = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.cancelled():
-                fut.set_exception(err)
+        with self._lifecycle_lock:
+            while True:
+                try:
+                    _, fut = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if not fut.cancelled():
+                    fut.set_exception(err)
 
     def __enter__(self):
         return self
@@ -116,9 +122,6 @@ class MicroBatcher:
         """Enqueue a request; the Future resolves to this request's rows of
         the batched prediction. ``images`` is (N, ...) — a single un-batched
         sample must be wrapped by the caller (the HTTP layer does)."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher closed — submit() after close() "
-                               "would never resolve")
         x = np.asarray(images)
         if x.ndim < 1 or x.shape[0] < 1:
             raise ValueError(f"empty request (shape {x.shape})")
@@ -126,7 +129,11 @@ class MicroBatcher:
         with self._stats_lock:
             self.stats["requests"] += 1
             self.stats["items"] += int(x.shape[0])
-        self._q.put((x, fut))
+        with self._lifecycle_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher closed — submit() after "
+                                   "close() would never resolve")
+            self._q.put((x, fut))
         return fut
 
     def infer(self, images: np.ndarray, timeout: Optional[float] = 60.0):

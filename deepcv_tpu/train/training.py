@@ -1332,6 +1332,7 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
 
             dispatch_i += 1
             window_seen += n_seen
+            synced = False
             at_end = epoch + n_fused >= epochs
             at_validation = (epoch + n_fused) % validate_every == 0
             if (dispatch_i <= 2 or at_end or at_validation
@@ -1347,8 +1348,8 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 dt = time.perf_counter() - window_t0
                 throughput = window_seen / dt if dt > 0 else 0.0
                 history["throughput_img_s"].append(throughput)
-                window_t0 = time.perf_counter()
                 window_seen = 0
+                synced = True
 
             epoch += n_fused
             # validation on EPOCH_COMPLETED (fixes reference's EPOCH_STARTED
@@ -1382,6 +1383,13 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                              " ".join(f"{k}={v:.4f}" for k, v in val.items()))
             events.fire(TrainingEvents.EPOCH_COMPLETED, count=epoch,
                         state=state, metrics=val, throughput=throughput)
+            if synced:
+                # restart the window clock only AFTER validation, checkpoint
+                # saves, logging and event subscribers: throughput windows
+                # must cover dispatch time only (advisor r4: stamping at the
+                # sync point charged validation wall time to the next window,
+                # understating every post-validation window)
+                window_t0 = time.perf_counter()
         # flush train metrics accumulated past the last log_every boundary
         # (otherwise the final partial window never reaches history/sinks —
         # and short runs with fewer steps than log_every would log nothing)
