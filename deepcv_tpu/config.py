@@ -22,7 +22,16 @@ import yaml
 
 from deepcv_tpu.utils import Registry, GLOBAL_REGISTRY, get_by_identifier
 
-__all__ = ["TaggedFactory", "load_yaml", "load_parameters", "ConfigLoader"]
+__all__ = ["TaggedFactory", "load_yaml", "load_parameters", "ConfigLoader",
+           "ConfigError"]
+
+
+class ConfigError(ValueError):
+    """A named, typed configuration error (bad parameter value/path — e.g. a
+    CLI ``--params`` override that nulls a structurally-required key). The
+    CLI maps these to a one-line message and exit code 2 instead of a raw
+    traceback (reference analogue: kedro's typed config errors,
+    kedro_cli.py:122-141)."""
 
 _logger = logging.getLogger(__name__)
 

@@ -207,6 +207,7 @@ def apply_dotted_overrides(hp_tree: Dict[str, Any], flat: Mapping[str, Any],
     ``"training:optimizer_opts.lr" -> hp['optimizer_opts']['lr']``.
     """
     import copy
+    from deepcv_tpu.config import ConfigError
     out = copy.deepcopy(hp_tree)
     for name, value in flat.items():
         for p in strip_prefixes:
@@ -215,7 +216,16 @@ def apply_dotted_overrides(hp_tree: Dict[str, Any], flat: Mapping[str, Any],
                 break
         node = out
         parts = name.split(".")
-        for part in parts[:-1]:
+        for i, part in enumerate(parts[:-1]):
+            if part in node and not isinstance(node[part], dict):
+                # descending through a scalar/list/None — a typo'd or
+                # structurally wrong override path must be a NAMED error at
+                # the config boundary, not a downstream AttributeError
+                raise ConfigError(
+                    f"override '{name}' descends through "
+                    f"'{'.'.join(parts[:i + 1])}', which holds "
+                    f"{type(node[part]).__name__} ({node[part]!r}), not a "
+                    "mapping")
             node = node.setdefault(part, {})
         node[parts[-1]] = value
     return out

@@ -124,6 +124,15 @@ def create_model(datasets: Mapping[str, Any], model_params: Mapping[str, Any]
         built.update(hp)          # user overrides (act_fn, weight_norm, ...)
         hp = built
     arch = hp.get("architecture", [])
+    if arch is None or not isinstance(arch, (list, tuple)):
+        # an empty/nulled --params override must be a NAMED error at the
+        # config boundary (r4 verdict #8: `--params ...architecture:` used
+        # to surface as a downstream "'NoneType' object is not iterable")
+        from deepcv_tpu.config import ConfigError
+        raise ConfigError(
+            "model hp 'architecture' must be a list of layer entries, got "
+            f"{type(arch).__name__} ({arch!r}) — check your --params "
+            "override or parameters.yml")
     _inject_out_features(arch, num_classes)
     dtype = hp.pop("dtype", None)
     if isinstance(dtype, str):

@@ -698,3 +698,34 @@ def test_plugin_gating_and_extra_modules(tmp_path, monkeypatch):
     from deepcv_tpu.pipelines.framework import ProjectContext
     ctx = ProjectContext(".", extra_params={"plugins": {"enabled": ["classification"]}})
     assert set(ctx.pipelines) == set(only_cls)
+
+
+def test_cli_malformed_params_overrides_exit_2(tmp_path, capsys):
+    """r4 verdict #8: malformed --params overrides must exit 2 with a
+    one-line NAMED error (key/path in the message), never a raw traceback.
+    Three classes: nulled structural key, descend-through-scalar, empty key."""
+    import pytest
+
+    from deepcv_tpu.cli import main as cli_main
+
+    _write_tiny_project(tmp_path)
+    base = ["run", "--pipeline", "train_image_classifier",
+            "--project-path", str(tmp_path)]
+
+    # a) override nulls a structurally-required key -> named ConfigError
+    with pytest.raises(SystemExit) as ei:
+        cli_main(base + ["--params", "image_classifier_model.architecture:"])
+    assert ei.value.code == 2
+    assert "'architecture'" in capsys.readouterr().err.splitlines()[-1]
+
+    # b) override path descends through a scalar -> names the bad segment
+    with pytest.raises(SystemExit) as ei:
+        cli_main(base + ["--params", "image_classifier_model.act_fn.x:1"])
+    assert ei.value.code == 2
+    assert "act_fn" in capsys.readouterr().err.splitlines()[-1]
+
+    # c) empty key -> rejected at parse time
+    with pytest.raises(SystemExit) as ei:
+        cli_main(base + ["--params", ":3"])
+    assert ei.value.code == 2
+    assert "empty key" in capsys.readouterr().err.splitlines()[-1]
