@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import collections
 import itertools
-from typing import Any, Callable, Dict, Iterator, Optional, Sequence, Tuple, Union
+from typing import (Any, Callable, Dict, Iterator, Mapping, Optional,
+                    Sequence, Tuple, Union)
 
 import numpy as np
 import jax
@@ -107,13 +108,23 @@ class BatchIterator:
 
 
 def prefetch_to_device(iterator: Iterator, size: int = 2,
-                       sharding: Optional[Any] = None) -> Iterator:
+                       sharding: Optional[Any] = None,
+                       wire_codec: Optional[Mapping[str, Any]] = None,
+                       ) -> Iterator:
     """Double-buffered host->device transfer (reference
     ``dataloader_prefetch_batches`` non_blocking copies, datasets.py:76-115).
 
     ``jax.device_put`` is async; keeping ``size`` batches in flight overlaps
     the copy of batch k+1 with compute on batch k. ``sharding`` places each
     batch directly into its data-parallel layout (no host gather later).
+
+    ``wire_codec`` (e.g. ``{"bits": 3, "axis": -2}``) compresses uint8
+    leaves on the host->device wire and decodes them ON DEVICE
+    (:mod:`deepcv_tpu.data.wirecodec`): on tunneled backends the streaming
+    path is transfer-bound, and the delta+bitpack payload moves 2-3x fewer
+    bytes for smooth imagery, falling back to raw per batch when the data
+    is incompressible. Single-process only (the multihost assembly path
+    needs the raw local rows).
     """
     queue = collections.deque()
     multihost = sharding is not None and jax.process_count() > 1
@@ -129,8 +140,19 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
             return jax.make_array_from_process_local_data(sharding, a)
         return jax.device_put(a, sharding)
 
+    use_codec = wire_codec is not None and not multihost
+
+    def _put_maybe_coded(a):
+        a = np.asarray(a)
+        if use_codec and a.dtype == np.uint8 and a.ndim >= 2:
+            from deepcv_tpu.data.wirecodec import device_decode, encode_u8
+            payload = encode_u8(a, **dict(wire_codec))
+            if payload is not None:
+                return device_decode(payload, sharding)
+        return _put_one(a)
+
     def put(batch):
-        return jax.tree_util.tree_map(_put_one, batch)
+        return jax.tree_util.tree_map(_put_maybe_coded, batch)
 
     for batch in iterator:
         queue.append(put(batch))

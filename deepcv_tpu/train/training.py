@@ -110,6 +110,16 @@ TRAINING_HP_DEFAULTS: Dict[str, Any] = {
     # single fused optimizer update over the raveled param vector
     # (optax.flatten) instead of per-tensor kernels — see the build site
     "flatten_optimizer": False,
+    # params + batch stats stored as ONE raveled buffer each: optimizer /
+    # EMA / stat-EMA updates run as single fused kernels instead of one
+    # launch-bound kernel per tensor — see the build site (r4 verdict #3).
+    # Incompatible with TP/ZeRO and path-based masks; changes checkpoints.
+    "flat_params": False,
+    # streaming path only: compress uint8 batches on the host->device wire
+    # and decode on device (data/wirecodec.py). True = {'bits': 3,
+    # 'axis': -2}, or a dict with those keys. Lossless with per-batch raw
+    # fallback; pays off when the host->device link is the bottleneck.
+    "wire_compression": False,
     "train_arch_params": True,       # False: zero updates to arch__ logits
                                      # (ENAS: an RL controller owns them)
     "run_dir": None,                 # explicit run directory name (else timestamped)
@@ -708,16 +718,46 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         if init_variables is not None else model.init(init_rng)
     ema_decay = hp.get("ema_decay")
     ema_decay = float(ema_decay) if ema_decay is not None else None
-    state = TrainState(params=variables["params"],
-                       batch_stats=variables.get("batch_stats"),
-                       opt_state=tx.init(variables["params"]),
+    # ---------------- flat parameter storage (r4 verdict #3) --------------- #
+    # hp 'flat_params': params (and batch stats) are BORN as one contiguous
+    # raveled vector each — the forward unravels them (slices that fuse into
+    # consumers), gradients arrive flat through the slicing's transpose, and
+    # the optimizer/EMA/stat-EMA updates each run as ONE fused kernel over
+    # one buffer instead of ~one launch-bound kernel per tensor (the
+    # measured ~26 ms/step bucket of the ResNet-50 BN profile, design.md
+    # §5.15; reference analogue: the per-param optimizer.step() loop,
+    # ignite_training.py:252-254). Off by default: checkpoints embed the
+    # layout, and per-tensor sharding rules (TP/ZeRO) don't apply to it.
+    flat_mode = bool(hp.get("flat_params", False))
+    p_unravel = bs_unravel = None
+    if flat_mode:
+        if backend.zero or getattr(backend, "tensor_parallel", 1) > 1:
+            raise ValueError("flat_params: incompatible with ZeRO/tensor "
+                             "parallelism (their sharding rules are "
+                             "per-tensor); use the default tree storage")
+        if hp.get("lr_scales") or hp.get("freeze_params") \
+                or not hp.get("train_arch_params", True):
+            raise ValueError("flat_params: incompatible with path-based "
+                             "parameter masks (lr_scales / freeze_params / "
+                             "train_arch_params=False)")
+        from jax.flatten_util import ravel_pytree
+        init_params, p_unravel = ravel_pytree(variables["params"])
+        init_bs = variables.get("batch_stats")
+        if init_bs is not None:
+            init_bs, bs_unravel = ravel_pytree(init_bs)
+    else:
+        init_params = variables["params"]
+        init_bs = variables.get("batch_stats")
+    state = TrainState(params=init_params,
+                       batch_stats=init_bs,
+                       opt_state=tx.init(init_params),
                        step=jnp.zeros((), jnp.int32),
                        rng=state_rng,
                        # jnp.copy: the EMA must not ALIAS the live params —
                        # the jitted scans donate the whole state, and two
                        # pytree leaves sharing one donated buffer is invalid
                        ema_params=jax.tree_util.tree_map(jnp.copy,
-                                                         variables["params"])
+                                                         init_params)
                        if ema_decay is not None else None)
     if hp["resume_from"]:
         state = resume_from_path(hp["resume_from"], state)
@@ -802,6 +842,13 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             raise ValueError(f"remat must be true|'all'|'dots', got {remat!r}")
 
     def _forward(params, batch_stats, x, key):
+        if flat_mode:
+            # unravel the flat buffers into the model's tree: 1-D slices
+            # that XLA fuses into their consumers; grads w.r.t. the flat
+            # params arrive flat through this slicing's transpose
+            params = p_unravel(params)
+            if batch_stats is not None and bs_unravel is not None:
+                batch_stats = bs_unravel(batch_stats)
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
@@ -943,6 +990,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         rng, step_key = jax.random.split(state.rng)
         (_, (terms, new_bs, logits, y_t)), grads = grad_fn(
             state.params, state.batch_stats, raw_x, y, step_key)
+        if flat_mode and new_bs is not None:
+            # model.apply returned the updated stats as a tree; re-ravel so
+            # the carry stays one buffer (same treedef as init => same order)
+            from jax.flatten_util import ravel_pytree as _rp
+            new_bs = _rp(new_bs)[0]
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         step_metrics = dict(terms)
@@ -1072,6 +1124,10 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
         if sf_eval:
             v = dict(v, params=_schedule_free_eval_params(
                 state.opt_state, state.params))
+        if flat_mode:
+            v = dict(v, params=p_unravel(v["params"]))
+            if v.get("batch_stats") is not None and bs_unravel is not None:
+                v["batch_stats"] = bs_unravel(v["batch_stats"])
         return v
 
     def eval_step(state: TrainState, raw_x, y, n_valid: Tuple[int, ...]):
@@ -1276,9 +1332,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                 # reference 'prefetch_batches' hp: depth of the H2D double buffer
                 depth = 2 if hp.get("prefetch_batches", True) else 1
                 stage_k = max(1, int(hp.get("stream_scan_batches", 8) or 1))
-                batches = prefetch_to_device(epoch_batches,
-                                             size=depth * stage_k,
-                                             sharding=data_shd)
+                wire = hp.get("wire_compression", False)
+                batches = prefetch_to_device(
+                    epoch_batches, size=depth * stage_k, sharding=data_shd,
+                    wire_codec=({"bits": 3, "axis": -2} if wire is True
+                                else dict(wire) if wire else None))
                 bit = iter(batches)
                 exhausted = False
                 while not exhausted:

@@ -63,10 +63,12 @@ def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
         return run_sp_pp(distributed)
 
     backend = BackendConfig(distributed=distributed,
-                            tensor_parallel=2 if mode == "tp" else 1,
-                            zero=mode == "zero")
+                            tensor_parallel=2 if mode in ("tp", "zero_tp")
+                            else 1,
+                            zero=mode in ("zero", "zero_tp"))
     model, data = build_model_and_data()
     hp = training_hp(output_path)
+    preempt_info = {}
     if mode == "crash_resume":
         # fault-tolerance across PROCESSES: both hosts crash at step 5
         # (host-side injection is deterministic and global), both retry and
@@ -74,6 +76,47 @@ def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
         hp["crash_iteration"] = 5
         state, hist = train_with_retries(hp, model, "cross_entropy", data,
                                          max_retries=1, backend_conf=backend)
+    elif mode == "preempt":
+        # SIGTERM preemption + exact resume ACROSS processes (r4 verdict #4):
+        # every rank delivers itself a REAL SIGTERM after step 5 (the same
+        # global step on all ranks — GCE-style eviction hits every VM), the
+        # installed handler checkpoints at the next boundary and raises
+        # Preempted; a second invocation resumes from the shared checkpoint
+        # and finishes the run.
+        import signal as _signal
+
+        from deepcv_tpu.train.training import Preempted, TrainingEvents
+
+        hp["handle_preemption"] = True
+        hp["run_dir"] = "run_preempt"          # identical across ranks
+        events = TrainingEvents()
+        fired = []
+
+        # EventsHandler.fire consumes ``count`` for its every-k gating (it is
+        # not forwarded to handlers) — every=5 + a once-guard == "at step 5"
+        @events.on(TrainingEvents.ITERATION_COMPLETED, every=5)
+        def _evict(**_ctx):
+            if not fired:
+                fired.append(True)
+                os.kill(os.getpid(), _signal.SIGTERM)
+
+        try:
+            train(hp, model, "cross_entropy", data, backend_conf=backend,
+                  events=events)
+            raise AssertionError("expected Preempted")
+        except Preempted:
+            pass
+        ckpt_dir = Path(output_path) / "run_preempt" / "checkpoints"
+        import glob as _glob
+        steps = sorted(int(Path(p).name)
+                       for p in _glob.glob(str(ckpt_dir / "steps" / "*"))
+                       if Path(p).name.isdigit())
+        preempt_info = {"preempt_ckpt_steps": steps}
+        hp2 = dict(hp)
+        hp2["handle_preemption"] = False
+        hp2["resume_from"] = str(ckpt_dir)
+        state, hist = train(hp2, model, "cross_entropy", data,
+                            backend_conf=backend)
     else:
         state, hist = train(hp, model, "cross_entropy",
                             data, backend_conf=backend)
@@ -93,7 +136,8 @@ def run(output_path: str, distributed: bool, mode: str = "train") -> dict:
             "n_checkpoint_entries": len(ckpts),
             "train_loss": [float(r["main_loss"]) for r in hist["train"]],
             "valid": [{k: float(v) for k, v in r.items()}
-                      for r in hist["valid"]]}
+                      for r in hist["valid"]],
+            **preempt_info}
 
 
 def run_sp_pp(distributed: bool) -> dict:
