@@ -282,12 +282,15 @@ def main(argv=None) -> int:
 
     if args.command == "test":
         import pytest
-        # default = the quick tier (the @pytest.mark.slow learning/parity
-        # tests take minutes each on one core); `deepcv_tpu test --full`
-        # or explicit pytest args run whatever you ask for
+        # default = the SMOKE tier (tests/smoke_list.txt, <5 min on 1 core —
+        # the iteration loop; r4 verdict #5). `--quick` runs everything but
+        # @pytest.mark.slow; `--full` runs the whole suite; explicit pytest
+        # args run whatever you ask for.
         if rest and rest[0] == "--full":
             return pytest.main(rest[1:] or ["tests/", "-q"])
-        return pytest.main(rest or ["tests/", "-q", "-m", "not slow"])
+        if rest and rest[0] == "--quick":
+            return pytest.main(rest[1:] or ["tests/", "-q", "-m", "not slow"])
+        return pytest.main(rest or ["tests/", "-q", "-m", "smoke"])
 
     if args.command == "bench":
         import runpy
