@@ -85,7 +85,9 @@ def profile(name, step, p0, bs0, opt0, x, y):
         for _ in range(iters):
             p, bs, opt, ce = step(p, bs, opt, x, y)
         jax.block_until_ready(ce)
-    rows = [r for r in xplane_op_summary(log) if r["line"].startswith("XLA")]
+    # per-op events only — the module-level jit_step TraceMe on other lines
+    # spans the whole step and would double the total
+    rows = [r for r in xplane_op_summary(log) if r["line"] == "XLA Ops"]
     total = sum(r["total_ms"] for r in rows) / iters
     # bucket by op family
     buckets = collections.Counter()

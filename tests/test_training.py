@@ -1045,3 +1045,74 @@ def test_large_batch_optimizers(tiny_setup, tmp_path):
         assert hist["train"][-1]["main_loss"] < hist["train"][0]["main_loss"], opt
     with pytest.raises(ValueError, match="lamb, lars"):
         build_optimizer("adagrad", {"lr": 1e-3})
+
+
+def test_flat_params_matches_tree_storage(tmp_path):
+    """hp flat_params (born-flat param+stat buffers, r4 verdict #3): the
+    loss trajectory and validation metrics must be IDENTICAL to tree
+    storage — the layout is a performance experiment, never semantics.
+    (Measured post-mortem on ResNet-50: docs/design.md §5.17.)"""
+    import numpy as np
+
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+
+    raw = load_dataset("synthetic", n=128, image_shape=(8, 8, 3),
+                       num_classes=4, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.1},
+                       "transforms": ["to_tensor"]})
+    mhp = {"act_fn": "relu", "batch_norm": {"momentum": 0.1},
+           "architecture": [
+               {"conv2d": {"kernel_size": [3, 3], "out_channels": 8,
+                           "padding": 1}},
+               {"flatten": {}},
+               {"fully_connected": {"out_features": 4, "act_fn": None,
+                                    "batch_norm": None}}]}
+    base = {"epochs": 2, "batch_size": 32, "optimizer": "sgd",
+            "optimizer_opts": {"lr": 1e-2, "momentum": 0.9},
+            "save_every_iters": 0, "log_progress_every_iters": 2,
+            "validate_every_epochs": 2, "seed": 0,
+            "output_path": str(tmp_path), "handle_preemption": False}
+
+    def run(flat):
+        m = DeepcvModule((8, 8, 3), mhp)
+        _, h = train({**base, "flat_params": flat}, m, "cross_entropy", data)
+        return ([e["cross_entropy"] for e in h["train"]], h["valid"][-1])
+
+    (lt, vt), (lf, vf) = run(False), run(True)
+    np.testing.assert_allclose(lt, lf, rtol=2e-5, atol=1e-7)
+    for k in vt:
+        np.testing.assert_allclose(vt[k], vf[k], rtol=2e-5, atol=1e-7)
+
+
+def test_flat_params_rejects_per_tensor_sharding_modes(tmp_path):
+    """flat_params + ZeRO/TP or path-based masks must be a loud, typed
+    refusal — their rules are per-tensor and would silently no-op."""
+    import pytest as _pytest
+
+    from deepcv_tpu.data.datasets import load_dataset
+    from deepcv_tpu.data.preprocess import preprocess
+    from deepcv_tpu.spec import DeepcvModule
+    from deepcv_tpu.train.backend import BackendConfig
+
+    raw = load_dataset("synthetic", n=64, image_shape=(8, 8, 3),
+                       num_classes=4, seed=0)
+    data = preprocess({"trainset": raw},
+                      {"seed": 0, "split_dataset": {"validset_ratio": 0.1},
+                       "transforms": ["to_tensor"]})
+    mhp = {"act_fn": "relu", "architecture": [
+        {"flatten": {}},
+        {"fully_connected": {"out_features": 4, "act_fn": None,
+                             "batch_norm": None}}]}
+    m = DeepcvModule((8, 8, 3), mhp)
+    hp = {"epochs": 1, "batch_size": 32, "optimizer_opts": {"lr": 1e-2},
+          "save_every_iters": 0, "log_progress_every_iters": 100,
+          "seed": 0, "output_path": str(tmp_path), "flat_params": True,
+          "handle_preemption": False}
+    with _pytest.raises(ValueError, match="flat_params"):
+        train(hp, m, "cross_entropy", data,
+              backend_conf=BackendConfig(zero=True))
+    with _pytest.raises(ValueError, match="flat_params"):
+        train({**hp, "freeze_params": "conv"}, m, "cross_entropy", data)
