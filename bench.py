@@ -1402,6 +1402,11 @@ def run_default():
             norm="batch_norm", batch=256, _provisional_cb=_stash)),
         ("mfu_wide_wn_b256", lambda: bench_mfu(
             norm="weight_norm", batch=256, _provisional_cb=_stash)),
+        # the canonical-architecture PEAK (README: 3,724 img/s ≈ 47.1 %):
+        # only reached on fast warm runs — the guard prints a skip
+        # comment otherwise, costing nothing
+        ("resnet50_wn_b128", lambda: bench_resnet50(
+            norm="weight_norm", batch=128, _provisional_cb=_stash)),
     ]
     for name, fn in extras:
         rem = remaining()
