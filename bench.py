@@ -1333,9 +1333,14 @@ def run_default():
     as the final line, so even a driver timeout leaves a parsed number.
     Budget via DEEPCV_BENCH_BUDGET_S (default 480 s).
     """
-    budget = float(os.environ.get("DEEPCV_BENCH_BUDGET_S", "480"))
+    # In-process wall budget. The driver's own timeout delivers SIGTERM
+    # (BENCH_r03 tail: `timeout` semantics), which the handler below
+    # survives by emitting the headline as the final line — so a budget
+    # somewhat past the r4 value only risks extras being cut mid-flight
+    # (their provisional line still prints), never the artifact.
+    budget = float(os.environ.get("DEEPCV_BENCH_BUDGET_S", "600"))
     t0 = time.monotonic()
-    result = {"headline": None, "payload": b""}
+    result = {"headline": None, "payload": b"", "extra_payload": b""}
 
     def _set_headline(line):
         # pre-serialized so the signal handler never touches json/print
@@ -1347,12 +1352,16 @@ def run_default():
         # 'reentrant call inside _io.BufferedWriter' if the SIGTERM lands
         # while the main thread is mid-print — losing the headline in
         # exactly the timeout scenario this handler exists for. os.write on
-        # the raw fd takes no buffered-stream lock.
-        if result["payload"]:
-            try:
+        # the raw fd takes no buffered-stream lock. A mid-flight extra's
+        # provisional line flushes first; the headline stays LAST (the
+        # driver parses the final JSON line).
+        try:
+            if result["extra_payload"]:
+                os.write(1, result["extra_payload"])
+            if result["payload"]:
                 os.write(1, result["payload"])
-            except OSError:  # pragma: no cover — stdout gone
-                pass
+        except OSError:  # pragma: no cover — stdout gone
+            pass
         os._exit(0 if result["headline"] is not None else 124)
 
     signal.signal(signal.SIGTERM, emit_headline_and_exit)
@@ -1393,18 +1402,23 @@ def run_default():
 
     def _stash(line):
         slot["line"] = line
+        result["extra_payload"] = (json.dumps(line) + "\n").encode()
 
+    # priority order for squeezed (slow-tunnel) sessions: the
+    # canonical-architecture number first (r4 verdict #1 — config 9 had
+    # never reached a driver artifact), then the honest-peak MFU pair
+    # (#2), then hp-search (already on record twice), then the
+    # canonical-architecture PEAK (README: 3,724 img/s ≈ 47.1 %) which
+    # only fast warm runs reach — the guard prints a skip comment
+    # otherwise, costing nothing.
     extras = [
-        ("hp_search_jit_cache", bench_hp_search),
         ("resnet50_224", lambda: bench_resnet50(
             norm="batch_norm", _provisional_cb=_stash)),
         ("mfu_wide_bn_b256", lambda: bench_mfu(
             norm="batch_norm", batch=256, _provisional_cb=_stash)),
         ("mfu_wide_wn_b256", lambda: bench_mfu(
             norm="weight_norm", batch=256, _provisional_cb=_stash)),
-        # the canonical-architecture PEAK (README: 3,724 img/s ≈ 47.1 %):
-        # only reached on fast warm runs — the guard prints a skip
-        # comment otherwise, costing nothing
+        ("hp_search_jit_cache", bench_hp_search),
         ("resnet50_wn_b128", lambda: bench_resnet50(
             norm="weight_norm", batch=128, _provisional_cb=_stash)),
     ]
@@ -1415,6 +1429,7 @@ def run_default():
                   flush=True)
             continue
         slot.clear()
+        result["extra_payload"] = b""
         prev = signal.signal(signal.SIGALRM, _on_alarm)
         signal.alarm(max(1, int(rem - 8)))
         try:
@@ -1433,6 +1448,9 @@ def run_default():
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, prev)
+            # this extra's line (final or provisional) is on stdout by now —
+            # a later SIGTERM must not replay a stale provisional
+            result["extra_payload"] = b""
 
     # the headline repeats as the FINAL line so the driver's
     # last-JSON-line parse always lands on the headline metric
