@@ -61,7 +61,6 @@ def test_run_default_uses_deadline_guard_not_cold_estimates():
     import inspect
     src = inspect.getsource(bench.run_default)
     assert "signal.alarm" in src
-    assert "estimate" not in src.split("r4 verdict #1")[0] or True
     assert src.index("resnet50_224") < src.index("mfu_wide_bn_b256")
     # the MFU pair runs at the measured-peak batch 256 in BN and WN variants
     assert 'norm="weight_norm", batch=256' in src
