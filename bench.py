@@ -896,7 +896,14 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
 
     backend = BackendConfig()
     on_tpu = backend.is_tpu
-    n = 8192 if on_tpu else 512
+    # n sizes the HBM-resident dataset, not the measurement (throughput is
+    # per-step): 4096 images @224² = 615 MB uploaded vs 1.23 GB at 8192 —
+    # on a degraded tunnel (7-11 MB/s sessions) the larger upload alone was
+    # eating the extra's whole deadline slot before the first warm window,
+    # while n=2048's small 2-epoch windows cost a measured ~1 % in
+    # per-dispatch overhead. 16 steps/epoch at batch 256 = ~6 s of device
+    # work per synced 4-epoch window (200x the tunnel RTT).
+    n = 4096 if on_tpu else 512
     hw = 224 if on_tpu else 64
     raw = load_dataset("synthetic", n=n, image_shape=(hw, hw, 3),
                        num_classes=1000, seed=0)
@@ -956,7 +963,11 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
         hp_m["weight_norm"] = {"eps": 1e-6}
     model = DeepcvModule((hw, hw, 3), hp_m, dtype=jnp.bfloat16)
     batch = int(batch) or (256 if on_tpu else 64)
-    hp = {"epochs": 10 if on_tpu else 1, "batch_size": batch,
+    # 16 epochs as 2-epoch dispatches synced every 2 (4-epoch windows,
+    # ~3 s device each at the smaller n): the per-window host sync (a full
+    # tunnel RTT) stays <1 % of window time — at n=2048 with 2-epoch
+    # windows it had cost a measurable ~2 %.
+    hp = {"epochs": 16 if on_tpu else 1, "batch_size": batch,
           "optimizer": "sgd", "optimizer_opts": {"lr": 0.1, "momentum": 0.9,
                                                  "weight_decay": 1e-4},
           "save_every_iters": 0, "log_progress_every_iters": 1_000_000,
@@ -964,6 +975,7 @@ def bench_resnet50(norm: str = "batch_norm", batch: int = 0,
           "output_path": "data/04_training",
           "device_resident_dataset": True, "dtype": "bfloat16",
           "max_epochs_per_dispatch": 2, "log_grad_norm": False,
+          "sync_every_dispatches": 2,
           "flat_params": bool(flat_params),
           "handle_preemption": False}
     # FLOPs + peak BEFORE the train so provisional deadline lines carry MFU
