@@ -51,11 +51,18 @@ def steady(tps):
     return statistics.median(warm)
 
 
+_BUILD_CACHE = []
+
+
 def build():
     from deepcv_tpu.config import load_yaml
     from deepcv_tpu.spec import DeepcvModule
     from deepcv_tpu.data.datasets import load_dataset
     from deepcv_tpu.data.preprocess import preprocess
+
+    if _BUILD_CACHE:      # configs 1/6 share the same CIFAR build — under
+        return _BUILD_CACHE[0]   # run_default's budget, rebuilding it per
+                                 # extra wasted 30-60 s of each deadline slot
 
     # CIFAR-10 (real if cached, synthetic CIFAR-shaped otherwise: no egress)
     raw = load_dataset("cifar10", root="data/01_raw", train=True)
@@ -100,6 +107,7 @@ architecture:
   - flatten: {}
   - fully_connected: { act_fn: sigmoid, out_features: 10, batch_norm: null }
 """)
+    _BUILD_CACHE.append((data, model_hp))
     return data, model_hp
 
 
