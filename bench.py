@@ -147,38 +147,35 @@ def main(batch: int = 0, _provisional_cb=None):
         "handle_preemption": False,     # bench must die fast on the driver's
                                         # timeout SIGTERM, not checkpoint
     }
+    provenance = data["trainset"].dataset.provenance
+
+    def make_line(per_chip, provisional=False):
+        out = {
+            "metric": "augment_train_throughput_cifar10_image_classifier",
+            "value": round(per_chip, 1),
+            "unit": "img/s/chip",
+            "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
+            "batch": batch,
+            "data": provenance,
+        }
+        if provisional:
+            out["provisional"] = True
+        return out
+
     events = None
     if _provisional_cb is not None:
-        # stream a PROVISIONAL steady-state to the caller as each sync
-        # window lands, so a driver timeout mid-headline still leaves a
-        # parsed number (run_default's SIGTERM handler prints it)
-        from deepcv_tpu.train.training import TrainingEvents
-        events = TrainingEvents()
-        seen = []
-
-        provenance = data["trainset"].dataset.provenance
-
-        @events.on(TrainingEvents.EPOCH_COMPLETED)
-        def _track(count=0, throughput=0.0, **_ctx):
-            # the throughput kwarg repeats between syncs; a new window's
-            # value differs (bit-exact repeats only within one window)
-            if throughput and (not seen or throughput != seen[-1]):
-                seen.append(throughput)
-                if len(seen) >= 2:        # entry 1 is the compile window
-                    _provisional_cb(steady(seen) / max(1, n_chips),
-                                    provenance)
+        # stream a PROVISIONAL steady-state line as each sync window lands,
+        # so a driver timeout mid-headline still leaves a parsed number
+        # (run_default's SIGTERM handler prints it) — same tracker the
+        # extras use, one window protocol to maintain
+        events = _window_tracker(n_chips,
+                                 lambda v: make_line(v, provisional=True),
+                                 _provisional_cb)
 
     state, hist = train(hp, model, cross_entropy_loss, data,
                         backend_conf=backend, events=events)
     per_chip = steady(hist["throughput_img_s"]) / max(1, n_chips)
-    out = {
-        "metric": "augment_train_throughput_cifar10_image_classifier",
-        "value": round(per_chip, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
-        "batch": batch,
-        "data": data["trainset"].dataset.provenance,
-    }
+    out = make_line(per_chip)
     print(json.dumps(out), flush=True)
     return out
 
@@ -622,10 +619,15 @@ def bench_streaming():
             float(jax.device_get(jnp.sum(dev.astype(jnp.uint32))))
             bw = probe.nbytes / (time.perf_counter() - t0)
 
-        # wire codec geometry on this data (host-side, honest accounting):
-        # the walk snakes across H*W, so the codec axis is the flattened row
-        codec = {"bits": 3, "axis": 1}
-        payload = encode_u8(probe.reshape(batch, 32 * 32, 3), **codec)
+        # wire codec geometry on this data (host-side, honest accounting).
+        # The codec MUST use the axis the train feed will use — the batches
+        # reaching prefetch_to_device are 4-D NHWC, so the delta axis is W
+        # (axis=-2); row-boundary jumps (the walk snakes from w=31 to the
+        # next h) land in the escape stream, ~3% of positions. (Round-5
+        # self-review: an axis=1 codec here silently raw-fell-back on
+        # every NHWC train batch while the flattened probe claimed 2.66x.)
+        codec = {"bits": 3, "axis": -2}
+        payload = encode_u8(probe, **codec)
         wpi = wire_bytes(payload) / batch if payload is not None else 3072.0
 
         def run(wire):
@@ -1387,16 +1389,10 @@ def run_default():
     signal.signal(signal.SIGTERM, emit_headline_and_exit)
     signal.signal(signal.SIGINT, emit_headline_and_exit)
 
-    def _provisional(per_chip, provenance="synthetic"):
-        # provenance threaded from main()'s actual dataset (r4 verdict #7:
-        # the hard-coded "synthetic" would mislabel a real-CIFAR run)
-        _set_headline({
-            "metric": "augment_train_throughput_cifar10_image_classifier",
-            "value": round(per_chip, 1), "unit": "img/s/chip",
-            "vs_baseline": round(per_chip / BASELINE_IMG_S, 3),
-            "provisional": True, "data": provenance})
-
-    _set_headline(main(_provisional_cb=_provisional))
+    # main() streams full provisional lines (real dataset provenance
+    # included — r4 verdict #7: a hard-coded "synthetic" would mislabel a
+    # real-CIFAR run); each one becomes the current headline
+    _set_headline(main(_provisional_cb=_set_headline))
 
     def remaining():
         return budget - (time.monotonic() - t0)

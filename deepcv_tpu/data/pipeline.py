@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import collections
 import itertools
+import logging
 from typing import (Any, Callable, Dict, Iterator, Mapping, Optional,
                     Sequence, Tuple, Union)
 
@@ -30,6 +31,8 @@ from deepcv_tpu.data.datasets import ArrayDataset
 from deepcv_tpu.data.preprocess import PreprocessedDataset
 
 __all__ = ["BatchIterator", "prefetch_to_device", "DeviceDataset"]
+
+_logger = logging.getLogger(__name__)
 
 
 def _unwrap(ds) -> ArrayDataset:
@@ -141,6 +144,12 @@ def prefetch_to_device(iterator: Iterator, size: int = 2,
         return jax.device_put(a, sharding)
 
     use_codec = wire_codec is not None and not multihost
+    if wire_codec is not None and multihost:
+        # loud, not silent: the user asked for wire compression; shipping
+        # raw without saying so would read as "the codec doesn't help"
+        _logger.warning("wire_codec requested but disabled: the multi-host "
+                        "global-batch assembly path needs the raw local "
+                        "rows (process_count=%d)", jax.process_count())
 
     def _put_maybe_coded(a):
         a = np.asarray(a)

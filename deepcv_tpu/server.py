@@ -126,14 +126,16 @@ class MicroBatcher:
         if x.ndim < 1 or x.shape[0] < 1:
             raise ValueError(f"empty request (shape {x.shape})")
         fut: Future = Future()
-        with self._stats_lock:
-            self.stats["requests"] += 1
-            self.stats["items"] += int(x.shape[0])
         with self._lifecycle_lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher closed — submit() after "
                                    "close() would never resolve")
             self._q.put((x, fut))
+        # count only requests actually enqueued — a rejected post-close
+        # submit must not inflate /stats relative to batches served
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["items"] += int(x.shape[0])
         return fut
 
     def infer(self, images: np.ndarray, timeout: Optional[float] = 60.0):

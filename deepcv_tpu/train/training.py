@@ -740,6 +740,18 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
             raise ValueError("flat_params: incompatible with path-based "
                              "parameter masks (lr_scales / freeze_params / "
                              "train_arch_params=False)")
+        # per-TENSOR optimizers silently change semantics on one raveled
+        # leaf: lamb/lars layerwise trust ratios collapse to one global
+        # scalar, adafactor's factored stats and muon's 2-D orthogonalized
+        # momentum never engage on a 1-D vector. Refuse loudly — the flag's
+        # contract is "a layout experiment, never semantics".
+        _opt_name = hp.get("optimizer", "adamw")
+        if isinstance(_opt_name, str) and _opt_name.rsplit(".", 1)[-1] \
+                .lower() in ("lamb", "lars", "adafactor", "muon"):
+            raise ValueError(f"flat_params: optimizer '{_opt_name}' is "
+                             "per-tensor (trust ratios / factored stats / "
+                             "2-D orthogonalization) and would silently "
+                             "change dynamics on a raveled vector")
         from jax.flatten_util import ravel_pytree
         init_params, p_unravel = ravel_pytree(variables["params"])
         init_bs = variables.get("batch_stats")
@@ -978,7 +990,11 @@ def train(hp: Mapping[str, Any], model, losses, datasets: Mapping[str, Any],
                                          / jnp.maximum(jnp.sum(lm), 1.0))
             terms["main_loss"] = main
         if param_regularizer is not None:
-            main = main + param_regularizer(params)
+            # regularizers are written against the param TREE; under
+            # flat_params hand them the unraveled view (XLA CSEs the
+            # duplicate slices with _forward's)
+            main = main + param_regularizer(
+                p_unravel(params) if flat_mode else params)
             terms["main_loss"] = main
         return main, (terms, new_state.get("batch_stats"), logits, y_t)
 

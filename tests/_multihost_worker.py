@@ -20,6 +20,71 @@ import sys
 from pathlib import Path
 
 
+def spawn_cluster(nproc: int, devices_per_proc: int, mode: str = "train",
+                  out_dirs=None, timeout_s: float = 600, tmp_dir=None):
+    """Launch ``nproc`` REAL worker processes of this module joined through
+    a jax.distributed coordinator on CPU and return their payload dicts.
+
+    The one implementation of the port/env/spawn/wait scaffolding — used by
+    tests/test_multihost.py's grids AND __graft_entry__.dryrun_multichip's
+    cross-process phase. One shared wall deadline covers all workers;
+    failures raise RuntimeError carrying the failing worker's log tail."""
+    import json as _json
+    import shutil as _shutil
+    import socket as _socket
+    import subprocess as _sp
+    import tempfile as _tf
+    import time as _time
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    s = _socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    own_tmp = tmp_dir is None
+    tmp_dir = tmp_dir or _tf.mkdtemp(prefix="deepcv_cluster_")
+    procs, outs = [], []
+    try:
+        for rank in range(nproc):
+            out_json = os.path.join(tmp_dir, f"rank{rank}.json")
+            outs.append(out_json)
+            od = out_dirs[rank] if out_dirs \
+                else os.path.join(tmp_dir, f"out_{rank}")
+            env = dict(os.environ,
+                       JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                       JAX_NUM_PROCESSES=str(nproc),
+                       JAX_PROCESS_ID=str(rank),
+                       XLA_FLAGS="--xla_force_host_platform_device_count="
+                                 f"{devices_per_proc}",
+                       JAX_PLATFORMS="cpu")
+            procs.append(_sp.Popen(
+                [sys.executable, os.path.abspath(__file__), out_json, od,
+                 mode],
+                cwd=repo, env=env, stdout=_sp.PIPE, stderr=_sp.STDOUT,
+                text=True))
+        deadline = _time.time() + timeout_s
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(
+                    timeout=max(5, deadline - _time.time()))
+            except _sp.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise RuntimeError(
+                    f"{mode} cluster workers timed out after {timeout_s}s")
+            logs.append(out)
+        for p, log in zip(procs, logs):
+            if p.returncode != 0:
+                raise RuntimeError(f"{mode} cluster worker failed "
+                                   f"(rc={p.returncode}):\n{log[-4000:]}")
+        return [_json.load(open(o)) for o in outs]
+    finally:
+        if own_tmp:
+            _shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def build_model_and_data():
     from deepcv_tpu.config import load_yaml
     from deepcv_tpu.data.datasets import load_dataset

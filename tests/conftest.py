@@ -53,9 +53,23 @@ except OSError:                                     # pragma: no cover
 
 
 def pytest_collection_modifyitems(config, items):
+    matched, collected_files = set(), set()
     for item in items:
         nid = item.nodeid.replace("\\", "/")
         if not nid.startswith("tests/"):
             nid = "tests/" + nid.split("tests/")[-1]
+        collected_files.add(nid.split("::")[0])
         if nid in _SMOKE_IDS:
             item.add_marker(pytest.mark.smoke)
+            matched.add(nid)
+    # staleness must be LOUD: a renamed test or changed parametrize id
+    # would otherwise silently shrink the smoke tier while CI stays green.
+    # Only enforceable when the collection spans every file the list
+    # references (i.e. full-suite runs, not single-file invocations).
+    smoke_files = {i.split("::")[0] for i in _SMOKE_IDS}
+    if _SMOKE_IDS and smoke_files and smoke_files <= collected_files:
+        stale = _SMOKE_IDS - matched
+        assert not stale, (
+            f"tests/smoke_list.txt has {len(stale)} stale node id(s) "
+            f"(renamed/reparametrized?): {sorted(stale)[:5]} — regenerate "
+            "or hand-fix the smoke list")

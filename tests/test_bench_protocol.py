@@ -81,8 +81,12 @@ def test_sigterm_handler_is_async_signal_safe():
 
 def test_provisional_headline_threads_real_provenance():
     """r4 verdict #7: the SIGTERM-emitted provisional line must carry the
-    dataset's actual provenance, not a hard-coded 'synthetic'."""
+    dataset's actual provenance, not a hard-coded 'synthetic' — main()
+    builds every line (final AND provisional) through one make_line that
+    closes over the real provenance, streamed via the shared tracker."""
     import inspect
     src = inspect.getsource(bench.main)
     assert 'provenance = data["trainset"].dataset.provenance' in src
-    assert "_provisional_cb(steady(seen) / max(1, n_chips),\n" in src
+    assert "_window_tracker(" in src
+    rd = inspect.getsource(bench.run_default)
+    assert '"data": "synthetic"' not in rd   # no hard-coded provenance

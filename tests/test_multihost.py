@@ -274,39 +274,18 @@ def test_two_process_zero1(tmp_path):
 
 def _spawn_grid(tmp_path, nproc, devices_per_proc, mode, shared_out=None):
     """Launch ``nproc`` REAL worker processes on a CPU 'cluster' and return
-    their parsed result payloads (r4 verdict #4: scale beyond world-size 2)."""
-    port = _free_port()
-    procs, outs = [], []
-    for rank in range(nproc):
-        out_json = tmp_path / f"rank{rank}.json"
-        outs.append(out_json)
-        out_dir = shared_out if shared_out is not None \
-            else tmp_path / f"out_{rank}"
-        env = dict(os.environ,
-                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
-                   JAX_NUM_PROCESSES=str(nproc),
-                   JAX_PROCESS_ID=str(rank),
-                   XLA_FLAGS="--xla_force_host_platform_device_count="
-                             f"{devices_per_proc}",
-                   JAX_PLATFORMS="cpu")
-        procs.append(subprocess.Popen(
-            [sys.executable, "tests/_multihost_worker.py",
-             str(out_json), str(out_dir), mode],
-            cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    deadline = time.time() + 600
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=max(5, deadline - time.time()))
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail(f"{mode} workers timed out")
-        logs.append(out)
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
-    return [json.loads(o.read_text()) for o in outs]
+    their parsed result payloads (r4 verdict #4: scale beyond world-size 2).
+    The scaffolding lives in _multihost_worker.spawn_cluster — one
+    implementation shared with dryrun_multichip's cross-process phase."""
+    sys.path.insert(0, str(REPO / "tests"))
+    import _multihost_worker as W
+    out_dirs = [str(shared_out)] * nproc if shared_out is not None else None
+    try:
+        return W.spawn_cluster(nproc, devices_per_proc, mode,
+                               out_dirs=out_dirs, timeout_s=600,
+                               tmp_dir=str(tmp_path))
+    except RuntimeError as e:
+        pytest.fail(str(e))
 
 
 @pytest.mark.slow
